@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data pipeline
+  * (language-ID, quality scoring, token counting, fingerprinting).
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (higher-order array functions) — no Scala UDFs — so the whole
+  * document pass stays inside WholeStageCodegen and scales linearly
+  * with the corpus.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish sub-token extraction: letter runs, digit runs, single
+    * punctuation — the standard pre-tokenizer shape for byte-pair
+    * encoders. RE2-compatible pattern (no backrefs) so the DuckDB
+    * oracle can run the identical regex.
+    */
+  val bpeIshPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def bpeIshTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeIshPattern), lit(0))
+
+  /** Sum of integer elements of an array column (left fold — matches
+    * DuckDB list_reduce fold order).
+    */
+  def arraySumInt(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + x.cast("long"))
+
+  /** Count of tokens belonging to a fixed vocabulary. */
+  def tokensInSet(tokens: Column, vocab: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(vocab.map(v => v: Any): _*)))
+
+  /** Polynomial rolling hash (Rabin–Karp) of a string:
+    * h = fold(chars, 0, (acc, c) => (acc * 31 + ascii(c)) mod 1e9+7).
+    * Used as the document fingerprint. Implemented as a left fold over
+    * the character array with built-in higher-order functions; the
+    * DuckDB oracle computes the identical fold via list_reduce.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      // drop the trailing "" Java's split-with-limit=-1 can emit
+      filter(split(text, ""), c => length(c) > 0),
+      lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+
+  /** Language marker vocabularies (tiny stopword lists per language —
+    * the classic n-gram/stopword heuristic for language ID).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"))
+
+  /** English stopwords used by the quality score. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "is", "in", "it", "that")
+}

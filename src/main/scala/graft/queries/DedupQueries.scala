@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication suite over `documents` / `embeddings` — the standard
+  * ladder for training-data pipelines:
+  *
+  *  - d01 exact: hash-groupBy on content. One shuffle on the hash.
+  *  - d02 n-gram Jaccard: exact set-similarity via shingle inverted
+  *    index (explode → self-join on shingle → pair agg). Quadratic in
+  *    the worst case — the correctness baseline for d03.
+  *  - d03 MinHash+LSH: signature → bands → bucket join. Near-linear;
+  *    this is the 100 TB path. Hashes derive from md5 so the DuckDB
+  *    oracle replays them bit-for-bit.
+  *  - d05 embedding near-dup: cosine over same-cluster (label) pairs.
+  *
+  * SimHash (d04) lives in `graft.operators.SimHash` with its own spec.
+  */
+object DedupQueries {
+
+  private val N = 5 // shingle width (word n-grams)
+
+  /** Word n-gram shingles of `text` as an array column (guarding short
+    * docs by falling back to the whole token string).
+    */
+  def shingles(text: Column, n: Int = N): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  /** DuckDB rendering of the same shingling. */
+  def shinglesSql(n: Int = N): String =
+    s"""CASE WHEN len(string_split_regex(trim(text), '\\s+')) < $n
+        THEN [array_to_string(string_split_regex(trim(text), '\\s+'), ' ')]
+        ELSE list_transform(
+          range(1, len(string_split_regex(trim(text), '\\s+')) - ${n - 1} + 1),
+          i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+${n - 1}], ' '))
+        END"""
+
+  /** (doc_id, shingle) distinct pairs. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(shingles($"text")).as("sh"))
+      .distinct()
+  }
+
+  /** A10 generalized (dropDuplicates → content-hash dedup): exact
+    * duplicate groups by full text. md5 on both sides.
+    */
+  val d01ExactDedup = Q(
+    "d01_exact_dedup",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"text")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(md5($"text").as("text_hash"), $"keep_id", $"n_copies")
+    },
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        count(*) AS n_copies
+      FROM documents GROUP BY text"""),
+    headline = true)
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    * |A∩B| from the self-join, |A∪B| = |A|+|B|−|A∩B|. Skew note: a hot
+    * shingle fans out quadratically — at scale d03 replaces this; kept
+    * exact here as the oracle-checkable baseline.
+    */
+  val d02NgramJaccard = Q(
+    "d02_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val sh = docShingles(s, dir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          round($"inter" / ($"sz_a" + $"sz_b" - $"inter"), 4).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+    },
+    Some(s"""WITH sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5"""))
+
+  // MinHash parameters: 12 permutations h_i(x) = (a_i·x + b_i) mod P,
+  // banded 4×3. P is the smallest prime > 2^32.
+  private val NumHashes = 12
+  private val BandRows = 3
+  private val NumBands = NumHashes / BandRows
+  private val P = 4294967311L
+  private def aCoef(i: Int): Long = 2L * i + 1
+  private def bCoef(i: Int): Long = 7L + 11L * i
+
+  /** Shingle → unsigned-32-bit hash via md5 prefix (engine-portable). */
+  private def shingleHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 8), 16, 10).cast("long")
+
+  /** MinHash + LSH candidate pairs with signature-estimated similarity.
+    * Linear in corpus size: per-doc signature (one agg), band keys, and
+    * a bucket self-join that only materializes colliding pairs.
+    */
+  val d03MinhashLsh = Q(
+    "d03_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val hashed = docShingles(s, dir).select($"doc_id", shingleHash($"sh").as("h"))
+      val mhCols = (0 until NumHashes).map(i =>
+        min((lit(aCoef(i)) * $"h" + lit(bCoef(i))) % lit(P)).as(s"mh_$i"))
+      val mins = hashed.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val bandCols = (0 until NumBands).map { j =>
+        struct(lit(j).as("band_id"),
+          concat_ws("_", (0 until BandRows).map(r => col(s"mh_${j * BandRows + r}")): _*).as("bkey"))
+      }
+      val exploded = mins
+        .select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+        .select($"doc_id", $"bk.band_id", $"bk.bkey")
+      val cand = exploded.as("a")
+        .join(exploded.as("b"), Seq("band_id", "bkey"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val mhLong = mins.select($"doc_id",
+        explode(array((0 until NumHashes).map(i =>
+          struct(lit(i).as("i"), col(s"mh_$i").as("mv"))): _*)).as("m"))
+        .select($"doc_id", $"m.i", $"m.mv")
+      cand
+        .join(mhLong.as("ma"), $"doc_a" === col("ma.doc_id"))
+        .join(mhLong.as("mb"), $"doc_b" === col("mb.doc_id") && col("ma.i") === col("mb.i"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(round(sum((col("ma.mv") === col("mb.mv")).cast("int")) / lit(NumHashes.toDouble), 4)
+          .as("est_sim"))
+    },
+    Some {
+      val hashExpr = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
+      s"""WITH sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
+      hashed AS (SELECT doc_id, $hashExpr AS h FROM sh),
+      mh AS (
+        SELECT doc_id, i, min(((2*i + 1) * h + (7 + 11*i)) % $P) AS mv
+        FROM hashed, (SELECT unnest(range($NumHashes)) AS i)
+        GROUP BY doc_id, i),
+      bands AS (
+        SELECT doc_id, i // $BandRows AS band_id,
+          string_agg(mv::VARCHAR, '_' ORDER BY i) AS bkey
+        FROM mh GROUP BY doc_id, i // $BandRows),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT c.doc_a, c.doc_b,
+        round(sum(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) / $NumHashes.0, 4) AS est_sim
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b AND ma.i = mb.i
+      GROUP BY c.doc_a, c.doc_b"""
+    },
+    headline = true)
+
+  /** Embedding-cosine near-dup: same-cluster (label-blocked) pairs over
+    * threshold. Blocking bounds the pair count; at 100 TB the blocking
+    * key would come from LSH/IVF (s02) instead of a given label.
+    */
+  val d05EmbeddingNearDup = Q(
+    "d05_embedding_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding")
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(cosineSimilarity(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+        .filter($"cos_sim" >= 0.9)
+    },
+    Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9"""))
+
+  val all: Seq[Q] = Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d05EmbeddingNearDup)
+}

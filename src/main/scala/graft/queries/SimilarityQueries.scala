@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`array<float>` column). Two paths:
+  *
+  *  - `s01` brute force: broadcast the (small) query set against the
+  *    full corpus — exact, one scan, no shuffle of the corpus side.
+  *    This is the correctness baseline and also the right physical
+  *    plan at scale whenever the query set fits in a broadcast.
+  *  - `s02` IVF: partition the corpus by nearest centroid (coarse
+  *    quantizer), probe only the closest `nprobe` partitions per
+  *    query — the scan shrinks by ~K/nprobe at 100 TB. Centroids are
+  *    taken deterministically (first K vectors) so the DuckDB oracle
+  *    can replay the exact same assignment.
+  *
+  * Similarities are rounded before ranking so FP summation-order
+  * differences can't reorder the top-k between engines; ties break on
+  * neighbor id.
+  */
+object SimilarityQueries {
+
+  private val K = 10 // top-k
+  private val NQ = 8 // query vectors: vec_id < NQ
+
+  val s01BruteForce = Q(
+    "s01_ann_bruteforce",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val sim = e.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+      sim.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos_sim")
+    },
+    Some(s"""WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
+      pairs AS (
+        SELECT q_id, vec_id,
+          round(list_dot_product(embedding::DOUBLE[], q_emb::DOUBLE[]) /
+            (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[]))), 6) AS cos_sim
+        FROM embeddings, q WHERE vec_id <> q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, rank, vec_id AS neighbor_id, cos_sim
+      FROM ranked WHERE rank <= $K"""),
+    headline = true)
+
+  private val NCENTROIDS = 16
+  private val NPROBE = 4
+
+  /** IVF (inverted-file) ANN: coarse centroids = first NCENTROIDS
+    * vectors; every corpus vector is assigned to its nearest centroid
+    * (max cosine, id tie-break); each query probes its NPROBE nearest
+    * centroid cells only. Recall < 1 by design — the oracle replays the
+    * identical quantization, so results still hash-match exactly.
+    */
+  val s02IvfAnn = Q(
+    "s02_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter($"vec_id" < NCENTROIDS)
+        .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+      // assign: corpus vector -> nearest centroid (1 broadcast join, no shuffle)
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_id".asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding", $"label", $"c_id",
+          round(cosineSimilarity($"embedding", $"c_emb"), 6).as("c_sim"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter($"arn" === 1)
+        .select($"vec_id", $"embedding", $"c_id")
+      // queries probe their NPROBE nearest cells
+      val q = e.filter($"vec_id" < NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val wProbe = Window.partitionBy($"q_id").orderBy($"p_sim".desc, $"c_id".asc)
+      val probes = q.crossJoin(broadcast(cents))
+        .select($"q_id", $"q_emb", $"c_id",
+          round(cosineSimilarity($"q_emb", $"c_emb"), 6).as("p_sim"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter($"prn" <= NPROBE)
+        .select($"q_id", $"q_emb", $"c_id")
+      // search only the probed cells
+      val wRank = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+      assigned.join(broadcast(probes), Seq("c_id"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos_sim")
+    },
+    Some {
+      val cos = (a: String, b: String) =>
+        s"""round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+            (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
+             sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"""
+      s"""WITH cents AS (
+        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCENTROIDS),
+      assigned AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, c.c_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.c_id ASC) AS arn
+          FROM embeddings e, cents c)
+        WHERE arn = 1),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
+      probes AS (
+        SELECT q_id, q_emb, c_id FROM (
+          SELECT q.q_id, q.q_emb, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${cos("q.q_emb", "c.c_emb")} DESC, c.c_id ASC) AS prn
+          FROM q, cents c)
+        WHERE prn <= $NPROBE),
+      pairs AS (
+        SELECT p.q_id, a.vec_id,
+          ${cos("a.embedding", "p.q_emb")} AS cos_sim
+        FROM assigned a JOIN probes p ON a.c_id = p.c_id
+        WHERE a.vec_id <> p.q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, rank, vec_id AS neighbor_id, cos_sim
+      FROM ranked WHERE rank <= $K"""
+    })
+
+  val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn)
+}

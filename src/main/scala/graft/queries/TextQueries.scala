@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis suite over the `documents` table: token statistics,
+  * quality scoring, language ID, fingerprinting, and the word-frequency
+  * explode. All single-pass, codegen'd, shuffle only at the final
+  * (small) aggregate — the shape that holds at a 100 TB corpus.
+  */
+object TextQueries {
+
+  /** G1 (explode/unnest — 11_ingest_population.ipynb:382-388) + O2
+    * top-k: global word frequency. The explode multiplies rows ~100×
+    * but the partial aggregate collapses map-side before the shuffle.
+    */
+  val t01WordTopK = Q(
+    "t01_word_topk",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word".asc)
+        .limit(20)
+    },
+    Some("""SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY n DESC, w ASC LIMIT 20"""),
+    headline = true)
+
+  /** Token counting: whitespace tokens + BPE-ish sub-tokens (regex
+    * pre-tokenizer), per document.
+    */
+  val t02TokenCount = Q(
+    "t02_token_count",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        tokenCount($"text").as("n_ws_tokens"),
+        size(bpeIshTokens($"text")).as("n_bpe_tokens"),
+        length($"text").as("n_chars_seen"))
+    },
+    Some(s"""SELECT doc_id,
+        len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+        length(text) AS n_chars_seen
+      FROM documents"""),
+    headline = true)
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * non-alphanumeric ratio → composite score. Mirrors the heuristic
+    * quality filters used on LLM pretraining corpora.
+    */
+  val t03QualityScore = Q(
+    "t03_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      val toks = wsTokens($"text")
+      val nToks = size(toks).cast("double")
+      val stopHits = tokensInSet(toks, stopwords).cast("double")
+      val punct = length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("double")
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        round(length($"text").cast("double") / nToks, 4).as("mean_token_span"),
+        round(stopHits / nToks, 4).as("stopword_ratio"),
+        round(punct / length($"text"), 4).as("punct_ratio"),
+        round(
+          when(nToks < 5, 0.0).otherwise(
+            lit(1.0) - abs(stopHits / nToks - lit(0.4)) - punct / length($"text")),
+          4).as("quality_score"))
+    },
+    Some(s"""SELECT doc_id,
+        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+        round(length(text) / len(string_split_regex(trim(text), '\\s+')), 4) AS mean_token_span,
+        round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              t -> t IN ('the','a','an','of','and','to','is','in','it','that')))
+          / len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio,
+        round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
+        round(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 5 THEN 0.0
+          ELSE 1.0
+            - abs(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('the','a','an','of','and','to','is','in','it','that')))
+              * 1.0 / len(string_split_regex(trim(text), '\\s+')) - 0.4)
+            - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)
+          END, 4) AS quality_score
+      FROM documents"""))
+
+  /** Language ID via per-language marker-word scores with a
+    * deterministic argmax (fixed precedence on ties). On this synthetic
+    * corpus the text is language-independent, so the heuristic mostly
+    * answers 'en' — the *operator* (score + argmax over marker
+    * vocabularies) is the deliverable; accuracy needs real corpora.
+    */
+  val t04LangId = Q(
+    "t04_langid",
+    (s, dir) => {
+      import s.implicits._
+      val toks = wsTokens($"text")
+      val scoreCols = Seq($"doc_id", $"lang") ++
+        langMarkers.map { case (l, vocab) => tokensInSet(toks, vocab).as(s"s_$l") }
+      val scored = Tables.documents(s, dir).select(scoreCols: _*)
+      val m = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+      val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+        when(col(s"s_$l") === m && m > 0, l).otherwise(acc)
+      }
+      scored
+        .select($"lang", pred.as("pred_lang"))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"))
+    },
+    Some {
+      val score = (vocab: Seq[String]) =>
+        s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (${vocab.map(w => s"'$w'").mkString(",")})))"
+      val scores = langMarkers.map { case (l, v) => s"${score(v)} AS s_$l" }.mkString(",\n        ")
+      val m = s"greatest(${langMarkers.map { case (l, _) => s"s_$l" }.mkString(",")})"
+      val pred = langMarkers.reverse.foldLeft("'und'") { case (acc, (l, _)) =>
+        s"CASE WHEN s_$l = m AND m > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH scored AS (
+        SELECT doc_id, lang, $scores
+        FROM documents),
+      am AS (SELECT lang, ${langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")}, $m AS m FROM scored)
+      SELECT lang, $pred AS pred_lang, count(*) AS n
+      FROM am GROUP BY 1, 2"""
+    })
+
+  /** Document fingerprinting: Rabin–Karp rolling hash over the full
+    * text (mod 1e9+7, base 31). Identical fold on the DuckDB side via
+    * list_reduce, so the fingerprints hash-match bit-for-bit.
+    */
+  val t05Fingerprint = Q(
+    "t05_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        rollingHash($"text").as("fingerprint"))
+    },
+    Some("""SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      FROM documents"""),
+    headline = true)
+
+  val all: Seq[Q] = Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint)
+}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify at a
+given SF, then execute each oracle SQL in DuckDB over the same parquet
+tables and diff the results (columns sorted by name, rows sorted).
+
+Usage: python3 tools/check.py [sfDir] [outDir] [--skip-verify] [query...]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+flags = set(a for a in sys.argv[3:] if a.startswith("--"))
+only = [a for a in sys.argv[3:] if not a.startswith("--")]
+
+if "--skip-verify" not in flags:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
+    if r.returncode != 0:
+        print("VERIFY FAILED:\n", tail)
+        sys.exit(1)
+    if "[verify]" in r.stdout or "[verify]" in r.stderr:
+        for ln in (r.stdout + r.stderr).splitlines():
+            if "[verify]" in ln:
+                print(ln)
+
+oracle = json.loads((out / "oracle_sql.json").read_text())
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+fails = 0
+names = only if only else sorted(oracle)
+for name in names:
+    sql = oracle[name]
+    pq = out / name
+    if not pq.exists():
+        print(f"FAIL {name}: no spark output")
+        fails += 1
+        continue
+    try:
+        got_rel = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
+        got_cols, got = canon(got_rel.fetchall(), got_rel.columns)
+        exp_rel = con.sql(sql)
+        exp_cols, exp = canon(exp_rel.fetchall(), exp_rel.columns)
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
+        fails += 1
+        continue
+    if got_cols != exp_cols:
+        print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+        fails += 1
+    elif got != exp:
+        print(f"FAIL {name}: {len(got)} rows vs {len(exp)} rows")
+        diff = [(g, e) for g, e in zip(got, exp) if g != e]
+        for g, e in diff[:3]:
+            print(f"   spark:  {g}\n   duckdb: {e}")
+        if len(got) != len(exp):
+            sg, se = set(got), set(exp)
+            for r in list(sg - se)[:3]:
+                print(f"   only-spark: {r}")
+            for r in list(se - sg)[:3]:
+                print(f"   only-duck:  {r}")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows)")
+print(f"\n{len(names) - fails}/{len(names)} queries match")
+sys.exit(1 if fails else 0)
