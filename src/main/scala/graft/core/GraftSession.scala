@@ -10,8 +10,13 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+  /** @param hive enable the Hive (derby) metastore so `saveAsTable`
+    *   publishes survive JVM restarts — required for the pipeline's
+    *   idempotent latest-snapshot overwrite semantics; query-only
+    *   sessions skip it (faster startup, no metastore lock).
+    */
+  def local(cores: Int = 32, appName: String = "graft", hive: Boolean = false): SparkSession = {
+    val b = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -21,7 +26,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (hive) b.enableHiveSupport() else b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
