@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.SparkShims
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static row-level kernels shared by interpreted eval and generated
+  * code — `defineCodeGen` emits a single static call, so the
+  * expressions stay inside WholeStageCodegen with no boxing or
+  * per-row virtual dispatch.
+  */
+object TextExprImpl {
+
+  final val Mod = 1000000007L
+
+  /** Polynomial rolling hash over unicode code points:
+    * fold(cp, 0, (acc, c) => (acc*31 + c) mod 1e9+7). Matches the
+    * SQL-expressible fold (ascii() per character) used by the oracle.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    var acc = 0L
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** First 15 hex chars of md5(token) as a 60-bit non-negative long —
+    * an engine-portable hash (DuckDB:
+    * CAST('0x'||substr(md5(t),1,15) AS BIGINT)).
+    */
+  def tokenHash60(t: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(t.getBytes)
+    // build the 15-hex-char prefix = 7.5 bytes
+    var acc = 0L
+    var i = 0
+    while (i < 8) {
+      val hi = (d(i) >> 4) & 0xf
+      val lo = d(i) & 0xf
+      if (i < 7) { acc = (acc << 4) | hi; acc = (acc << 4) | lo }
+      else acc = (acc << 4) | hi // 15th hex char
+      i += 1
+    }
+    acc
+  }
+
+  /** 60-bit SimHash over a token array: per bit j, sum +1/−1 votes of
+    * each token's hash bit j; final bit j set iff the vote is positive.
+    */
+  def simHash60(tokens: ArrayData): Long = {
+    val weights = new Array[Int](60)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = tokenHash60(tokens.getUTF8String(i))
+        var j = 0
+        while (j < 60) {
+          if (((h >> j) & 1L) == 1L) weights(j) += 1 else weights(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (weights(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+/** Rabin–Karp rolling hash as a native Catalyst expression (SURVEY.md
+  * §7.5's fingerprinting path): string → long, codegen'd.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextExprImpl.rollingHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.rollingHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash of a token array as a native Catalyst expression:
+  * array<string> → long, codegen'd. 60 bits (15 md5 hex chars) keep
+  * the hash inside a signed 64-bit long on every engine.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires ARRAY<STRING> input, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextExprImpl.simHash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.simHash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers for the native expressions. */
+object exprs {
+  def rolling_hash(c: Column): Column =
+    SparkShims.column(RollingHash(SparkShims.expression(c)))
+
+  def simhash60(c: Column): Column =
+    SparkShims.column(SimHash60(SparkShims.expression(c)))
+}

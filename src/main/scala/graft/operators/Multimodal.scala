@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal column handling for training-data pipelines: image /
+  * audio / video payloads ride as opaque `binary` columns with a typed
+  * metadata struct, and per-item decode / feature-extraction runs as
+  * `mapPartitions` over the typed Dataset — the Scala analogue of a
+  * batched pandas UDF: per-partition one-time decoder init (where a
+  * real codec/model would load), then a lazy per-row loop, so memory
+  * stays at O(row) and the expensive init amortizes across the
+  * partition.
+  *
+  * The byte-level decode itself is a STUB (this container has no
+  * image/audio codecs): `FakeDecoder` produces deterministic
+  * pseudo-features from the payload bytes. Everything around it —
+  * schema, encoders, partitioning, batch shape, lazy iteration — is
+  * the real production plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      width: Int, height: Int, format: String, duration_ms: Long)
+
+  final case class MediaFile(
+      media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      payload_sha256: String, embedding: Array[Float])
+
+  final case class FrameSample(
+      media_id: Long, frame_index: Int, frame_bytes: Array[Byte])
+
+  /** STUB decode boundary: a real implementation plugs a codec/model
+    * here (loaded once per partition); this one derives deterministic
+    * features from the bytes so tests are stable and shuffle-free.
+    */
+  final class FakeDecoder {
+    def featurize(m: MediaFile, dim: Int): MediaFeatures = {
+      val sha = graft.ingest.Hashing.sha256(m.payload)
+      val emb = new Array[Float](dim)
+      var h = 1125899906842597L // deterministic seed from payload
+      m.payload.foreach(b => h = h * 31 + (b & 0xff))
+      var i = 0
+      while (i < dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        emb(i) = ((h >>> 33).toInt % 1000) / 1000.0f
+        i += 1
+      }
+      MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, sha, emb)
+    }
+
+    /** STUB frame extraction: fixed-size byte windows stand in for
+      * decoded video frames (same batch shape: one row in, many out).
+      */
+    def sampleFrames(m: MediaFile, frameBytes: Int, everyN: Int): Seq[FrameSample] =
+      m.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, idx) => idx % everyN == 0 }
+        .map { case (bytes, idx) => FrameSample(m.media_id, idx, bytes) }
+        .toSeq
+  }
+
+  /** Deterministic synthetic media corpus (seeded from media_id) —
+    * stands in for a binary-file source at test time.
+    */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"
+        case 1 => "audio"
+        case _ => "video"
+      }
+      val len = 64 + (id % 7).toInt * 32
+      val payload = Array.tabulate[Byte](len)(i => ((id * 131 + i * 17) % 251).toByte)
+      MediaFile(id, kind,
+        payload,
+        MediaMeta(
+          width = 16 + (id % 4).toInt * 16,
+          height = 16 + (id % 3).toInt * 16,
+          format = if (kind == "image") "png" else if (kind == "audio") "wav" else "mp4",
+          duration_ms = if (kind == "image") 0L else 1000L + id % 5000))
+    }
+  }
+
+  /** Decode + featurize every media item: one decoder per partition,
+    * lazy per-row mapping (never materializes a partition in memory).
+    */
+  def decodeAndFeaturize(ds: Dataset[MediaFile], dim: Int = 16): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val decoder = new FakeDecoder // per-partition init (codec/model load)
+      it.map(m => decoder.featurize(m, dim))
+    }
+  }
+
+  /** Video frame sampling: one row per kept frame (flatMap shape). */
+  def sampleFrames(
+      ds: Dataset[MediaFile],
+      frameBytes: Int = 32,
+      everyN: Int = 2): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind == "video").mapPartitions { it =>
+      val decoder = new FakeDecoder
+      it.flatMap(m => decoder.sampleFrames(m, frameBytes, everyN))
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.wsTokens
+
+/** User-facing deduplication operators over a document DataFrame
+  * (id column + text column). The same builders back the
+  * oracle-checked queries in `graft.queries.DedupQueries`.
+  *
+  * Scale notes: every step is a linear scan plus one hash-partitioned
+  * shuffle on a derived key (content hash / band key); candidate
+  * verification touches only colliding pairs. Nothing is quadratic in
+  * corpus size except the verification of actual collisions.
+  */
+object TextDedup {
+
+  // MinHash parameters: k permutations h_i(x) = (a_i·x + b_i) mod P over
+  // md5-prefix shingle hashes, banded (numBands × bandRows). P is the
+  // smallest prime > 2^32.
+  val NumHashes = 12
+  val BandRows = 3
+  val NumBands: Int = NumHashes / BandRows
+  val P = 4294967311L
+  def aCoef(i: Int): Long = 2L * i + 1
+  def bCoef(i: Int): Long = 7L + 11L * i
+
+  /** Word n-gram shingles of `text` (short docs fall back to the whole
+    * token string as one shingle).
+    */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  /** Engine-portable unsigned-32-bit shingle hash (md5 prefix). */
+  def shingleHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 8), 16, 10).cast("long")
+
+  /** (id, shingle-hash) distinct pairs — the input to minhashing. */
+  def docShingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(shingles(col(textCol))).as("sh"))
+      .distinct()
+      .select(col(idCol), shingleHash(col("sh")).as("h"))
+
+  /** Per-document MinHash signature: one row per doc with mh_0..mh_k-1. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docShingleHashes(docs, idCol, textCol)
+    val mhCols = (0 until NumHashes).map(i =>
+      min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % lit(P)).as(s"mh_$i"))
+    hashed.groupBy(col(idCol)).agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** LSH candidate pairs (id_a < id_b) with signature-estimated
+    * similarity in [0,1].
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val mins = minhashSignatures(docs, idCol, textCol)
+    val bandCols = (0 until NumBands).map { j =>
+      struct(lit(j).as("band_id"),
+        concat_ws("_", (0 until BandRows).map(r => col(s"mh_${j * BandRows + r}")): _*).as("bkey"))
+    }
+    val exploded = mins
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band_id"), col("bk.bkey"))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"), Seq("band_id", "bkey"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val mhLong = mins.select(col(idCol),
+      explode(array((0 until NumHashes).map(i =>
+        struct(lit(i).as("i"), col(s"mh_$i").as("mv"))): _*)).as("m"))
+      .select(col(idCol), col("m.i"), col("m.mv"))
+    cand
+      .join(mhLong.as("ma"), col("doc_a") === col(s"ma.$idCol"))
+      .join(mhLong.as("mb"), col("doc_b") === col(s"mb.$idCol") && col("ma.i") === col("mb.i"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(round(sum((col("ma.mv") === col("mb.mv")).cast("int")) / lit(NumHashes.toDouble), 4)
+        .as("est_sim"))
+  }
+
+  /** Exact dedup: keep the lowest-id row per identical content. One
+    * shuffle on the content hash; full rows survive (no re-join).
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Near-dedup: drop every doc that is the HIGHER-id member of a
+    * candidate pair at/above the similarity threshold. (Greedy one-pass
+    * policy — a doc survives iff no kept lower-id near-duplicate
+    * exists; transitive chains collapse toward the lowest id.)
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val drop = minhashCandidates(docs, idCol, textCol)
+      .filter(col("est_sim") >= threshold)
+      .select(col("doc_b").as(idCol))
+      .distinct()
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+}

@@ -19,22 +19,18 @@ import graft.functions.VectorFunctions._
   *    oracle replays them bit-for-bit.
   *  - d05 embedding near-dup: cosine over same-cluster (label) pairs.
   *
-  * SimHash (d04) lives in `graft.operators.SimHash` with its own spec.
+  *  - d04 SimHash: constant-size 60-bit signature + banded Hamming
+  *    search, built on the native `SimHash60` Catalyst expression.
   */
 object DedupQueries {
 
   private val N = 5 // shingle width (word n-grams)
 
-  /** Word n-gram shingles of `text` as an array column (guarding short
-    * docs by falling back to the whole token string).
+  /** Word n-gram shingles of `text` as an array column (delegates to
+    * the shared operator so query and API can't drift).
     */
-  def shingles(text: Column, n: Int = N): Column = {
-    val toks = wsTokens(text)
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-  }
+  def shingles(text: Column, n: Int = N): Column =
+    graft.operators.TextDedup.shingles(text, n)
 
   /** DuckDB rendering of the same shingling. */
   def shinglesSql(n: Int = N): String =
@@ -107,54 +103,23 @@ object DedupQueries {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5"""))
 
-  // MinHash parameters: 12 permutations h_i(x) = (a_i·x + b_i) mod P,
-  // banded 4×3. P is the smallest prime > 2^32.
-  private val NumHashes = 12
-  private val BandRows = 3
-  private val NumBands = NumHashes / BandRows
-  private val P = 4294967311L
-  private def aCoef(i: Int): Long = 2L * i + 1
-  private def bCoef(i: Int): Long = 7L + 11L * i
-
-  /** Shingle → unsigned-32-bit hash via md5 prefix (engine-portable). */
-  private def shingleHash(sh: Column): Column =
-    conv(substring(md5(sh), 1, 8), 16, 10).cast("long")
+  // MinHash/LSH parameters live in graft.operators.TextDedup (shared
+  // with the user-facing dedup API); aliases keep the oracle SQL in
+  // lockstep with the Spark-side constants.
+  private val NumHashes = graft.operators.TextDedup.NumHashes
+  private val BandRows = graft.operators.TextDedup.BandRows
+  private val P = graft.operators.TextDedup.P
 
   /** MinHash + LSH candidate pairs with signature-estimated similarity.
     * Linear in corpus size: per-doc signature (one agg), band keys, and
     * a bucket self-join that only materializes colliding pairs.
+    * Delegates to the reusable operator in graft.operators.TextDedup.
     */
   val d03MinhashLsh = Q(
     "d03_minhash_lsh",
-    (s, dir) => {
-      import s.implicits._
-      val hashed = docShingles(s, dir).select($"doc_id", shingleHash($"sh").as("h"))
-      val mhCols = (0 until NumHashes).map(i =>
-        min((lit(aCoef(i)) * $"h" + lit(bCoef(i))) % lit(P)).as(s"mh_$i"))
-      val mins = hashed.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
-      val bandCols = (0 until NumBands).map { j =>
-        struct(lit(j).as("band_id"),
-          concat_ws("_", (0 until BandRows).map(r => col(s"mh_${j * BandRows + r}")): _*).as("bkey"))
-      }
-      val exploded = mins
-        .select($"doc_id", explode(array(bandCols: _*)).as("bk"))
-        .select($"doc_id", $"bk.band_id", $"bk.bkey")
-      val cand = exploded.as("a")
-        .join(exploded.as("b"), Seq("band_id", "bkey"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val mhLong = mins.select($"doc_id",
-        explode(array((0 until NumHashes).map(i =>
-          struct(lit(i).as("i"), col(s"mh_$i").as("mv"))): _*)).as("m"))
-        .select($"doc_id", $"m.i", $"m.mv")
-      cand
-        .join(mhLong.as("ma"), $"doc_a" === col("ma.doc_id"))
-        .join(mhLong.as("mb"), $"doc_b" === col("mb.doc_id") && col("ma.i") === col("mb.i"))
-        .groupBy($"doc_a", $"doc_b")
-        .agg(round(sum((col("ma.mv") === col("mb.mv")).cast("int")) / lit(NumHashes.toDouble), 4)
-          .as("est_sim"))
-    },
+    (s, dir) =>
+      graft.operators.TextDedup.minhashCandidates(
+        Tables.documents(s, dir), "doc_id", "text"),
     Some {
       val hashExpr = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
       s"""WITH sh AS (
@@ -182,6 +147,63 @@ object DedupQueries {
     },
     headline = true)
 
+  /** SimHash near-dup: 60-bit SimHash (native codegen'd Catalyst
+    * expression over md5-derived token hashes), banded 4×15 bits for
+    * candidate generation, Hamming-distance verification via
+    * bit_count(xor). One linear pass for signatures + a bucket
+    * self-join — the constant-size-signature alternative to d03 at
+    * 100 TB (signature is one long, not k minhashes).
+    */
+  val d04Simhash = Q(
+    "d04_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val sh = Tables.documents(s, dir)
+        .select($"doc_id", graft.functions.exprs.simhash60(wsTokens($"text")).as("sim"))
+      val bandCols = (0 until 4).map { j =>
+        struct(lit(j).as("band_id"),
+          (shiftright($"sim", 15 * j).bitwiseAND(lit(32767L))).as("bval"))
+      }
+      val banded = sh
+        .select($"doc_id", $"sim", explode(array(bandCols: _*)).as("bk"))
+        .select($"doc_id", $"sim", $"bk.band_id", $"bk.bval")
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 8)
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents),
+      th AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+        FROM toks),
+      votes AS (
+        SELECT doc_id, j,
+          sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS w
+        FROM th, (SELECT unnest(range(60)) AS j)
+        GROUP BY doc_id, j),
+      sh AS (
+        SELECT doc_id,
+          sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sim
+        FROM votes GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, sim, j AS band_id, (sim >> (15*j)) & 32767 AS bval
+        FROM sh, (SELECT unnest(range(4)) AS j)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.sim AS sim_a, b.sim AS sim_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+        bit_count((sim_a | sim_b) - (sim_a & sim_b)) AS hamming
+      FROM cand
+      WHERE bit_count((sim_a | sim_b) - (sim_a & sim_b)) <= 8"""))
+
   /** Embedding-cosine near-dup: same-cluster (label-blocked) pairs over
     * threshold. Blocking bounds the pair count; at 100 TB the blocking
     * key would come from LSH/IVF (s02) instead of a given label.
@@ -207,5 +229,6 @@ object DedupQueries {
           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9"""))
 
-  val all: Seq[Q] = Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d05EmbeddingNearDup)
+  val all: Seq[Q] =
+    Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash, d05EmbeddingNearDup)
 }

@@ -131,8 +131,10 @@ object TextQueries {
     })
 
   /** Document fingerprinting: Rabin–Karp rolling hash over the full
-    * text (mod 1e9+7, base 31). Identical fold on the DuckDB side via
-    * list_reduce, so the fingerprints hash-match bit-for-bit.
+    * text (mod 1e9+7, base 31), computed by the native codegen'd
+    * Catalyst expression `graft.functions.RollingHash`. The DuckDB
+    * oracle replays the identical fold via list_reduce, so the
+    * fingerprints hash-match bit-for-bit.
     */
   val t05Fingerprint = Q(
     "t05_fingerprint",
@@ -140,7 +142,7 @@ object TextQueries {
       import s.implicits._
       Tables.documents(s, dir).select(
         $"doc_id",
-        rollingHash($"text").as("fingerprint"))
+        graft.functions.exprs.rolling_hash($"text").as("fingerprint"))
     },
     Some("""SELECT doc_id,
         list_reduce(

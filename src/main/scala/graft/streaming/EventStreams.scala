@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event queries
+  * (q17/q19): the same transform runs incrementally over a stream —
+  * watermarked windowed aggregation, and gap-based sessionization as
+  * explicit state with flatMapGroupsWithState. Batch/streaming
+  * unification: each function takes a generic DataFrame/Dataset, so
+  * the identical code path serves `read` and `readStream` inputs
+  * (withWatermark is a no-op on batch).
+  */
+object EventStreams {
+
+  /** Event-time schema used by the typed sessionizer. */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** One closed session. */
+  final case class Session(
+      user_id: Long,
+      session_id: Long,
+      n_events: Long,
+      session_value: Double,
+      start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp)
+
+  /** Open-session state carried between micro-batches. */
+  final case class SessionState(
+      session_id: Long,
+      n_events: Long,
+      sum_value: Double,
+      start_ms: Long,
+      last_ms: Long)
+
+  /** Tumbling 1-hour counts/sums per event_type with a 2-hour
+    * watermark: late events beyond the watermark are dropped, closed
+    * windows emit exactly once in append mode.
+    */
+  def hourlyWindowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization (same 30-minute-gap semantics as the
+    * batch q19 lag+running-sum form) as explicit keyed state: events
+    * extend the open session; a gap larger than `gapSeconds` closes it
+    * and emits it; event-time timeout closes idle sessions once the
+    * watermark passes. State is one small record per active user —
+    * O(active users), not O(events).
+    */
+  def sessionize(
+      events: Dataset[Ev],
+      gapSeconds: Long = 1800L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def flush(
+        userId: Long,
+        evs: Iterator[Ev],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      var closed = List.empty[Session]
+      if (state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          closed ::= Session(userId, s.session_id, s.n_events, s.sum_value,
+            new java.sql.Timestamp(s.start_ms), new java.sql.Timestamp(s.last_ms))
+        }
+        state.remove()
+      } else {
+        var cur = state.getOption
+        evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last_ms <= gapMs =>
+              cur = Some(s.copy(
+                n_events = s.n_events + 1,
+                sum_value = s.sum_value + e.value,
+                last_ms = math.max(s.last_ms, t)))
+            case Some(s) =>
+              closed ::= Session(userId, s.session_id, s.n_events, s.sum_value,
+                new java.sql.Timestamp(s.start_ms), new java.sql.Timestamp(s.last_ms))
+              cur = Some(SessionState(s.session_id + 1, 1L, e.value, t, t))
+            case None =>
+              cur = Some(SessionState(1L, 1L, e.value, t, t))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close the session once event time passes last_ms + gap
+          state.setTimeoutTimestamp(s.last_ms + gapMs)
+        }
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
+  }
+
+  /** Convenience: run a streaming query over a parquet directory into
+    * an in-memory table and block until all available data is
+    * processed (local smoke harness for the streaming paths).
+    */
+  def runToMemory(
+      spark: SparkSession,
+      streaming: DataFrame,
+      queryName: String): Unit = {
+    val q = streaming.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

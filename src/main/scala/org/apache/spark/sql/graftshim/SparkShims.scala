@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` surface: wrapping a raw Catalyst
+  * `Expression` into the public `Column` API (and back). Spark 4's
+  * Column is a ColumnNode wrapper; `classic.ExpressionUtils` is the
+  * supported classic-mode conversion but is package-private, so this
+  * one-file shim lives under org.apache.spark.sql. No Spark internals
+  * are modified.
+  */
+object SparkShims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class CatalystExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RollingHash native expression == built-in higher-order fold") {
+    val docs = Tables.documents(spark, sfDir)
+    val mismatches = docs.select(
+      exprs.rolling_hash($"text").as("native"),
+      TextFunctions.rollingHash($"text").as("fold"))
+      .filter($"native" =!= $"fold")
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("RollingHash known value: fold of 'ab' = (0*31+97)*31+98 mod 1e9+7") {
+    val got = Seq("ab").toDF("t")
+      .select(exprs.rolling_hash($"t")).head().getLong(0)
+    assert(got == (97L * 31 + 98) % 1000000007L)
+  }
+
+  test("RollingHash handles empty string and null") {
+    val rows = Seq(Some(""), None).toDF("t")
+      .select(exprs.rolling_hash($"t").as("h")).collect()
+    assert(rows(0).getLong(0) == 0L)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("SimHash60: identical token arrays -> identical hash; stays in 60 bits") {
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h"),
+      ("the quick brown fox", "the quick brown fox")).toDF("t1", "t2")
+    val rows = df.select(
+      exprs.simhash60(split($"t1", " ")).as("h1"),
+      exprs.simhash60(split($"t2", " ")).as("h2")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60))
+    }
+  }
+
+  test("SimHash60: near-identical docs are close in Hamming distance, unrelated far") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok30", "tok30x")
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val r = Seq((base, near, far)).toDF("a", "b", "c")
+      .select(
+        bit_count(exprs.simhash60(split($"a", " "))
+          .bitwiseXOR(exprs.simhash60(split($"b", " ")))).as("near_d"),
+        bit_count(exprs.simhash60(split($"a", " "))
+          .bitwiseXOR(exprs.simhash60(split($"c", " ")))).as("far_d"))
+      .head()
+    assert(r.getInt(0) < r.getInt(1), s"near=${r.getInt(0)} far=${r.getInt(1)}")
+    assert(r.getInt(0) <= 12)
+  }
+
+  test("token hash matches the engine-portable md5-prefix definition") {
+    // DuckDB: CAST('0x'||substr(md5('abc'),1,15) AS BIGINT) = 648541476951500027
+    val h = TextExprImpl.tokenHash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
+    assert(h == 648541476951500027L)
+  }
+
+  test("expressions survive interpreted mode (codegen fallback parity)") {
+    withCodegenOff {
+      val got = Seq("ab").toDF("t").select(exprs.rolling_hash($"t")).head().getLong(0)
+      assert(got == (97L * 31 + 98) % 1000000007L)
+    }
+  }
+
+  private def withCodegenOff(f: => Unit): Unit = {
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, old)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.types.{BinaryType, StructType}
+
+import graft.SparkSpec
+import graft.operators.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = syntheticMedia(spark, 60).cache()
+
+  test("media schema: opaque binary payload + typed metadata struct") {
+    val schema = media.toDF().schema
+    assert(schema("payload").dataType == BinaryType)
+    assert(schema("meta").dataType.isInstanceOf[StructType])
+  }
+
+  test("decodeAndFeaturize: one feature row per media item, deterministic") {
+    val f1 = decodeAndFeaturize(media).collect().sortBy(_.media_id)
+    val f2 = decodeAndFeaturize(media).collect().sortBy(_.media_id)
+    assert(f1.length == 60)
+    assert(f1.map(_.embedding.toSeq).toSeq == f2.map(_.embedding.toSeq).toSeq)
+    assert(f1.forall(_.embedding.length == 16))
+    assert(f1.forall(_.payload_sha256.length == 64))
+  }
+
+  test("featurization survives a repartition (no partition-local hidden state)") {
+    val base = decodeAndFeaturize(media).collect().sortBy(_.media_id)
+    val repart = decodeAndFeaturize(media.repartition(7)).collect().sortBy(_.media_id)
+    assert(base.map(_.payload_sha256).toSeq == repart.map(_.payload_sha256).toSeq)
+  }
+
+  test("frame sampling: only videos, every-Nth fixed-size windows") {
+    val frames = sampleFrames(media, frameBytes = 32, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
+    assert(frames.map(_.media_id).toSet.subsetOf(videoIds))
+    assert(frames.forall(_.frame_index % 2 == 0))
+    assert(frames.forall(_.frame_bytes.length <= 32))
+  }
+
+  test("binary columns round-trip through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[MediaFile]
+    assert(back.count() == 60)
+    val a = media.filter(_.media_id == 5L).head().payload.toSeq
+    val b = back.filter(_.media_id == 5L).head().payload.toSeq
+    assert(a == b)
+  }
+}

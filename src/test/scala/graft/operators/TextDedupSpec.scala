@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest id per identical text, full rows survive") {
+    val d = docs(
+      1L -> "alpha beta gamma",
+      2L -> "alpha beta gamma",
+      3L -> "totally different text here",
+      4L -> "alpha beta gamma")
+    val out = TextDedup.exactDedup(d, "doc_id", "text")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("minhashCandidates finds a near-duplicate pair and scores it high") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "wX").mkString(" ")
+    val far = (1 to 40).map(i => s"z$i").mkString(" ")
+    val cand = TextDedup.minhashCandidates(
+      docs(1L -> base, 2L -> near, 3L -> far), "doc_id", "text").collect()
+    val pair = cand.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, s"expected (1,2) candidate, got ${cand.mkString(",")}")
+    assert(pair.get.getDouble(2) >= 0.5)
+    assert(!cand.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("dropNearDuplicates removes higher-id near-dups, keeps distinct docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "wX").mkString(" ")
+    val far = (1 to 40).map(i => s"z$i").mkString(" ")
+    val out = TextDedup.dropNearDuplicates(
+      docs(1L -> base, 2L -> near, 3L -> far), "doc_id", "text", threshold = 0.5)
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("identical docs give identical signatures; est_sim = 1.0") {
+    val t = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val cand = TextDedup.minhashCandidates(
+      docs(1L -> t, 2L -> t), "doc_id", "text").head()
+    assert(cand.getDouble(2) == 1.0)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.streaming.EventStreams.{Ev, Session}
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly windowed agg == batch result once watermark closes all windows") {
+    val batchEvents = Tables.events(spark, sfDir)
+      .select($"ts", $"event_type", $"value").cache()
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val streamIn = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = EventStreams.hourlyWindowedAgg(streamIn).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("hourly_out")
+      .start()
+    q.processAllAvailable()
+    // sentinel far-future event advances the watermark past every real window
+    val maxTs = batchEvents.agg(max($"ts")).head().getTimestamp(0)
+    Seq((new Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000), "sentinel", 0.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hourly_out")
+      .filter($"event_type" =!= "sentinel")
+      .select($"hour_start", $"event_type", $"n", round($"total_value", 4).as("tv"))
+    val batch = EventStreams.hourlyWindowedAgg(batchEvents)
+      .select($"hour_start", $"event_type", $"n", round($"total_value", 4).as("tv"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0, "streaming rows not in batch result")
+    assert(batch.exceptAll(streamed).count() == 0, "batch rows missing from streaming result")
+  }
+
+  test("flatMapGroupsWithState sessionization: gap closes sessions, timeout closes idle ones") {
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(min: Long): Timestamp = new Timestamp(t0 + min * 60000L)
+
+    val dir = Files.createTempDirectory("graft-sess-in").toString
+    val batch1 = Seq(
+      Ev(10L, ts(0), 1.0), Ev(10L, ts(10), 2.0), Ev(10L, ts(45), 5.0),
+      Ev(20L, ts(0), 7.0))
+    val batch2 = Seq(Ev(10L, ts(14400), 9.0)) // +10 days: watermark jump
+
+    batch1.toDS().write.mode("append").parquet(dir)
+    val streamIn = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+      .parquet(dir).as[Ev]
+    val q = EventStreams.sessionize(streamIn).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_out")
+      .start()
+    q.processAllAvailable()
+    batch2.toDS().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions_out").as[Session].collect()
+      .sortBy(s => (s.user_id, s.session_id))
+
+    // user 10: [0,10] closed by the 35-min gap; [45] closed by event-time
+    // timeout after the watermark jump; the far-future event stays open.
+    // user 20: single event closed by timeout.
+    assert(out.map(s => (s.user_id, s.session_id, s.n_events, s.session_value)).toSeq ==
+      Seq((10L, 1L, 2L, 3.0), (10L, 2L, 1L, 5.0), (20L, 1L, 1L, 7.0)))
+    val s1 = out.head
+    assert(s1.start_ts == ts(0) && s1.end_ts == ts(10))
+  }
+}
