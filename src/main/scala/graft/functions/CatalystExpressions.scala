@@ -130,6 +130,131 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object ShingleImpl {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Word n-gram shingles in one pass: tokenize on `\s+` runs (same
+    * set as Java regex \s over the trimmed string), then emit
+    * space-joined n-grams; short docs yield the whole token string as
+    * one shingle. Byte-compatible with the declarative
+    * trim/split/slice/array_join composition it replaces.
+    */
+  def wordShingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    // tokenize
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len && isWs(s.charAt(i))) i += 1
+    var start = i
+    while (i <= len) {
+      if (i == len || isWs(s.charAt(i))) {
+        if (i > start) toks += s.substring(start, i)
+        while (i < len && isWs(s.charAt(i))) i += 1
+        start = i
+        if (i == len) i += 1
+      } else i += 1
+    }
+    val m = toks.length
+    val out =
+      if (m < n) Array[Any](UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val arr = new Array[Any](m - n + 1)
+        var j = 0
+        val sb = new java.lang.StringBuilder(64)
+        while (j <= m - n) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(toks(j + k))
+            k += 1
+          }
+          arr(j) = UTF8String.fromString(sb.toString)
+          j += 1
+        }
+        arr
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Word n-gram shingling as a native codegen'd expression — the
+  * interpreted transform/sequence/slice/array_join pipeline dominates
+  * dedup preprocessing at corpus scale.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleImpl.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleImpl.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Vector kernels over `array<float>` embeddings. Spark's higher-order
+  * functions (zip_with/aggregate) are interpreted per element — on an
+  * O(pairs) similarity join that dominates runtime. These kernels read
+  * ArrayData directly (no casts, no boxing) and accumulate in double
+  * with the same left-to-right order as the fold they replace, so
+  * results are bit-identical to the oracle's list_dot_product.
+  */
+object VectorExprImpl {
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  def normF(a: ArrayData): Double = math.sqrt(dotF(a, a))
+}
+
+/** Dot product of two array<float> columns in double precision
+  * (codegen'd; null-safe at the array level, assumes non-null
+  * elements — embedding columns are dense).
+  */
+case class DotProductF(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.FloatType, _),
+          ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_f requires ARRAY<FLOAT> inputs, got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "dot_f"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprImpl.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorExprImpl.dotF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API wrappers for the native expressions. */
 object exprs {
   def rolling_hash(c: Column): Column =
@@ -137,4 +262,10 @@ object exprs {
 
   def simhash60(c: Column): Column =
     SparkShims.column(SimHash60(SparkShims.expression(c)))
+
+  def dot_f(a: Column, b: Column): Column =
+    SparkShims.column(DotProductF(SparkShims.expression(a), SparkShims.expression(b)))
+
+  def word_shingles(c: Column, n: Int): Column =
+    SparkShims.column(WordShingles(SparkShims.expression(c), n))
 }

@@ -28,9 +28,16 @@ object TextDedup {
   def bCoef(i: Int): Long = 7L + 11L * i
 
   /** Word n-gram shingles of `text` (short docs fall back to the whole
-    * token string as one shingle).
+    * token string as one shingle). Native codegen'd expression — see
+    * `graft.functions.WordShingles`.
     */
-  def shingles(text: Column, n: Int = 5): Column = {
+  def shingles(text: Column, n: Int = 5): Column =
+    graft.functions.exprs.word_shingles(text, n)
+
+  /** Declarative reference implementation (interpreted higher-order
+    * functions) — kept for cross-checking the native kernel in tests.
+    */
+  def shinglesFold(text: Column, n: Int = 5): Column = {
     val toks = wsTokens(text)
     when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(transform(
@@ -74,16 +81,19 @@ object TextDedup {
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
-    val mhLong = mins.select(col(idCol),
-      explode(array((0 until NumHashes).map(i =>
-        struct(lit(i).as("i"), col(s"mh_$i").as("mv"))): _*)).as("m"))
-      .select(col(idCol), col("m.i"), col("m.mv"))
+    // estimate similarity by comparing whole signatures as arrays (two
+    // joins on doc id) instead of exploding k rows per doc — same
+    // result, k× less shuffled data
+    val sigCols = array((0 until NumHashes).map(i => col(s"mh_$i")): _*)
+    val sigA = mins.select(col(idCol).as("doc_a"), sigCols.as("sig_a"))
+    val sigB = mins.select(col(idCol).as("doc_b"), sigCols.as("sig_b"))
     cand
-      .join(mhLong.as("ma"), col("doc_a") === col(s"ma.$idCol"))
-      .join(mhLong.as("mb"), col("doc_b") === col(s"mb.$idCol") && col("ma.i") === col("mb.i"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(round(sum((col("ma.mv") === col("mb.mv")).cast("int")) / lit(NumHashes.toDouble), 4)
-        .as("est_sim"))
+      .join(sigA, Seq("doc_a"))
+      .join(sigB, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)) /
+            lit(NumHashes.toDouble), 4).as("est_sim"))
   }
 
   /** Exact dedup: keep the lowest-id row per identical content. One

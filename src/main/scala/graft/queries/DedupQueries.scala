@@ -212,11 +212,22 @@ object DedupQueries {
     "d05_embedding_neardup",
     (s, dir) => {
       import s.implicits._
-      val e = Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding")
+      // Precompute each vector's norm ONCE (one linear pass) so the
+      // quadratic pair stage does a single dot product per pair instead
+      // of three. dot/(nrm_a*nrm_b) is arithmetically identical to the
+      // oracle's inline form — same fold, same rounding.
+      // repartition the probe side: the source is one parquet file, and
+      // a broadcast join inherits its (single) partition — the O(pairs)
+      // dot-product stage must run on all cores
+      val e = Tables.embeddings(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"label", $"embedding",
+          l2Norm($"embedding").as("nrm"))
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(cosineSimilarity(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+          round(dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
         .filter($"cos_sim" >= 0.9)
     },
     Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -296,11 +296,17 @@ object RelationalQueries {
     "q13_percentile",
     (s, dir) => {
       import s.implicits._
-      Tables.lineitem(s, dir).agg(
-        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+      val li = Tables.lineitem(s, dir)
+      // distributed order statistics (graft.functions.Quantiles): sorts
+      // scale out where percentile's distinct-value hashmaps don't
+      val Seq(p25, p50, p75) =
+        graft.functions.Quantiles.exact(li, "l_quantity", Seq(0.25, 0.5, 0.75))
+      val Seq(p90) = graft.functions.Quantiles.exact(li, "l_extendedprice", Seq(0.9))
+      Seq((1)).toDF("one").select(
+        round(lit(p25), 4).as("p25"),
+        round(lit(p50), 4).as("p50"),
+        round(lit(p75), 4).as("p75"),
+        round(lit(p90), 4).as("price_p90"))
     },
     Some("""SELECT
         round(quantile_cont(l_quantity, 0.25), 4) AS p25,
@@ -340,12 +346,14 @@ object RelationalQueries {
     (s, dir) => {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
-      val bounds = li.agg(
-        expr("percentile(l_extendedprice, 0.25)").as("q1"),
-        expr("percentile(l_extendedprice, 0.75)").as("q3"))
-      li.crossJoin(broadcast(bounds))
-        .filter($"l_extendedprice" < $"q1" - lit(1.5) * ($"q3" - $"q1") ||
-          $"l_extendedprice" > $"q3" + lit(1.5) * ($"q3" - $"q1"))
+      // two-pass IQR exactly as the reference does it (collect bounds,
+      // inject as literals — 21_EDA.ipynb:2309-2314), with the quantile
+      // pass as a distributed sort; the literal bounds then push down
+      // to the parquet scan of the second pass
+      val Seq(q1, q3) =
+        graft.functions.Quantiles.exact(li, "l_extendedprice", Seq(0.25, 0.75))
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      li.filter($"l_extendedprice" < lo || $"l_extendedprice" > hi)
         .agg(
           count(lit(1)).as("n_outliers"),
           round(min($"l_extendedprice"), 2).as("min_outlier"),

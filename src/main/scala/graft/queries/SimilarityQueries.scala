@@ -35,7 +35,9 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, dir)
       val q = e.filter($"vec_id" < NQ)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-      val sim = e.crossJoin(broadcast(q))
+      // spread the single-file corpus scan across all cores before the
+      // O(corpus × queries) similarity stage
+      val sim = e.repartition(s.sparkContext.defaultParallelism).crossJoin(broadcast(q))
         .filter($"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id",
           round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
@@ -76,9 +78,10 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, dir)
       val cents = e.filter($"vec_id" < NCENTROIDS)
         .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
-      // assign: corpus vector -> nearest centroid (1 broadcast join, no shuffle)
+      // assign: corpus vector -> nearest centroid (broadcast join over a
+      // repartitioned scan so assignment parallelizes)
       val wAssign = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_id".asc)
-      val assigned = e.crossJoin(broadcast(cents))
+      val assigned = e.repartition(s.sparkContext.defaultParallelism).crossJoin(broadcast(cents))
         .select($"vec_id", $"embedding", $"label", $"c_id",
           round(cosineSimilarity($"embedding", $"c_emb"), 6).as("c_sim"))
         .withColumn("arn", row_number().over(wAssign))

@@ -101,10 +101,14 @@ object TextQueries {
     "t04_langid",
     (s, dir) => {
       import s.implicits._
-      val toks = wsTokens($"text")
+      // tokenize once into a projected column; the four marker scores
+      // read it instead of re-splitting the text per language
+      val toks = $"toks"
       val scoreCols = Seq($"doc_id", $"lang") ++
         langMarkers.map { case (l, vocab) => tokensInSet(toks, vocab).as(s"s_$l") }
-      val scored = Tables.documents(s, dir).select(scoreCols: _*)
+      val scored = Tables.documents(s, dir)
+        .withColumn("toks", wsTokens($"text"))
+        .select(scoreCols: _*)
       val m = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
       val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
         when(col(s"s_$l") === m && m > 0, l).otherwise(acc)

@@ -59,6 +59,35 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(r.getInt(0) <= 12)
   }
 
+  test("DotProductF native kernel == higher-order fold on real embeddings") {
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+    val q = Tables.embeddings(spark, sfDir).filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"))
+    val mism = e.crossJoin(q)
+      .select(
+        VectorFunctions.dot($"embedding", $"q_emb").as("native"),
+        VectorFunctions.dotFold($"embedding", $"q_emb").as("fold"))
+      .filter($"native" =!= $"fold")
+      .count()
+    assert(mism == 0)
+  }
+
+  test("WordShingles native kernel == declarative fold on real documents") {
+    val docs = Tables.documents(spark, sfDir)
+    val mism = docs.select(
+      graft.operators.TextDedup.shingles($"text").as("native"),
+      graft.operators.TextDedup.shinglesFold($"text").as("fold"))
+      .filter(not($"native" <=> $"fold"))
+      .count()
+    assert(mism == 0)
+    // edge cases: short doc, extra whitespace
+    val edge = Seq("a b", "  x   y z  ", "one two three four five six").toDF("text")
+    val rows = edge.select(
+      graft.operators.TextDedup.shingles($"text").as("native"),
+      graft.operators.TextDedup.shinglesFold($"text").as("fold")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("token hash matches the engine-portable md5-prefix definition") {
     // DuckDB: CAST('0x'||substr(md5('abc'),1,15) AS BIGINT) = 648541476951500027
     val h = TextExprImpl.tokenHash60(
