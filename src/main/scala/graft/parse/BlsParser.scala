@@ -27,13 +27,17 @@ object BlsParser {
   /** Parse from a raw single-column text DataFrame (`value` string). */
   def parse(raw: DataFrame): DataFrame = {
     val toks = split(trim(col("value")), "\\s+")
+    // `get` (not getItem): under Spark 4 ANSI mode getItem throws
+    // INVALID_ARRAY_INDEX on lines with <4 tokens; the reference's
+    // non-ANSI PySpark yielded null and the not-null gate dropped the
+    // row — get() preserves that observable behavior.
     raw
       .where(length(trim(col("value"))) > 0)
       .select(
-        toks.getItem(0).as("series_id"),
-        toks.getItem(1).try_cast(IntegerType).as("year"),
-        toks.getItem(2).as("period"),
-        toks.getItem(3).try_cast(DoubleType).as("value"))
+        get(toks, lit(0)).as("series_id"),
+        get(toks, lit(1)).try_cast(IntegerType).as("year"),
+        get(toks, lit(2)).as("period"),
+        get(toks, lit(3)).try_cast(DoubleType).as("value"))
       .where(
         col("series_id").isNotNull && col("year").isNotNull &&
           col("period").isNotNull && col("value").isNotNull)

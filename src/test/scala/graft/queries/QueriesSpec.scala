@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Fast regression over the whole registry at sf0.001: every query
+  * runs, has its declared schema shape, and a few known invariants
+  * hold. The DuckDB hash-compare at sf0.01 is the authoritative gate
+  * (tools/check.py); this spec catches breakage inside `sbt test`.
+  */
+class QueriesSpec extends SparkSpec {
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} runs and returns a well-formed result") {
+      val df = q.run(spark, sfDir)
+      val n = df.count()
+      assert(n >= 0)
+      assert(df.columns.nonEmpty)
+      assert(df.columns.forall(_.nonEmpty))
+    }
+  }
+
+  test("every query name is unique and every oracle key has a query") {
+    assert(Registry.all.map(_.name).distinct.size == Registry.all.size)
+    assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
+  }
+
+  test("headline set is non-empty and scale-safe members only") {
+    assert(Registry.headline.nonEmpty)
+    assert(Registry.headline.map(_.name).contains("q01_pricing_summary"))
+  }
+
+  test("q05 window top-1: one row per supplier, revenue is that supplier's max") {
+    val df = Registry.byName("q05_window_top1").run(spark, sfDir)
+    assert(df.count() == df.select("l_suppkey").distinct().count())
+  }
+
+  test("q12 topk returns exactly 10 rows in strict descending price order") {
+    val rows = Registry.byName("q12_topk").run(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("s01 brute-force ANN: k neighbors per query, ranks contiguous, no self-match") {
+    val rows = Registry.byName("s01_ann_bruteforce").run(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 10))
+      assert(!rs.exists(_.getLong(2) == qid))
+    }
+  }
+
+  test("s02 IVF ANN recall vs s01 exact is reasonable on this corpus") {
+    val exact = Registry.byName("s01_ann_bruteforce").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Registry.byName("s02_ann_ivf").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall collapsed — quantization broken")
+  }
+
+  test("d01 exact dedup: keep_id is the minimum doc_id of its group") {
+    val df = Registry.byName("d01_exact_dedup").run(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    assert(df.agg(sum((col("keep_id") < 0).cast("int"))).head().getLong(0) == 0)
+    assert(df.agg(min(col("n_copies"))).head().getLong(0) >= 1)
+  }
+}
