@@ -156,5 +156,30 @@ object TextQueries {
       FROM documents"""),
     headline = true)
 
-  val all: Seq[Q] = Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint)
+  /** The reference's parse-shape semantics (X1–X5/F2: split on \s+,
+    * positional token extraction, null-on-failure try_cast, not-null
+    * gate — 20_analytics.ipynb:335-359) as an oracle-checked query
+    * over `documents`.
+    */
+  val t06ParseShapes = Q(
+    "t06_parse_shapes",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(
+          $"doc_id",
+          element_at(split(trim($"text"), "\\s+"), 1).as("first_token"),
+          expr("try_cast(substr(source, 4) as int)").as("src_num"),
+          expr("try_cast(lang as int)").as("lang_as_int"))
+        .where($"src_num".isNotNull)
+    },
+    Some("""SELECT doc_id,
+        list_extract(string_split_regex(trim(text), '\s+'), 1) AS first_token,
+        TRY_CAST(substr(source, 4) AS INT) AS src_num,
+        TRY_CAST(lang AS INT) AS lang_as_int
+      FROM documents
+      WHERE TRY_CAST(substr(source, 4) AS INT) IS NOT NULL"""))
+
+  val all: Seq[Q] =
+    Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint, t06ParseShapes)
 }
