@@ -204,6 +204,50 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Membership-count kernel: how many tokens of an array are in a fixed
+  * vocabulary. The declarative `size(filter(toks, _.isin(...)))` runs
+  * interpreted per token; this kernel is a codegen'd static call with a
+  * shared HashSet.
+  */
+case class TokensInSet(child: Expression, vocab: Seq[String]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tokens_in_set requires ARRAY<STRING> input, got ${other.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "tokens_in_set"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](vocab.size * 2)
+    vocab.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  def countIn(arr: ArrayData): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    countIn(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokensInSetExpr", this, classOf[TokensInSet].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countIn($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokensInSet =
+    copy(child = newChild)
+}
+
 /** Vector kernels over `array<float>` embeddings. Spark's higher-order
   * functions (zip_with/aggregate) are interpreted per element — on an
   * O(pairs) similarity join that dominates runtime. These kernels read
@@ -268,4 +312,7 @@ object exprs {
 
   def word_shingles(c: Column, n: Int): Column =
     SparkShims.column(WordShingles(SparkShims.expression(c), n))
+
+  def tokens_in_set(c: Column, vocab: Seq[String]): Column =
+    SparkShims.column(TokensInSet(SparkShims.expression(c), vocab))
 }

@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions.col
 object Quantiles {
 
   def exact(df: DataFrame, column: String, ps: Seq[Double]): Seq[Double] = {
-    val rdd = df.select(col(column).cast("double").as("v"))
-      .na.drop()
+    val vals = df.select(col(column).cast("double").as("v")).na.drop()
+    // count via the column-pruned DataFrame scan (parquet stats help);
+    // avoids a third full pass over the sorted RDD
+    val n = vals.count()
+    val rdd = vals
       .rdd.map(_.getDouble(0))
       .sortBy(identity)
       .zipWithIndex()
-    val n = rdd.count()
     require(n > 0, s"exact quantiles of empty column $column")
     val targets: Set[Long] = ps.flatMap { p =>
       val pos = (n - 1) * p

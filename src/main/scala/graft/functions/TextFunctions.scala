@@ -34,8 +34,14 @@ object TextFunctions {
   def arraySumInt(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x.cast("long"))
 
-  /** Count of tokens belonging to a fixed vocabulary. */
+  /** Count of tokens belonging to a fixed vocabulary (native codegen'd
+    * kernel — see `graft.functions.TokensInSet`).
+    */
   def tokensInSet(tokens: Column, vocab: Seq[String]): Column =
+    exprs.tokens_in_set(tokens, vocab)
+
+  /** Declarative reference form, kept for cross-checking the kernel. */
+  def tokensInSetFold(tokens: Column, vocab: Seq[String]): Column =
     size(filter(tokens, t => t.isin(vocab.map(v => v: Any): _*)))
 
   /** Polynomial rolling hash (Rabin–Karp) of a string:

@@ -105,6 +105,16 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same key within
+    * the watermark horizon. State is bounded by the watermark (keys
+    * older than it are evicted) — the streaming counterpart of d01 for
+    * continuously-ingested corpora.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Convenience: run a streaming query over a parquet directory into
     * an in-memory table and block until all available data is
     * processed (local smoke harness for the streaming paths).

@@ -88,6 +88,18 @@ class CatalystExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
   }
 
+  test("TokensInSet native kernel == declarative filter on real documents") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = TextFunctions.wsTokens($"text")
+    val vocab = TextFunctions.stopwords
+    val mism = docs.select(
+      TextFunctions.tokensInSet(toks, vocab).as("native"),
+      TextFunctions.tokensInSetFold(toks, vocab).as("fold"))
+      .filter($"native" =!= $"fold")
+      .count()
+    assert(mism == 0)
+  }
+
   test("token hash matches the engine-portable md5-prefix definition") {
     // DuckDB: CAST('0x'||substr(md5('abc'),1,15) AS BIGINT) = 648541476951500027
     val h = TextExprImpl.tokenHash60(

@@ -43,6 +43,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0, "batch rows missing from streaming result")
   }
 
+  test("streaming dedup drops re-delivered keys within the watermark") {
+    val t0 = Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    def ts(min: Long): Timestamp = new Timestamp(t0 + min * 60000L)
+    val dir = Files.createTempDirectory("graft-dedup-in").toString
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    Seq((1L, ts(0)), (2L, ts(1)), (1L, ts(2)))
+      .toDF("event_id", "ts").write.mode("append").parquet(dir)
+    val q = EventStreams.streamingDedup(
+      spark.readStream.schema(schema).parquet(dir), Seq("event_id"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    // second batch: one re-delivery of key 2, one new key
+    Seq((2L, ts(5)), (3L, ts(6))).toDF("event_id", "ts")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes sessions, timeout closes idle ones") {
     val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ts(min: Long): Timestamp = new Timestamp(t0 + min * 60000L)
