@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Coverage beyond the reference's own surface: as-of join, grouping
+  * sets, pivot, and set operations — the remaining standard analytic
+  * operators a user would expect from a complete engine.
+  */
+object ExtendedQueries {
+
+  /** As-of join — an operator Spark lacks natively, composed from
+    * existing ops (prompt preference (a)): for every `error` event,
+    * the most recent `click` of the same user at or before it.
+    * Implementation: union both event kinds, one window per user
+    * ordered by time (clicks sort before errors on ties — inclusive
+    * `>=` as-of semantics), carry the last non-null click timestamp
+    * forward. ONE shuffle on user_id, no range-join explosion —
+    * unlike an inequality join, cost is O(events log events) and
+    * partitions by user at any scale. The DuckDB oracle uses its
+    * native ASOF LEFT JOIN.
+    */
+  val q20AsofJoin = Q(
+    "q20_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("error", "click"))
+        .select($"event_id", $"user_id", $"ts", $"event_type",
+          when($"event_type" === "click", $"ts").as("click_marker"),
+          ($"event_type" === "click").cast("int").as("is_click"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"is_click".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_ts", last($"click_marker", ignoreNulls = true).over(w))
+        .filter($"event_type" === "error")
+        .select(
+          $"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+          date_format($"last_click_ts", "yyyy-MM-dd HH:mm:ss").as("last_click_ts"))
+    },
+    Some("""SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+      FROM events e
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts >= c.ts
+      WHERE e.event_type = 'error'"""),
+    headline = true)
+
+  /** ROLLUP grouping sets: subtotals + grand total in one pass
+    * (partial aggregation expands grouping ids map-side).
+    */
+  val q21Rollup = Q(
+    "q21_rollup",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""))
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: long→wide per-user event-type value sums. Explicit value
+    * list keeps the schema static (no extra distinct pass, stable
+    * columns at any scale). The oracle spells the same thing as CASE
+    * aggregates.
+    */
+  val q22Pivot = Q(
+    "q22_pivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", EventTypes)
+        .agg(round(coalesce(sum($"value"), lit(0.0)), 2))
+    },
+    Some {
+      val cases = EventTypes.map(t =>
+        s"round(coalesce(sum(CASE WHEN event_type = '$t' THEN value END), 0.0), 2) AS \"$t\"")
+        .mkString(",\n        ")
+      s"""SELECT user_id,
+        $cases
+      FROM events GROUP BY user_id"""
+    })
+
+  /** Set operations (absent from the reference, §2.10): UNION /
+    * INTERSECT / EXCEPT distinct semantics.
+    */
+  val q23SetOps = Q(
+    "q23_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      val richCustomers = Tables.customer(s, dir)
+        .filter($"c_acctbal" > 5000).select($"c_custkey".as("k"))
+      val bigSpenders = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 300000).select($"o_custkey".as("k"))
+      val building = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("k"))
+      richCustomers.union(bigSpenders).distinct()
+        .intersect(Tables.customer(s, dir).select($"c_custkey".as("k")))
+        .except(building)
+    },
+    Some("""WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+        big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000),
+        bld AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        allc AS (SELECT c_custkey AS k FROM customer)
+      SELECT k FROM (
+        (SELECT k FROM rich UNION SELECT k FROM big)
+        INTERSECT SELECT k FROM allc)
+      EXCEPT SELECT k FROM bld"""))
+
+  val all: Seq[Q] = Seq(q20AsofJoin, q21Rollup, q22Pivot, q23SetOps)
+}

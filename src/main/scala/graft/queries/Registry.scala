@@ -23,7 +23,7 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ ExtendedQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
