@@ -116,5 +116,26 @@ object ExtendedQueries {
         INTERSECT SELECT k FROM allc)
       EXCEPT SELECT k FROM bld"""))
 
-  val all: Seq[Q] = Seq(q20AsofJoin, q21Rollup, q22Pivot, q23SetOps)
+  /** Sketch aggregates: HLL++ approximate distinct (per group and via
+    * mergeable DataSketches HLL). Not DuckDB-oracle-able (different
+    * sketch implementations by construction) → rows-only driver check;
+    * accuracy is asserted against exact counts in QueriesSpec. At
+    * 100 TB the mergeable sketch is the only way to count distincts
+    * without an expand + two-phase exact aggregation.
+    */
+  val q24Sketches = Q(
+    "q24_sketches",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("hll_orders"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          countDistinct($"l_orderkey").as("exact_orders"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q20AsofJoin, q21Rollup, q22Pivot, q23SetOps, q24Sketches)
 }

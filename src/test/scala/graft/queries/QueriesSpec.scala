@@ -60,6 +60,19 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall collapsed — quantization broken")
   }
 
+  test("q24 sketches: approximate distincts within 5% of exact") {
+    Registry.byName("q24_sketches").run(spark, sfDir).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val hll = r.getLong(2).toDouble
+      val exactParts = r.getLong(3).toDouble
+      val exactOrders = r.getLong(4).toDouble
+      assert(math.abs(approx - exactParts) / exactParts <= 0.05,
+        s"approx_count_distinct off: $approx vs $exactParts")
+      assert(math.abs(hll - exactOrders) / exactOrders <= 0.05,
+        s"hll_sketch off: $hll vs $exactOrders")
+    }
+  }
+
   test("d01 exact dedup: keep_id is the minimum doc_id of its group") {
     val df = Registry.byName("d01_exact_dedup").run(spark, sfDir)
     import org.apache.spark.sql.functions._
