@@ -12,8 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens. */
-  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens: non-empty `\s+`-separated tokens. The
+    * empty-token filter makes the definition whitespace-kind-proof
+    * (leading tabs/newlines would otherwise yield a "" token, because
+    * trim() strips only spaces) and matches both the native
+    * `WordShingles` kernel and the DuckDB oracle form
+    * `list_filter(string_split_regex(text,'\s+'), t -> t <> '')`.
+    */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** DuckDB rendering of the same tokenization (for oracle SQL). */
+  val wsTokensSql: String =
+    """list_filter(string_split_regex(text, '\s+'), t -> t <> '')"""
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(wsTokens(text))
@@ -46,9 +57,11 @@ object TextFunctions {
 
   /** Polynomial rolling hash (Rabin–Karp) of a string:
     * h = fold(chars, 0, (acc, c) => (acc * 31 + ascii(c)) mod 1e9+7).
-    * Used as the document fingerprint. Implemented as a left fold over
-    * the character array with built-in higher-order functions; the
-    * DuckDB oracle computes the identical fold via list_reduce.
+    * Declarative reference form, ASCII-only: Spark's `ascii()` returns
+    * the first UTF-8 *byte* for non-ASCII characters, whereas the
+    * native `RollingHash` kernel (and DuckDB's ascii()) use the code
+    * point — production code and t05 use the kernel, which is the
+    * one matching the oracle on any input.
     */
   def rollingHash(text: Column): Column =
     aggregate(

@@ -19,9 +19,12 @@ object VectorFunctions {
   /** Euclidean norm. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision. try_divide: a zero-norm
+    * vector yields NULL (matching the oracle engine's x/0) rather than
+    * an IEEE NaN.
+    */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    try_divide(dot(a, b), l2Norm(a) * l2Norm(b))
 
   /** Reference implementation via built-in higher-order functions —
     * kept for cross-checking the native kernel in tests.

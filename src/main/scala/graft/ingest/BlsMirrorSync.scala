@@ -103,9 +103,17 @@ object BlsMirrorSync {
       val remoteFiles = discoverRemoteFiles(listing)
       remoteCount = Some(remoteFiles.size)
 
+      val base =
+        if (config.dataSource.endsWith("/")) config.dataSource
+        else config.dataSource + "/"
       remoteFiles.foreach { fileName =>
-        val url = config.dataSource + fileName
+        val url = base + fileName
         val dst = s"${config.targetDir}/$fileName"
+        // listed upstream → never a delete candidate, even if this
+        // fetch fails (a transient 5xx must not destroy the local
+        // mirror copy; deviation from the reference, which discards
+        // only on success — 10_ingest_bls.ipynb:303)
+        deleteCandidates -= fileName
         fetcher.get(url) match {
           case Success(remoteBytes) =>
             val remoteHash = Hashing.sha256(remoteBytes)
@@ -118,7 +126,6 @@ object BlsMirrorSync {
             } else {
               skipped += 1
             }
-            deleteCandidates -= fileName
           case Failure(e) =>
             errors :+= FileError(Some(fileName), Some(url), e.toString)
         }

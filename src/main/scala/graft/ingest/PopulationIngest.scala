@@ -57,6 +57,9 @@ object PopulationIngest {
     var rows: Option[Int] = None
     var error: Option[String] = None
 
+    def meta(): PopulationRunMeta =
+      PopulationRunMeta(runUtc, config.url, config.params, mode, rows, error)
+
     try {
       fetcher.getText(queryUrl(config)) match {
         case Success(payload) =>
@@ -74,16 +77,9 @@ object PopulationIngest {
           }
       }
     } finally {
-      val meta = PopulationRunMeta(
-        run_utc = runUtc,
-        url = config.url,
-        params = config.params,
-        mode = mode,
-        rows = rows,
-        error = error)
-      store.write(config.metaPath, Json.write(meta).getBytes(StandardCharsets.UTF_8), overwrite = true)
+      store.write(config.metaPath, Json.write(meta()).getBytes(StandardCharsets.UTF_8), overwrite = true)
     }
 
-    PopulationRunMeta(runUtc, config.url, config.params, mode, rows, error)
+    meta()
   }
 }

@@ -34,11 +34,11 @@ object DedupQueries {
 
   /** DuckDB rendering of the same shingling. */
   def shinglesSql(n: Int = N): String =
-    s"""CASE WHEN len(string_split_regex(trim(text), '\\s+')) < $n
-        THEN [array_to_string(string_split_regex(trim(text), '\\s+'), ' ')]
+    s"""CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) < $n
+        THEN [array_to_string(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), ' ')]
         ELSE list_transform(
-          range(1, len(string_split_regex(trim(text), '\\s+')) - ${n - 1} + 1),
-          i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+${n - 1}], ' '))
+          range(1, len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) - ${n - 1} + 1),
+          i -> array_to_string(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')[i:i+${n - 1}], ' '))
         END"""
 
   /** (doc_id, shingle) distinct pairs. */
@@ -56,14 +56,15 @@ object DedupQueries {
     "d01_exact_dedup",
     (s, dir) => {
       import s.implicits._
+      // group by the 16-byte content hash, not the document body — at
+      // corpus scale the shuffle carries hashes, not documents
       Tables.documents(s, dir)
-        .groupBy($"text")
+        .groupBy(md5($"text").as("text_hash"))
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(md5($"text").as("text_hash"), $"keep_id", $"n_copies")
     },
     Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         count(*) AS n_copies
-      FROM documents GROUP BY text"""),
+      FROM documents GROUP BY md5(text)"""),
     headline = true)
 
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index.
@@ -177,7 +178,7 @@ object DedupQueries {
         .filter($"hamming" <= 8)
     },
     Some(s"""WITH toks AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS t
         FROM documents),
       th AS (
         SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
@@ -226,8 +227,8 @@ object DedupQueries {
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(dot(col("a.embedding"), col("b.embedding")) /
-            (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
+          round(try_divide(dot(col("a.embedding"), col("b.embedding")),
+            col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
         .filter($"cos_sim" >= 0.9)
     },
     Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -76,10 +76,15 @@ object ExtendedQueries {
     "q22_pivot",
     (s, dir) => {
       import s.implicits._
-      Tables.events(s, dir)
+      val pivoted = Tables.events(s, dir)
         .groupBy($"user_id")
         .pivot("event_type", EventTypes)
-        .agg(round(coalesce(sum($"value"), lit(0.0)), 2))
+        .agg(round(sum($"value"), 2))
+      // coalesce AFTER the pivot: PivotFirst fills absent (user, type)
+      // cells with NULL regardless of any coalesce inside the
+      // aggregate; the oracle's CASE form yields 0.0 for those cells
+      pivoted.select(
+        ($"user_id" +: EventTypes.map(t => coalesce(col(t), lit(0.0)).as(t))): _*)
     },
     Some {
       val cases = EventTypes.map(t =>

@@ -46,7 +46,7 @@ object TextQueries {
         length($"text").as("n_chars_seen"))
     },
     Some(s"""SELECT doc_id,
-        len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
         len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
         length(text) AS n_chars_seen
       FROM documents"""),
@@ -64,29 +64,32 @@ object TextQueries {
       val nToks = size(toks).cast("double")
       val stopHits = tokensInSet(toks, stopwords).cast("double")
       val punct = length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("double")
+      // try_divide: degenerate inputs (empty text / zero tokens) yield
+      // NULL exactly like the DuckDB oracle's x/0, instead of ANSI
+      // errors or IEEE infinities
       Tables.documents(s, dir).select(
         $"doc_id",
         size(toks).as("n_tokens"),
-        round(length($"text").cast("double") / nToks, 4).as("mean_token_span"),
-        round(stopHits / nToks, 4).as("stopword_ratio"),
-        round(punct / length($"text"), 4).as("punct_ratio"),
+        round(try_divide(length($"text").cast("double"), nToks), 4).as("mean_token_span"),
+        round(try_divide(stopHits, nToks), 4).as("stopword_ratio"),
+        round(try_divide(punct, length($"text")), 4).as("punct_ratio"),
         round(
           when(nToks < 5, 0.0).otherwise(
             lit(1.0) - abs(stopHits / nToks - lit(0.4)) - punct / length($"text")),
           4).as("quality_score"))
     },
     Some(s"""SELECT doc_id,
-        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-        round(length(text) / len(string_split_regex(trim(text), '\\s+')), 4) AS mean_token_span,
-        round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens,
+        round(length(text) / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 4) AS mean_token_span,
+        round(len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
               t -> t IN ('the','a','an','of','and','to','is','in','it','that')))
-          / len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio,
+          / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 4) AS stopword_ratio,
         round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
-        round(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 5 THEN 0.0
+        round(CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) < 5 THEN 0.0
           ELSE 1.0
-            - abs(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            - abs(len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
                 t -> t IN ('the','a','an','of','and','to','is','in','it','that')))
-              * 1.0 / len(string_split_regex(trim(text), '\\s+')) - 0.4)
+              * 1.0 / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) - 0.4)
             - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)
           END, 4) AS quality_score
       FROM documents"""))
@@ -120,7 +123,7 @@ object TextQueries {
     },
     Some {
       val score = (vocab: Seq[String]) =>
-        s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN (${vocab.map(w => s"'$w'").mkString(",")})))"
+        s"len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> t IN (${vocab.map(w => s"'$w'").mkString(",")})))"
       val scores = langMarkers.map { case (l, v) => s"${score(v)} AS s_$l" }.mkString(",\n        ")
       val m = s"greatest(${langMarkers.map { case (l, _) => s"s_$l" }.mkString(",")})"
       val pred = langMarkers.reverse.foldLeft("'und'") { case (acc, (l, _)) =>

@@ -53,6 +53,12 @@ object EventStreams {
     * and emits it; event-time timeout closes idle sessions once the
     * watermark passes. State is one small record per active user —
     * O(active users), not O(events).
+    *
+    * Identity note: `session_id` is an ordinal that restarts after a
+    * timeout evicts the user's state (keeping a counter for every
+    * ever-seen user would make state O(all users)); the globally
+    * unique session key is (user_id, start_ts), which is always
+    * emitted.
     */
   def sessionize(
       events: Dataset[Ev],
@@ -77,9 +83,12 @@ object EventStreams {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.last_ms <= gapMs =>
+              // out-of-order (in-watermark) events may precede the
+              // recorded start — track the true session extent
               cur = Some(s.copy(
                 n_events = s.n_events + 1,
                 sum_value = s.sum_value + e.value,
+                start_ms = math.min(s.start_ms, t),
                 last_ms = math.max(s.last_ms, t)))
             case Some(s) =>
               closed ::= Session(userId, s.session_id, s.n_events, s.sum_value,

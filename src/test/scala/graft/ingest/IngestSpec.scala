@@ -96,6 +96,27 @@ class IngestSpec extends AnyFunSuite {
     assert(m.errors.head.file.contains("pr.series"))
   }
 
+  test("a transient fetch failure must NOT delete the local copy of an upstream file") {
+    val dir = tmpDir()
+    val cfg = BlsSyncConfig(source, dir) // delete enabled
+    BlsMirrorSync.run(fetcherWith(defaultFiles), LocalFileStore, cfg)
+    assert(LocalFileStore.exists(s"$dir/pr.series"))
+    // next run: pr.series is still listed upstream but its GET fails
+    val m = BlsMirrorSync.run(fetcherWith(defaultFiles - "pr.series"), LocalFileStore, cfg)
+    assert(m.errors.size == 1 && m.deleted == 0)
+    assert(LocalFileStore.exists(s"$dir/pr.series"),
+      "mirror-delete destroyed a file that is still upstream")
+  }
+
+  test("source URL without a trailing slash still fetches correct file URLs") {
+    val dir = tmpDir()
+    val noSlash = source.dropRight(1)
+    val f = new FakeFetcher(Map(noSlash -> Success(listing)) ++
+      defaultFiles.map { case (n, b) => (source + n) -> Success(b) })
+    val m = BlsMirrorSync.run(f, LocalFileStore, BlsSyncConfig(noSlash, dir))
+    assert(m.uploaded == 3 && m.errors.isEmpty, m.errors.toString)
+  }
+
   test("listing failure -> failed status, meta still written (finally)") {
     val dir = tmpDir()
     val cfg = BlsSyncConfig(source, dir)

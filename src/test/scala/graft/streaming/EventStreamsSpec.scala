@@ -43,6 +43,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0, "batch rows missing from streaming result")
   }
 
+  test("sessionize tracks the true session start for out-of-order in-watermark events") {
+    val t0 = Timestamp.valueOf("2024-04-01 12:00:00").getTime
+    def ts(min: Long): Timestamp = new Timestamp(t0 + min * 60000L)
+    val dir = Files.createTempDirectory("graft-ooo-in").toString
+
+    Seq(Ev(30L, ts(0), 1.0)).toDS().write.mode("append").parquet(dir)
+    val streamIn = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+      .parquet(dir).as[Ev]
+    val q = EventStreams.sessionize(streamIn).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("ooo_sessions").start()
+    q.processAllAvailable()
+    // batch 2: an EARLIER event (within watermark) merges into the open
+    // session; a far-future event then times it out
+    Seq(Ev(30L, ts(-10), 2.0)).toDS().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    Seq(Ev(30L, ts(14400), 0.0)).toDS().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val s = spark.table("ooo_sessions").as[Session].collect()
+      .find(_.session_id == 1L).get
+    assert(s.n_events == 2 && s.session_value == 3.0)
+    assert(s.start_ts == ts(-10), s"start must move back to the earliest event, got ${s.start_ts}")
+    assert(s.end_ts == ts(0))
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     val t0 = Timestamp.valueOf("2024-05-01 00:00:00").getTime
     def ts(min: Long): Timestamp = new Timestamp(t0 + min * 60000L)
