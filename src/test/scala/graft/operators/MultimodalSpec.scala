@@ -40,6 +40,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_bytes.length <= 32))
   }
 
+  test("featurized media composes with the similarity layer (ANN over extracted embeddings)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val feats = decodeAndFeaturize(media).toDF()
+    val q = feats.filter($"media_id" === 0L)
+      .select($"embedding".as("q_emb"))
+    val top = feats.crossJoin(broadcast(q))
+      .filter($"media_id" =!= 0L)
+      .select($"media_id",
+        round(VectorFunctions.cosineSimilarity($"embedding", $"q_emb"), 6).as("cos"))
+      .orderBy($"cos".desc, $"media_id".asc)
+      .limit(5)
+      .collect()
+    assert(top.length == 5)
+    assert(top.forall(r => r.getDouble(1) <= 1.0 && r.getDouble(1) >= -1.0))
+  }
+
   test("binary columns round-trip through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)
