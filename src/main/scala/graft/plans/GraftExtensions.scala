@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => NativeKernelRule)
+    ext.injectOptimizerRule(_ => RankLimitRule)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 
@@ -52,6 +54,9 @@ object GraftExtensions {
     }
     if (!spark.experimental.extraOptimizations.contains(NativeKernelRule))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ NativeKernelRule
+        spark.experimental.extraOptimizations ++ Seq(NativeKernelRule, RankLimitRule)
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
   }
 }
