@@ -21,6 +21,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
 
     val qs =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) Registry.all
