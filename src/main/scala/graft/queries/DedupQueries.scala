@@ -41,14 +41,6 @@ object DedupQueries {
           i -> array_to_string(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')[i:i+${n - 1}], ' '))
         END"""
 
-  /** (doc_id, shingle) distinct pairs. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id", explode(shingles($"text")).as("sh"))
-      .distinct()
-  }
-
   /** A10 generalized (dropDuplicates → content-hash dedup): exact
     * duplicate groups by full text. md5 on both sides.
     */
@@ -68,18 +60,26 @@ object DedupQueries {
     headline = true)
 
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index.
-    * |A∩B| from the self-join, |A∪B| = |A|+|B|−|A∩B|. Skew note: a hot
-    * shingle fans out quadratically — at scale d03 replaces this; kept
-    * exact here as the oracle-checkable baseline.
+    * |A∩B| from the self-join, |A∪B| = |A|+|B|−|A∩B|. Shingles are
+    * reduced to 60-bit md5-prefix hashes before the shuffle/self-join
+    * (8-byte keys instead of ~30-byte strings; collision odds at 2^60
+    * are negligible and in any case identical across engines, since
+    * the oracle applies the same hash). Skew note: a hot shingle fans
+    * out quadratically — at scale d03 replaces this; kept exact here
+    * as the oracle-checkable baseline.
     */
   val d02NgramJaccard = Q(
     "d02_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
-      val sh = docShingles(s, dir)
+      val sh = Tables.documents(s, dir)
+        .select($"doc_id", explode(shingles($"text")).as("sh"))
+        .select($"doc_id",
+          conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       inter
@@ -90,12 +90,13 @@ object DedupQueries {
         .filter($"jaccard" >= 0.5)
     },
     Some(s"""WITH sh AS (
-        SELECT DISTINCT doc_id, sh FROM (
-          SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT doc_a, doc_b,
         round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard

@@ -298,10 +298,14 @@ object RelationalQueries {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
       // distributed order statistics (graft.functions.Quantiles): sorts
-      // scale out where percentile's distinct-value hashmaps don't
-      val Seq(p25, p50, p75) =
-        graft.functions.Quantiles.exact(li, "l_quantity", Seq(0.25, 0.5, 0.75))
-      val Seq(p90) = graft.functions.Quantiles.exact(li, "l_extendedprice", Seq(0.9))
+      // scale out where percentile's distinct-value hashmaps don't; the
+      // two independent column passes run as concurrent Spark jobs
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.{Await, Future}
+      val fQty = Future(graft.functions.Quantiles.exact(li, "l_quantity", Seq(0.25, 0.5, 0.75)))
+      val fPrice = Future(graft.functions.Quantiles.exact(li, "l_extendedprice", Seq(0.9)))
+      val Seq(p25, p50, p75) = Await.result(fQty, scala.concurrent.duration.Duration.Inf)
+      val Seq(p90) = Await.result(fPrice, scala.concurrent.duration.Duration.Inf)
       Seq((1)).toDF("one").select(
         round(lit(p25), 4).as("p25"),
         round(lit(p50), 4).as("p50"),
