@@ -22,19 +22,28 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy nanosAsLong) and convert to a microsecond TimestampType —
-    * the engine-wide timestamp resolution.
+  /** `events.ts` may be nanosecond-precision parquet, which Spark's
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Probe the footer with the
+    * legacy flag OFF: if the read resolves, the column is an ordinary
+    * timestamp and is returned untouched; only on the NANOS rejection
+    * do we re-read as raw nanos (nanosAsLong) and convert to the
+    * engine-wide microsecond TimestampType. A plain BIGINT ts column is
+    * deliberately left as a long (ambiguous unit — callers must decide)
+    * rather than silently divided by 1000.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(spark, sfDir, "events")
-    df.schema("ts").dataType match {
-      // NANOS parquet read as raw long under nanosAsLong → µs timestamp
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => df // already a (µs) timestamp
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    try {
+      spark.conf.set(flag, "false")
+      val df = apply(spark, sfDir, "events")
+      df.schema // forces footer schema conversion; throws on NANOS
+      df
+    } catch {
+      case e: Throwable if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") ||
+          String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
+        spark.conf.set(flag, "true")
+        apply(spark, sfDir, "events")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")

@@ -106,6 +106,30 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The engine-portable 60-bit md5-prefix hash as a standalone
+  * expression (string → long): the single definition shared by SimHash
+  * votes and the Jaccard shingle hash, with the DuckDB oracle form
+  * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`.
+  */
+case class TokenHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_hash60 requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_hash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextExprImpl.tokenHash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprImpl.tokenHash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash60 =
+    copy(child = newChild)
+}
+
 /** 60-bit SimHash of a token array as a native Catalyst expression:
   * array<string> → long, codegen'd. 60 bits (15 md5 hex chars) keep
   * the hash inside a signed 64-bit long on every engine.
@@ -315,4 +339,7 @@ object exprs {
 
   def tokens_in_set(c: Column, vocab: Seq[String]): Column =
     SparkShims.column(TokensInSet(SparkShims.expression(c), vocab))
+
+  def token_hash60(c: Column): Column =
+    SparkShims.column(TokenHash60(SparkShims.expression(c)))
 }

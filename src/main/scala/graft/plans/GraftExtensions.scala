@@ -37,6 +37,7 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash" -> (es => RollingHash(es.head)),
     "simhash60" -> (es => SimHash60(es.head)),
+    "token_hash60" -> (es => TokenHash60(es.head)),
     "dot_f" -> (es => DotProductF(es(0), es(1))),
     "word_shingles" -> (es => WordShingles(es.head, es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
@@ -52,9 +53,11 @@ object GraftExtensions {
     functions.foreach { case (name, builder) =>
       org.apache.spark.sql.graftshim.SparkShims.registerFunction(spark, name, builder)
     }
-    if (!spark.experimental.extraOptimizations.contains(NativeKernelRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations ++ Seq(NativeKernelRule, RankLimitRule)
+    Seq(NativeKernelRule, RankLimitRule).foreach { rule =>
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+    }
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy

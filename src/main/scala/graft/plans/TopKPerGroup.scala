@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -58,7 +58,10 @@ final case class TopKPerGroupExec(
     ClusteredDistribution(partitionExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // localize everything the closure needs — referencing methods of
+    // `this` inside mapPartitions would serialize the whole plan tree
     val childOutput = child.output
+    val outAttrs = output
     val kLocal = k
     val parts = partitionExprs
     val order = orderExprs
@@ -84,7 +87,7 @@ final case class TopKPerGroupExec(
           heap += unsafe.copy()
         }
       }
-      val toUnsafe = UnsafeProjection.create(output, output)
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
       heaps.valuesIterator.flatMap { heap =>
         val sorted = heap.dequeueAll.reverse // ascending under `ordering`
         sorted.iterator.zipWithIndex.map { case (row, i) =>
@@ -124,12 +127,21 @@ object RankLimitRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
-        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+        Window(Seq(alias @ Alias(WindowExpression(rankFn @ RowNumber(), _), _)),
           partitionSpec, orderSpec, child, _))
         if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
       limitFor(cond, alias.toAttribute) match {
         case Some(k) =>
-          TopKPerGroup(k, partitionSpec, orderSpec, alias.toAttribute, child)
+          // keep (or introduce) the map-side WindowGroupLimit
+          // pre-truncation: when this rule runs before Spark's
+          // InferWindowGroupLimit batch (the withExtensions path), the
+          // Window child has no WGL yet — wrap it ourselves so each map
+          // partition ships at most k rows per group to the shuffle
+          val preTruncated = child match {
+            case _: WindowGroupLimit => child
+            case other => WindowGroupLimit(partitionSpec, orderSpec, rankFn, k, other)
+          }
+          TopKPerGroup(k, partitionSpec, orderSpec, alias.toAttribute, preTruncated)
         case None => f
       }
   }

@@ -74,8 +74,7 @@ object DedupQueries {
       import s.implicits._
       val sh = Tables.documents(s, dir)
         .select($"doc_id", explode(shingles($"text")).as("sh"))
-        .select($"doc_id",
-          conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long").as("h"))
+        .select($"doc_id", graft.functions.exprs.token_hash60($"sh").as("h"))
         .distinct()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.as("a")

@@ -24,8 +24,10 @@ class TopKPerGroupSpec extends SparkSpec {
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("TopKPerGroup"),
       s"expected TopKPerGroup, got:\n$physical")
-    // WindowGroupLimit (Spark's pre-truncation) is kept as a pre-filter;
-    // the full Window exec itself must be gone
+    // WindowGroupLimit (map-side pre-truncation) must be kept as a
+    // pre-filter; the full Window exec itself must be gone
+    assert(physical.contains("WindowGroupLimit"),
+      s"pre-truncation lost:\n$physical")
     assert(!physical.contains("Window ["), "the Window exec should be gone")
   }
 
@@ -61,6 +63,31 @@ class TopKPerGroupSpec extends SparkSpec {
       try q05.run(spark, sfDir).collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
       finally spark.experimental.extraOptimizations = before
     assert(got == expected)
+  }
+
+  test("property: operator == window on random data, random k, heavy ties") {
+    GraftExtensions.install(spark)
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val k = 1 + rnd.nextInt(4)
+      // few groups, few distinct values -> lots of ties; unique id as
+      // the final tiebreak keeps both paths deterministic
+      val rows = (1 to 300).map { id =>
+        (rnd.nextInt(7).toLong, rnd.nextInt(5).toDouble, id.toLong)
+      }
+      val df = rows.toDF("g", "v", "id")
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id".asc)
+      val q = df.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        s"trial $trial: rule did not fire")
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+      // reference: compute expected top-k per group in plain Scala
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(t => (-t._2, t._3)).take(k).zipWithIndex
+          .map { case ((_, v, id), i) => (g, v, id, i + 1) }
+      }.toSet
+      assert(got == expected, s"trial $trial k=$k")
+    }
   }
 
   test("filters NOT on the rank attribute are left untouched") {
