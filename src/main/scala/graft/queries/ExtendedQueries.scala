@@ -142,5 +142,64 @@ object ExtendedQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(q20AsofJoin, q21Rollup, q22Pivot, q23SetOps, q24Sketches)
+  /** Range self-join via time-bucket banding: pairs of events by the
+    * same user within 5 minutes of each other. A naive |t1−t2| ≤ Δ
+    * join is a per-user cross product; bucketing ts into Δ-wide bands
+    * and joining on (user, bucket) ∪ (user, bucket+1) touches only
+    * adjacent bands — the standard equi-join reduction that keeps
+    * range joins shuffle-hash-joinable at any scale. The oracle uses
+    * DuckDB's native inequality join; identical pairs either way.
+    */
+  val q25RangeJoin = Q(
+    "q25_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val deltaSec = 300L
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"ts",
+          (unix_timestamp($"ts") / deltaSec).cast("long").as("bucket"))
+      // candidate buckets: adjacent bands either side (covers all
+      // |dt| <= delta without assuming ids are time-ordered)
+      val left = ev.select($"event_id".as("id_a"), $"user_id", $"ts".as("ts_a"),
+        explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)).as("jb"))
+      val right = ev.select($"event_id".as("id_b"), $"user_id", $"ts".as("ts_b"),
+        $"bucket".as("jb"))
+      left.join(right, Seq("user_id", "jb"))
+        .filter($"id_a" < $"id_b" &&
+          abs(unix_timestamp($"ts_a") - unix_timestamp($"ts_b")) <= deltaSec)
+        .select($"user_id", $"id_a", $"id_b",
+          (unix_timestamp($"ts_b") - unix_timestamp($"ts_a")).as("dt_sec"))
+        .distinct()
+    },
+    Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        date_diff('second', a.ts, b.ts) AS dt_sec
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+        AND abs(date_diff('second', a.ts, b.ts)) <= 300"""))
+
+  /** Deterministic train/val/test split assignment by content hash —
+    * the reproducible way to partition a training corpus (stable under
+    * re-runs, insertions, and resharding, unlike rand()). Buckets from
+    * the engine-portable md5-prefix hash of the document id.
+    */
+  val q26TrainSplit = Q(
+    "q26_train_split",
+    (s, dir) => {
+      import s.implicits._
+      val bucket = pmod(graft.functions.exprs.token_hash60($"doc_id".cast("string")), lit(100L))
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+    },
+    Some("""SELECT CASE
+          WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+          WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+          ELSE 'test' END AS split,
+        lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      FROM documents GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(
+    q20AsofJoin, q21Rollup, q22Pivot, q23SetOps, q24Sketches, q25RangeJoin, q26TrainSplit)
 }
