@@ -241,6 +241,38 @@ object DedupQueries {
           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9"""))
 
+  /** Near-dup cluster collapse: connected components over the MinHash
+    * candidate pairs (est_sim ≥ 0.5) — every doc labeled with its
+    * cluster representative (min id). Spark side: iterative
+    * hash-to-min label propagation (graft.operators.NearDupClusters);
+    * oracle: recursive-CTE transitive closure. Identical fixpoints.
+    */
+  val d06DedupClusters = Q(
+    "d06_dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.TextDedup
+        .minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .filter($"est_sim" >= 0.5)
+        .select($"doc_a", $"doc_b")
+      graft.operators.NearDupClusters.connectedComponents(pairs)
+    },
+    Some {
+      val d03Sql = d03MinhashLsh.oracle.get
+      s"""WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ($d03Sql) WHERE est_sim >= 0.5),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+      SELECT a AS doc_id, least(a, min(b)) AS comp
+      FROM reach GROUP BY a"""
+    })
+
   val all: Seq[Q] =
-    Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash, d05EmbeddingNearDup)
+    Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
+      d05EmbeddingNearDup, d06DedupClusters)
 }
