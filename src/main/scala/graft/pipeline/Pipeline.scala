@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.Analytics
 import graft.dq.DataQuality
 import graft.ingest._
-import graft.parse.{BlsParser, PopulationParser}
+import graft.parse.PopulationParser
 
 /** End-to-end orchestration of the reference's `rearc_quest_pipeline`
   * workflow (README.md:111-134): Task A (BLS mirror sync) ∥ Task B
@@ -93,7 +93,10 @@ object Pipeline {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${config.database}")
     val db = config.database
 
-    val bls = BlsParser.parseFile(spark, s"${config.blsTargetDir}/${config.blsFileName}")
+    // the DSv2 source carries the same parse semantics as BlsParser
+    // (header/blank/malformed/footnote handling) with in-reader pruning
+    val bls = spark.read.format("bls")
+      .load(s"${config.blsTargetDir}/${config.blsFileName}")
     val population = PopulationParser.parseFile(spark, config.populationTargetPath)
 
     val tables = Seq(

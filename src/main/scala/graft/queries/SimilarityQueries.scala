@@ -142,5 +142,49 @@ object SimilarityQueries {
       FROM ranked WHERE rank <= $K"""
     })
 
-  val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn)
+  /** Scalar int8 quantization of embeddings (max-abs symmetric): the
+    * 4× storage/shuffle reduction every 100 TB embedding corpus takes.
+    * Per vector: scale = max|x|/127, q_i = round(x_i/scale); the query
+    * reports the reconstruction error actually incurred (bounded by
+    * scale/2 per component). Zero vectors quantize to NULL scale via
+    * try_divide — identical to the oracle's x/0.
+    */
+  val s03Quantize = Q(
+    "s03_quantize_int8",
+    (s, dir) => {
+      import s.implicits._
+      val x = transform($"embedding", v => v.cast("double"))
+      val scale = aggregate(x, lit(0.0), (acc, v) => greatest(acc, abs(v))) / lit(127.0)
+      val quant = transform(x, v => round(try_divide(v, scale)))
+      val absErr = zip_with(x, quant, (xv, qv) => abs(qv * scale - xv))
+      Tables.embeddings(s, dir).select(
+        $"vec_id",
+        round(scale, 8).as("scale"),
+        round(aggregate(absErr, lit(0.0), (acc, e) => greatest(acc, e)), 8).as("max_abs_err"),
+        round(
+          try_divide(
+            aggregate(absErr, lit(0.0), (acc, e) => acc + e * e),
+            size($"embedding").cast("double")),
+          8).as("mse"))
+    },
+    Some("""SELECT vec_id,
+        round(list_aggregate(list_transform(embedding::DOUBLE[], v -> abs(v)), 'max') / 127.0, 8) AS scale,
+        round(list_aggregate(
+          list_transform(
+            list_zip(embedding::DOUBLE[],
+              list_transform(embedding::DOUBLE[],
+                v -> round(v / (list_aggregate(list_transform(embedding::DOUBLE[], y -> abs(y)), 'max') / 127.0)))),
+            p -> abs(p[2] * (list_aggregate(list_transform(embedding::DOUBLE[], y -> abs(y)), 'max') / 127.0) - p[1])),
+          'max'), 8) AS max_abs_err,
+        round(list_reduce(
+          list_prepend(0.0,
+            list_transform(
+              list_zip(embedding::DOUBLE[],
+                list_transform(embedding::DOUBLE[],
+                  v -> round(v / (list_aggregate(list_transform(embedding::DOUBLE[], y -> abs(y)), 'max') / 127.0)))),
+              p -> abs(p[2] * (list_aggregate(list_transform(embedding::DOUBLE[], y -> abs(y)), 'max') / 127.0) - p[1]))),
+          (acc, e) -> acc + e * e) / len(embedding), 8) AS mse
+      FROM embeddings"""))
+
+  val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize)
 }
