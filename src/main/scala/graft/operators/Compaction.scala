@@ -12,19 +12,27 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Compaction {
 
-  /** @return number of output files written */
+  /** @param partitionCols hive-partition columns to PRESERVE in the
+    *   rewritten layout — required when compacting a partitioned
+    *   dataset (e.g. a streaming sink's date=.../ dirs), otherwise the
+    *   rewrite would flatten the directories and lose partition pruning
+    * @return number of output files written
+    */
   def compact(
       spark: SparkSession,
       inPath: String,
       outPath: String,
-      targetBytesPerFile: Long = 128L * 1024 * 1024): Int = {
+      targetBytesPerFile: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Seq.empty): Int = {
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val inputBytes = fs.getContentSummary(hPath).getLength
     val nParts = math.max(1, math.ceil(inputBytes.toDouble / targetBytesPerFile).toInt)
-    spark.read.parquet(inPath)
+    val writer = spark.read.parquet(inPath)
       .repartition(nParts)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(outPath)
     val outFs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     outFs.listStatus(new org.apache.hadoop.fs.Path(outPath))

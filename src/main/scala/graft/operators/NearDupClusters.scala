@@ -44,6 +44,8 @@ object NearDupClusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      // (min-label propagation advances one hop per iteration — the
+      // iteration count needed equals the pair-graph diameter)
       // each node adopts min(own label, neighbors' labels)
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
@@ -63,6 +65,11 @@ object NearDupClusters {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations iterations " +
+          "(pair-graph diameter exceeds the budget); raise maxIterations — " +
+          "silent non-convergence would split real clusters")
     labels
   }
 
@@ -72,8 +79,10 @@ object NearDupClusters {
   def keepRepresentatives(
       docs: DataFrame,
       pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val comps = connectedComponents(pairs)
+      idCol: String = "doc_id",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
     val drop = comps.filter(col("doc_id") =!= col("comp"))
       .select(col("doc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")

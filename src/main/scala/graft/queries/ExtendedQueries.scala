@@ -167,9 +167,11 @@ object ExtendedQueries {
       left.join(right, Seq("user_id", "jb"))
         .filter($"id_a" < $"id_b" &&
           abs(unix_timestamp($"ts_a") - unix_timestamp($"ts_b")) <= deltaSec)
+        // no distinct needed: the right side has one bucket and the
+        // left side's three exploded bands are distinct, so each
+        // qualifying ordered pair joins exactly once
         .select($"user_id", $"id_a", $"id_b",
           (unix_timestamp($"ts_b") - unix_timestamp($"ts_a")).as("dt_sec"))
-        .distinct()
     },
     Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         date_diff('second', a.ts, b.ts) AS dt_sec

@@ -160,7 +160,12 @@ object SimilarityQueries {
       Tables.embeddings(s, dir).select(
         $"vec_id",
         round(scale, 8).as("scale"),
-        round(aggregate(absErr, lit(0.0), (acc, e) => greatest(acc, e)), 8).as("max_abs_err"),
+        // zero vector: every absErr element is NULL; Spark's greatest
+        // skips NULLs but the oracle's max over all-NULLs is NULL —
+        // make the degenerate case explicit
+        round(when(scale === 0.0, lit(null).cast("double"))
+          .otherwise(aggregate(absErr, lit(0.0), (acc, e) => greatest(acc, e))), 8)
+          .as("max_abs_err"),
         round(
           try_divide(
             aggregate(absErr, lit(0.0), (acc, e) => acc + e * e),

@@ -73,11 +73,25 @@ final class BlsTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BlsScanBuilder(path)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // capture the SESSION Hadoop conf (spark.hadoop.* credentials,
+    // filesystem impls) as a serializable map — a bare Configuration()
+    // would silently drop it on non-local filesystems
+    val confMap = org.apache.spark.sql.graftshim.SparkShims
+      .sessionHadoopConfMap(org.apache.spark.sql.SparkSession.active)
+    new BlsScanBuilder(path, confMap)
+  }
 }
 
-final class BlsScanBuilder(path: String)
+object HadoopConf {
+  def from(confMap: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+final class BlsScanBuilder(path: String, confMap: Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = BlsDataSource.schema
@@ -85,16 +99,17 @@ final class BlsScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new BlsScan(path, required)
+  override def build(): Scan = new BlsScan(path, required, confMap)
 }
 
-final class BlsScan(path: String, required: StructType) extends Scan with Batch {
+final class BlsScan(path: String, required: StructType, confMap: Map[String, String])
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(HadoopConf.from(confMap))
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
@@ -103,21 +118,22 @@ final class BlsScan(path: String, required: StructType) extends Scan with Batch 
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BlsReaderFactory(required)
+    new BlsReaderFactory(required, confMap)
 }
 
 final case class BlsInputPartition(file: String) extends InputPartition
 
-final class BlsReaderFactory(required: StructType) extends PartitionReaderFactory {
+final class BlsReaderFactory(required: StructType, confMap: Map[String, String])
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BlsPartitionReader(partition.asInstanceOf[BlsInputPartition].file, required)
+    new BlsPartitionReader(partition.asInstanceOf[BlsInputPartition].file, required, confMap)
 }
 
-final class BlsPartitionReader(file: String, required: StructType)
+final class BlsPartitionReader(file: String, required: StructType, confMap: Map[String, String])
   extends PartitionReader[InternalRow] {
 
   private val p = new org.apache.hadoop.fs.Path(file)
-  private val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  private val in = p.getFileSystem(HadoopConf.from(confMap)).open(p)
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   // emit only the pruned columns, in the requested order
   private val fieldIdx: Array[Int] =
