@@ -39,6 +39,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("end-to-end near-dup collapse: candidates -> clusters -> representatives") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near1 = ((1 to 39).map(i => s"w$i") :+ "wX").mkString(" ")
+    val near2 = ((1 to 39).map(i => s"w$i") :+ "wY").mkString(" ")
+    val far = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near1, 3L -> near2, 4L -> far)
+    val pairs = TextDedup.minhashCandidates(d, "doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("est_sim") >= 0.5)
+      .select("doc_a", "doc_b")
+    val kept = NearDupClusters.keepRepresentatives(d, pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 1,2,3 collapse to representative 1; 4 is untouched
+    assert(kept == Seq(1L, 4L), s"got $kept")
+  }
+
   test("identical docs give identical signatures; est_sim = 1.0") {
     val t = (1 to 30).map(i => s"tok$i").mkString(" ")
     val cand = TextDedup.minhashCandidates(
