@@ -183,6 +183,39 @@ object TextQueries {
       FROM documents
       WHERE TRY_CAST(substr(source, 4) AS INT) IS NOT NULL"""))
 
+  private val ChunkSize = 64
+  private val ChunkOverlap = 16
+  private val ChunkStep = ChunkSize - ChunkOverlap
+
+  /** Document chunking into overlapping token windows — the standard
+    * pre-training segmentation (context-window packing with overlap).
+    * Chunk starts at 0, step, 2·step, …; the final chunk may be short.
+    * One explode per doc, content-addressed chunks via md5 so the
+    * output is stable for downstream dedup.
+    */
+  val t07Chunking = Q(
+    "t07_chunking",
+    (s, dir) => {
+      import s.implicits._
+      val toks = wsTokens($"text")
+      val starts = sequence(lit(0), size(toks) - 1, lit(ChunkStep))
+      Tables.documents(s, dir)
+        .select($"doc_id", toks.as("toks"), explode(starts).as("start"))
+        .select(
+          $"doc_id",
+          ($"start" / ChunkStep).cast("long").as("chunk_id"),
+          size(slice($"toks", $"start" + 1, lit(ChunkSize))).as("n_tokens"),
+          md5(array_join(slice($"toks", $"start" + 1, lit(ChunkSize)), " ")).as("chunk_hash"))
+    },
+    Some(s"""SELECT doc_id,
+        CAST(start // $ChunkStep AS BIGINT) AS chunk_id,
+        len(${wsTokensSql}[start+1:start+$ChunkSize]) AS n_tokens,
+        md5(array_to_string(${wsTokensSql}[start+1:start+$ChunkSize], ' ')) AS chunk_hash
+      FROM (
+        SELECT doc_id, text, unnest(range(0, len(${wsTokensSql}), $ChunkStep)) AS start
+        FROM documents)"""))
+
   val all: Seq[Q] =
-    Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint, t06ParseShapes)
+    Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
+      t06ParseShapes, t07Chunking)
 }
