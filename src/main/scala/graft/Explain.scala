@@ -17,6 +17,7 @@ object Explain {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
 
     val spark = GraftSession.local(appName = "graft-explain")
+    graft.plans.GraftExtensions.install(spark) // audit the plans the gate actually runs
     names.foreach { name =>
       val q = Registry.byName(name)
       println(s"========== $name ==========")
