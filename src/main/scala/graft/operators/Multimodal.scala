@@ -59,6 +59,21 @@ object Multimodal {
         .filter { case (_, idx) => idx % everyN == 0 }
         .map { case (bytes, idx) => FrameSample(m.media_id, idx, bytes) }
         .toSeq
+
+    /** STUB resize: a real codec would decode, scale, re-encode; the
+      * fake scales the payload deterministically (byte sampling) and
+      * updates the typed metadata — the metadata/payload contract a
+      * codec drops into.
+      */
+    def resize(m: MediaFile, width: Int, height: Int): MediaFile = {
+      val ratio = math.max(1,
+        math.round(m.meta.width.toDouble * m.meta.height /
+          math.max(1, width * height)).toInt)
+      val resized = m.payload.zipWithIndex.collect {
+        case (b, i) if i % ratio == 0 => b
+      }
+      m.copy(payload = resized, meta = m.meta.copy(width = width, height = height))
+    }
   }
 
   /** Deterministic synthetic media corpus (seeded from media_id) —
@@ -92,6 +107,18 @@ object Multimodal {
     ds.mapPartitions { it =>
       val decoder = new FakeDecoder // per-partition init (codec/model load)
       it.map(m => decoder.featurize(m, dim))
+    }
+  }
+
+  /** Image resize across the corpus (map shape, per-partition decoder). */
+  def resizeImages(
+      ds: Dataset[MediaFile],
+      width: Int,
+      height: Int): Dataset[MediaFile] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val decoder = new FakeDecoder
+      it.map(m => if (m.kind == "image") decoder.resize(m, width, height) else m)
     }
   }
 

@@ -57,6 +57,23 @@ class MultimodalSpec extends SparkSpec {
     assert(top.forall(r => r.getDouble(1) <= 1.0 && r.getDouble(1) >= -1.0))
   }
 
+  test("resize updates metadata and shrinks payloads for images only") {
+    val resized = resizeImages(media, 16, 16).collect()
+    val orig = media.collect().map(m => m.media_id -> m).toMap
+    resized.foreach { m =>
+      if (m.kind == "image") {
+        assert(m.meta.width == 16 && m.meta.height == 16)
+        assert(m.payload.length <= orig(m.media_id).payload.length)
+      } else {
+        assert(m.payload.toSeq == orig(m.media_id).payload.toSeq)
+      }
+    }
+    // deterministic
+    val again = resizeImages(media, 16, 16).collect().sortBy(_.media_id)
+    assert(resized.sortBy(_.media_id).map(_.payload.toSeq).toSeq ==
+      again.map(_.payload.toSeq).toSeq)
+  }
+
   test("binary columns round-trip through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)
