@@ -12,8 +12,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Parquet schema inference runs a 1-task Spark job per read; at bench
+  // time every query re-reads its tables, so cache the inferred schema
+  // per path and hand it back via read.schema(...) (skips the footer job).
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
@@ -22,28 +31,23 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
-  /** `events.ts` may be nanosecond-precision parquet, which Spark's
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Probe the footer with the
-    * legacy flag OFF: if the read resolves, the column is an ordinary
-    * timestamp and is returned untouched; only on the NANOS rejection
-    * do we re-read as raw nanos (nanosAsLong) and convert to the
-    * engine-wide microsecond TimestampType. A plain BIGINT ts column is
-    * deliberately left as a long (ambiguous unit — callers must decide)
-    * rather than silently divided by 1000.
+  /** `events.ts` is nanosecond-precision parquet (TESTDATA.md), which
+    * Spark's reader rejects outright ([PARQUET_TYPE_ILLEGAL]) — and with
+    * multiple footers the rejection surfaces as an aborted schema-merge
+    * job, not a driver-side exception, so probing is both noisy and
+    * fragile. Instead always read with nanosAsLong=true: a NANOS column
+    * arrives as a raw LongType (which we convert to the engine-wide
+    * microsecond TimestampType), while an ordinary MICROS/MILLIS column
+    * still arrives as TimestampType (the flag only affects NANOS) and is
+    * returned untouched.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val flag = "spark.sql.legacy.parquet.nanosAsLong"
-    try {
-      spark.conf.set(flag, "false")
-      val df = apply(spark, sfDir, "events")
-      df.schema // forces footer schema conversion; throws on NANOS
-      df
-    } catch {
-      case e: Throwable if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") ||
-          String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
-        spark.conf.set(flag, "true")
-        apply(spark, sfDir, "events")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = apply(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
     }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")

@@ -93,9 +93,9 @@ object EventQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
       sess AS (
         SELECT user_id, ts, value,
-          sum(new_session) OVER (
+          CAST(sum(new_session) OVER (
             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-            ROWS UNBOUNDED PRECEDING) AS session_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM g)
       SELECT user_id, session_id, count(*) AS n_events,
         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -199,7 +199,7 @@ object ExtendedQueries {
           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
           ELSE 'test' END AS split,
-        lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY 1, 2"""))
 
   val all: Seq[Q] = Seq(

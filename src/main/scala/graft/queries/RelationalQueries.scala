@@ -201,11 +201,13 @@ object RelationalQueries {
         sum($"props".isNull.cast("int")).as("null_props"),
         count(lit(1)).as("total"))
     },
+    // DuckDB sum(INTEGER) returns HUGEINT, which its pandas/arrow bridge
+    // widens to float64 — CAST to BIGINT so both engines emit int64.
     Some("""SELECT
-        sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
-        sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
-        sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-        sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+        CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+        CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
         count(*) AS total
       FROM events"""))
 
@@ -256,18 +258,20 @@ object RelationalQueries {
     (s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir).agg(
-        min(year($"l_shipdate")).as("min_year"),
-        max(year($"l_shipdate")).as("max_year"),
+        min(year($"l_shipdate")).cast("long").as("min_year"),
+        max(year($"l_shipdate")).cast("long").as("max_year"),
         countDistinct(year($"l_shipdate")).as("n_years"),
         sum(($"l_quantity" < 0).cast("int")).as("negative_qty"),
         sum(($"l_extendedprice" <= 0).cast("int")).as("nonpositive_price"))
     },
+    // int64 on both sides: Spark year() is INT32 (DuckDB's is BIGINT),
+    // and DuckDB sum(INTEGER) is HUGEINT (float64 through pandas).
     Some("""SELECT
         min(year(l_shipdate)) AS min_year,
         max(year(l_shipdate)) AS max_year,
         count(DISTINCT year(l_shipdate)) AS n_years,
-        sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS negative_qty,
-        sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price
+        CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_qty,
+        CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price
       FROM lineitem"""))
 
   /** O2 (orderBy desc + limit → TakeOrderedAndProject; unique key in the

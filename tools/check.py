@@ -35,21 +35,29 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 
-def canon(rows, cols):
+def canon(rel):
+    """Canonicalize through pandas (like the driver): DuckDB HUGEINT
+    becomes float64 here, so an integer-sum oracle column reads "2.0"
+    while Spark's parquet int64 reads "2" — a real hash mismatch that
+    fetchall() (HUGEINT -> Python int) would hide. Values are compared
+    as strings, floats rounded to 9 decimals first."""
+    df = rel.df()
+    cols = list(df.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
-    for r in rows:
+    for r in df.values.tolist():
         vals = []
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+                v = "NaN" if math.isnan(v) else str(round(v, 9))
+            elif v is None:
+                v = "None"
+            else:
+                v = str(v)
             vals.append(v)
         out.append(tuple(vals))
-    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+    return sorted(cols), sorted(out)
 
 
 fails = 0
@@ -62,10 +70,8 @@ for name in names:
         fails += 1
         continue
     try:
-        got_rel = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
-        got_cols, got = canon(got_rel.fetchall(), got_rel.columns)
-        exp_rel = con.sql(sql)
-        exp_cols, exp = canon(exp_rel.fetchall(), exp_rel.columns)
+        got_cols, got = canon(con.sql(f"SELECT * FROM '{pq}/*.parquet'"))
+        exp_cols, exp = canon(con.sql(sql))
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
         fails += 1
