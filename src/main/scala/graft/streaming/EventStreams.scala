@@ -124,6 +124,35 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream inner join with an event-time interval condition
+    * (click attribution: each click matches the same user's views in
+    * the preceding `horizonMinutes`). Both sides carry watermarks, so
+    * the join state is bounded: a buffered view is evicted once the
+    * click-side watermark passes `view_ts + horizon` — state is
+    * O(events inside the horizon), not O(stream). The same code runs
+    * on batch inputs (watermarks are no-ops there), so batch == stream
+    * is directly testable.
+    */
+  def clickAttribution(
+      views: DataFrame,
+      clicks: DataFrame,
+      horizonMinutes: Int = 30): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    c.join(v, expr(
+      s"""v_user = c_user AND
+          view_ts <= click_ts AND
+          view_ts >= click_ts - INTERVAL $horizonMinutes MINUTES"""))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Convenience: run a streaming query over a parquet directory into
     * an in-memory table and block until all available data is
     * processed (local smoke harness for the streaming paths).

@@ -95,6 +95,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("stream-stream interval join (click attribution) == batch join") {
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    def ts(min: Long): Timestamp = new Timestamp(t0 + min * 60000L)
+    val viewsDir = Files.createTempDirectory("graft-views-in").toString
+    val clicksDir = Files.createTempDirectory("graft-clicks-in").toString
+
+    val views = Seq(
+      (1L, 100L, ts(0)), (2L, 200L, ts(0)), (2L, 201L, ts(5)))
+      .toDF("user_id", "event_id", "ts")
+    val clicks = Seq(
+      (1L, 110L, ts(10)), // matches view 100
+      (1L, 111L, ts(50)), // outside the 30-min horizon -> no match
+      (2L, 210L, ts(20)), // matches views 200 and 201
+      (3L, 310L, ts(0))) // no view at all
+      .toDF("user_id", "event_id", "ts")
+    views.write.mode("overwrite").parquet(viewsDir)
+    clicks.write.mode("overwrite").parquet(clicksDir)
+
+    val q = EventStreams.clickAttribution(
+      spark.readStream.schema(views.schema).parquet(viewsDir),
+      spark.readStream.schema(clicks.schema).parquet(clicksDir))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attrib_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("attrib_out")
+      .select($"user_id", $"click_id", $"view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(streamed == Seq((1L, 110L, 100L), (2L, 210L, 200L), (2L, 210L, 201L)))
+
+    val batch = EventStreams.clickAttribution(views, clicks)
+      .select($"user_id", $"click_id", $"view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(batch == streamed, "stream-stream join diverged from the batch join")
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes sessions, timeout closes idle ones") {
     val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
     def ts(min: Long): Timestamp = new Timestamp(t0 + min * 60000L)
