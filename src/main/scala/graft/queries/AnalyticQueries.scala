@@ -233,7 +233,75 @@ object AnalyticQueries {
         round(sum(o_totalprice),2) AS total
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""))
 
+  /** Date/time function battery: truncation, field extraction,
+    * end-of-month, day arithmetic, epoch conversion — one projection
+    * pass with the key filter pushed to the scan. Cross-engine
+    * calibration: Spark's dayofweek is 1=Sunday, DuckDB's is 0=Sunday
+    * (normalized here); epoch seconds are read in the engine-wide UTC
+    * session timezone.
+    */
+  val q36Datetime = Q(
+    "q36_datetime",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .filter($"o_orderkey" < 500)
+        .select(
+          $"o_orderkey",
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          year($"o_orderdate").as("yr"),
+          quarter($"o_orderdate").as("qtr"),
+          month($"o_orderdate").as("mon"),
+          dayofmonth($"o_orderdate").as("dom"),
+          (dayofweek($"o_orderdate") - 1).as("dow"),
+          last_day($"o_orderdate").as("month_end"),
+          datediff(lit("1998-12-31").cast("date"), $"o_orderdate".cast("date"))
+            .cast("long").as("days_to_eoy"),
+          unix_timestamp($"o_orderdate").as("epoch_s"))
+    },
+    Some("""SELECT o_orderkey,
+        date_trunc('month', o_orderdate) AS month_start,
+        year(o_orderdate) AS yr,
+        quarter(o_orderdate) AS qtr,
+        month(o_orderdate) AS mon,
+        day(o_orderdate) AS dom,
+        dayofweek(o_orderdate) AS dow,
+        last_day(o_orderdate) AS month_end,
+        date_diff('day', o_orderdate::DATE, DATE '1998-12-31') AS days_to_eoy,
+        epoch(o_orderdate)::BIGINT AS epoch_s
+      FROM orders WHERE o_orderkey < 500"""))
+
+  /** Deterministic stratified sampling: per-stratum hash-bucket rates
+    * (downsample the dominant language to 10%, keep 50% elsewhere) —
+    * the class-rebalance pass of a training-data pipeline. Hash-based
+    * membership is reproducible under re-runs, insertions, and
+    * resharding (the q26 split property, per stratum); the "strat_"
+    * salt decorrelates it from the q26 split assignment. Verified
+    * output is the per-language kept/total census.
+    */
+  val q37StratifiedSample = Q(
+    "q37_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val bucket = pmod(
+        graft.functions.exprs.token_hash60(concat(lit("strat_"), $"doc_id".cast("string"))),
+        lit(100L))
+      val rate = when($"lang" === "en", 10).otherwise(50)
+      Tables.documents(s, dir)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((bucket < rate).cast("int")).as("n_sampled"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+        CAST(sum(CASE WHEN
+            (CAST(('0x' || substr(md5('strat_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)
+            < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      FROM documents GROUP BY lang"""))
+
   val all: Seq[Q] = Seq(
     q27SemiAnti, q28Subqueries, q29ArrayAgg, q30Regex, q31Unpivot,
-    q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube)
+    q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube, q36Datetime,
+    q37StratifiedSample)
 }

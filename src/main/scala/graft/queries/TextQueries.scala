@@ -215,7 +215,78 @@ object TextQueries {
         SELECT doc_id, text, unnest(range(0, len(${wsTokensSql}), $ChunkStep)) AS start
         FROM documents)"""))
 
+  /** TF-IDF with smoothed idf = ln((N+1)/(df+1)), top-3 terms per
+    * document. Ranking happens on the ROUNDED score (engine contract)
+    * with a term tie-break, so the top-3 is deterministic. Scale: two
+    * aggregations over the exploded token stream (both collapse
+    * map-side) + one term-keyed join; at 100 TB the document-frequency
+    * side is vocabulary-sized and the join shuffles on term — AQE
+    * handles the stopword-skewed keys.
+    */
+  val t08Tfidf = Q(
+    "t08_tfidf",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count() // O(1) scalar, same precedent as q10
+      val tf = docs
+        .select($"doc_id", explode(wsTokens($"text")).as("term"))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+      tf.join(dfreq, "term")
+        .withColumn("score",
+          round($"tf" * log((lit(nDocs.toDouble) + lit(1.0)) / ($"df" + lit(1.0))), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"tf", $"score")
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, unnest($wsTokensSql) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf,
+          round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS score
+        FROM tf t JOIN dfreq d USING (term), n),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, tf, score FROM ranked WHERE rank <= 3"""))
+
+  /** PII-shaped redaction pass: count + scrub email addresses and long
+    * digit runs (the pattern set stays in the RE2 ∩ java.regex common
+    * dialect). Single projection, no shuffle — the standard pre-train
+    * scrubbing shape.
+    */
+  val t09Redact = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val numRe = "[0-9]{6,}"
+    Q(
+      "t09_redact",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(
+          $"doc_id",
+          regexp_count($"text", lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count($"text", lit(numRe)).cast("long").as("n_long_numbers"),
+          length(
+            regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"), numRe, "<NUM>"))
+            .cast("long").as("n_chars_redacted"))
+      },
+      Some(s"""SELECT doc_id,
+          len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+          len(regexp_extract_all(text, '$numRe')) AS n_long_numbers,
+          length(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+            '$numRe', '<NUM>', 'g')) AS n_chars_redacted
+        FROM documents"""))
+  }
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
-      t06ParseShapes, t07Chunking)
+      t06ParseShapes, t07Chunking, t08Tfidf, t09Redact)
 }
