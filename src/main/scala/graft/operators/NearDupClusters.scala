@@ -46,7 +46,10 @@ object NearDupClusters {
     while (!converged && iter < maxIterations) {
       // (min-label propagation advances one hop per iteration — the
       // iteration count needed equals the pair-graph diameter)
-      // each node adopts min(own label, neighbors' labels)
+      // each node adopts min(own label, neighbors' labels); the
+      // did-anything-change flag rides along in the SAME pass, so the
+      // convergence check is a cheap aggregate over the materialized
+      // checkpoint instead of a second shuffle join per iteration
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy($"dst".as("doc_id"))
@@ -54,13 +57,11 @@ object NearDupClusters {
       val next = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id",
-          least($"comp", coalesce($"n_comp", $"comp")).as("comp"))
+          least($"comp", coalesce($"n_comp", $"comp")).as("comp"),
+          ($"n_comp".isNotNull && $"n_comp" < $"comp").cast("long").as("changed"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
-      labels = next
+      val changed = next.agg(coalesce(sum($"changed"), lit(0L))).head().getLong(0)
+      labels = next.select($"doc_id", $"comp")
       converged = changed == 0
       iter += 1
     }
