@@ -300,8 +300,32 @@ object AnalyticQueries {
           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       FROM documents GROUP BY lang"""))
 
+  /** Custom typed-Aggregator UDAF (Welford/Chan mergeable variance)
+    * verified three ways in one query: the custom aggregate, Spark's
+    * builtin var_samp, and the DuckDB oracle must all round to the
+    * same 8 decimals. Constant-size state + associative merge = the
+    * contract any custom aggregate needs to scale.
+    */
+  val q38WelfordUdaf = Q(
+    "q38_welford_udaf",
+    (s, dir) => {
+      import s.implicits._
+      val welford = udaf(graft.functions.WelfordVariance)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(welford($"l_discount"), 8).as("var_disc"),
+          round(var_samp($"l_discount"), 8).as("var_disc_builtin"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT l_returnflag,
+        round(var_samp(l_discount),8) AS var_disc,
+        round(var_samp(l_discount),8) AS var_disc_builtin,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     q27SemiAnti, q28Subqueries, q29ArrayAgg, q30Regex, q31Unpivot,
     q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube, q36Datetime,
-    q37StratifiedSample)
+    q37StratifiedSample, q38WelfordUdaf)
 }
