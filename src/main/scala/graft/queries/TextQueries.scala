@@ -286,7 +286,44 @@ object TextQueries {
         FROM documents"""))
   }
 
+  /** Bigram language-model counts: top bigrams with conditional
+    * probability P(w2|w1) = c(w1 w2) / c(w1 ·). Shingling runs on the
+    * native one-pass `WordShingles` kernel (same contract as d02);
+    * both aggregations collapse map-side, and the w1 join is the
+    * classic skewed-key LM-count shuffle AQE splits at scale.
+    */
+  val t10BigramLm = Q(
+    "t10_bigram_lm",
+    (s, dir) => {
+      import s.implicits._
+      val bg = Tables.documents(s, dir)
+        .select(explode(graft.operators.TextDedup.shingles($"text", 2)).as("bigram"))
+        // documents with <2 tokens emit their whole text as one
+        // degenerate shingle — drop those on both sides
+        .filter(size(split($"bigram", " ")) === 2)
+        .select($"bigram", split($"bigram", " ").getItem(0).as("w1"))
+      val counts = bg.groupBy($"w1", $"bigram").agg(count(lit(1)).as("n_bigram"))
+      val w1tot = counts.groupBy($"w1").agg(sum($"n_bigram").as("n_w1"))
+      counts.join(w1tot, "w1")
+        .withColumn("cond_p", round($"n_bigram" / $"n_w1", 6))
+        .orderBy($"n_bigram".desc, $"bigram".asc)
+        .limit(20)
+        .select($"bigram", $"n_bigram", $"n_w1", $"cond_p")
+    },
+    Some(s"""WITH bg0 AS (
+        SELECT unnest(${DedupQueries.shinglesSql(2)}) AS bigram FROM documents),
+      bg AS (
+        SELECT bigram, string_split(bigram, ' ')[1] AS w1 FROM bg0
+        WHERE len(string_split(bigram, ' ')) = 2),
+      counts AS (
+        SELECT w1, bigram, count(*) AS n_bigram FROM bg GROUP BY w1, bigram),
+      w1tot AS (
+        SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_w1 FROM counts GROUP BY w1)
+      SELECT c.bigram, c.n_bigram, t.n_w1, round(c.n_bigram / t.n_w1, 6) AS cond_p
+      FROM counts c JOIN w1tot t USING (w1)
+      ORDER BY c.n_bigram DESC, c.bigram ASC LIMIT 20"""))
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
-      t06ParseShapes, t07Chunking, t08Tfidf, t09Redact)
+      t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm)
 }
