@@ -68,6 +68,8 @@ object AnalyticQueries {
     * sort_array). Scale: collect_set is safe only when per-group
     * cardinality is bounded (here: order statuses); the partial
     * aggregate dedups map-side so the shuffle carries sets, not rows.
+    * The set is emitted as a '|'-joined string so the result is
+    * engine-portable (the driver's pandas compare can't sort arrays).
     */
   val q29ArrayAgg = Q(
     "q29_array_agg",
@@ -76,11 +78,11 @@ object AnalyticQueries {
       Tables.orders(s, dir)
         .groupBy($"o_orderpriority")
         .agg(
-          sort_array(collect_set($"o_orderstatus")).as("statuses"),
+          array_join(sort_array(collect_set($"o_orderstatus")), "|").as("statuses"),
           countDistinct($"o_orderstatus").as("n_status"))
     },
     Some("""SELECT o_orderpriority,
-        list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
         count(DISTINCT o_orderstatus) AS n_status
       FROM orders GROUP BY o_orderpriority"""))
 

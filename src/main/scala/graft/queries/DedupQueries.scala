@@ -208,6 +208,10 @@ object DedupQueries {
   /** Embedding-cosine near-dup: same-cluster (label-blocked) pairs over
     * threshold. Blocking bounds the pair count; at 100 TB the blocking
     * key would come from LSH/IVF (s02) instead of a given label.
+    * Threshold 0.35 is tuned to the synthetic embeddings (max
+    * label-blocked cos_sim ≈ 0.47): it yields 14/26/391 pairs at
+    * sf0.001/0.01/0.1, so the oracle actually exercises the
+    * dot-product/norm arithmetic instead of matching on empty sets.
     */
   val d05EmbeddingNearDup = Q(
     "d05_embedding_neardup",
@@ -229,7 +233,7 @@ object DedupQueries {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(try_divide(dot(col("a.embedding"), col("b.embedding")),
             col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
-        .filter($"cos_sim" >= 0.9)
+        .filter($"cos_sim" >= 0.35)
     },
     Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -239,7 +243,7 @@ object DedupQueries {
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9"""))
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.35"""))
 
   /** Near-dup cluster collapse: connected components over the MinHash
     * candidate pairs (est_sim ≥ 0.5) — every doc labeled with its

@@ -278,7 +278,10 @@ object SimilarityQueries {
     * k-means refit, cluster profiling, and class-prototype dedup.
     * posexplode fans each vector into (label, dim, x) rows; the partial
     * aggregate collapses map-side so the shuffle is O(labels × dim),
-    * independent of corpus size.
+    * independent of corpus size. Output is the long form (label, j, m)
+    * — rounded doubles hash-match across engines, where a
+    * string-rendered array would be at the mercy of each engine's
+    * double formatting.
     */
   val s05LabelCentroids = Q(
     "s05_label_centroids",
@@ -286,21 +289,15 @@ object SimilarityQueries {
       import s.implicits._
       Tables.embeddings(s, dir)
         .select($"label", posexplode($"embedding").as(Seq("j", "x")))
-        .groupBy($"label", $"j")
-        .agg(avg($"x".cast("double")).as("m"), count(lit(1)).as("c"))
-        .groupBy($"label")
-        .agg(
-          transform(array_sort(collect_list(struct($"j", $"m"))),
-            e => round(e.getField("m"), 6)).as("centroid"),
-          max($"c").as("n_vectors"))
+        .groupBy($"label", $"j".cast("long").as("j"))
+        .agg(round(avg($"x".cast("double")), 6).as("m"), count(lit(1)).as("n_vectors"))
     },
     Some(s"""WITH expl AS (
         SELECT label, j, embedding[j + 1]::DOUBLE AS x
-        FROM embeddings, (SELECT unnest(range($Dim)) AS j)),
-      agg AS (
-        SELECT label, j, avg(x) AS m, count(*) AS c FROM expl GROUP BY label, j)
-      SELECT label, list(round(m, 6) ORDER BY j) AS centroid, max(c) AS n_vectors
-      FROM agg GROUP BY label"""))
+        FROM embeddings, (SELECT unnest(range($Dim)) AS j))
+      SELECT label, CAST(j AS BIGINT) AS j, round(avg(x), 6) AS m,
+        count(*) AS n_vectors
+      FROM expl GROUP BY label, j"""))
 
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn, s05LabelCentroids)
 }
