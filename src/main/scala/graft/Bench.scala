@@ -31,11 +31,18 @@ object Bench {
     // query, not first-touch JIT/IO (the cluster-realistic steady state).
     qs.headOption.foreach(q => q.run(spark, sfDir).count())
 
+    // Ambient load on this host swings single runs by up to ±3×
+    // (CLAUDE.md); report the MEDIAN of `reps` timed runs per query so
+    // round-over-round deltas reflect the plan, not the neighbors.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = qs.map { q =>
-      val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> times(times.length / 2)
     }
     val qJson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

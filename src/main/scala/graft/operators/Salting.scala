@@ -37,4 +37,47 @@ object Salting {
         sum(col("__cnt")).as("n_rows"),
         sums.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
   }
+
+  /** Skew-aware self-join for candidate-pair generation (LSH band
+    * buckets, blocking keys): emits every pair `(id_a < id_b)` of rows
+    * sharing `keys`, exactly once — identical output to a plain
+    * self-join, different physical distribution.
+    *
+    * A plain self-join puts ALL rows of one key on one reducer; a hot
+    * LSH band with m members does m² pair-work there (the classic
+    * straggler at 100 TB). Here keys with multiplicity > `hotThreshold`
+    * are split out: the probe side gets a deterministic salt in
+    * [0, buckets), the build side is replicated across all salts, so
+    * the hot key's m² work spreads over `buckets` reducers at the cost
+    * of buckets× replication of only the hot rows. Cold keys join
+    * plain. The hot-key set is tiny by definition (they are the heavy
+    * hitters) → broadcast.
+    */
+  def skewSelfJoinPairs(
+      df: DataFrame,
+      keys: Seq[String],
+      idCol: String,
+      buckets: Int = 8,
+      hotThreshold: Long = 1024): DataFrame = {
+    val hotKeys = df
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__kn"))
+      .filter(col("__kn") > hotThreshold)
+      .drop("__kn")
+    val hot = df.join(broadcast(hotKeys), keys, "left_semi")
+    val cold = df.join(broadcast(hotKeys), keys, "left_anti")
+
+    def pairs(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame =
+      a.as("a").join(b.as("b"), joinKeys)
+        .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+
+    val coldPairs = pairs(cold, cold, keys)
+    // probe side: one deterministic salt per row; build side: replicated
+    // to every salt → each qualifying pair meets exactly once.
+    val probe = hot.withColumn("__salt", pmod(xxhash64(col(idCol)), lit(buckets.toLong)))
+    val build = hot.withColumn("__salt", explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    val hotPairs = pairs(probe, build, keys :+ "__salt")
+    coldPairs.union(hotPairs)
+  }
 }

@@ -65,9 +65,19 @@ object TextDedup {
   }
 
   /** LSH candidate pairs (id_a < id_b) with signature-estimated
-    * similarity in [0,1].
+    * similarity in [0,1]. The band-bucket self-join goes through
+    * `Salting.skewSelfJoinPairs`: a hot band (> `hotThreshold` member
+    * docs — e.g. a boilerplate shingle set shared by millions of pages)
+    * would otherwise put its whole quadratic pair expansion on one
+    * reducer; salting spreads it over `saltBuckets` reducers with
+    * identical output (equivalence asserted in TextDedupSpec).
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def minhashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      saltBuckets: Int = 8,
+      hotThreshold: Long = 1024): DataFrame = {
     val mins = minhashSignatures(docs, idCol, textCol)
     val bandCols = (0 until NumBands).map { j =>
       struct(lit(j).as("band_id"),
@@ -76,10 +86,10 @@ object TextDedup {
     val exploded = mins
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band_id"), col("bk.bkey"))
-    val cand = exploded.as("a")
-      .join(exploded.as("b"), Seq("band_id", "bkey"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    val cand = Salting
+      .skewSelfJoinPairs(exploded, Seq("band_id", "bkey"), idCol,
+        buckets = saltBuckets, hotThreshold = hotThreshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
     // estimate similarity by comparing whole signatures as arrays (two
     // joins on doc id) instead of exploding k rows per doc — same

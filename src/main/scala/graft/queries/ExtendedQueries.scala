@@ -122,10 +122,13 @@ object ExtendedQueries {
       EXCEPT SELECT k FROM bld"""))
 
   /** Sketch aggregates: HLL++ approximate distinct (per group and via
-    * mergeable DataSketches HLL). Not DuckDB-oracle-able (different
-    * sketch implementations by construction) → rows-only driver check;
-    * accuracy is asserted against exact counts in QueriesSpec. At
-    * 100 TB the mergeable sketch is the only way to count distincts
+    * mergeable DataSketches HLL). The raw estimates are not
+    * DuckDB-oracle-able (different sketch implementations by
+    * construction), so the query emits the exact distinct counts plus
+    * BOOLEAN accuracy gates (|approx−exact|/exact ≤ 5%) — the oracle
+    * recomputes the exact counts and asserts the gates are true, so
+    * the sketch path is exercised and checked, not just row-counted.
+    * At 100 TB the mergeable sketch is the only way to count distincts
     * without an expand + two-phase exact aggregation.
     */
   val q24Sketches = Q(
@@ -139,8 +142,21 @@ object ExtendedQueries {
           expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("hll_orders"),
           countDistinct($"l_partkey").as("exact_parts"),
           countDistinct($"l_orderkey").as("exact_orders"))
+        .select(
+          $"l_returnflag",
+          $"exact_parts",
+          $"exact_orders",
+          (abs($"approx_parts" - $"exact_parts") <=
+            lit(0.05) * $"exact_parts").as("approx_parts_ok"),
+          (abs($"hll_orders" - $"exact_orders") <=
+            lit(0.05) * $"exact_orders").as("hll_orders_ok"))
     },
-    None)
+    Some("""SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS exact_parts,
+        count(DISTINCT l_orderkey) AS exact_orders,
+        true AS approx_parts_ok,
+        true AS hll_orders_ok
+      FROM lineitem GROUP BY l_returnflag"""))
 
   /** Range self-join via time-bucket banding: pairs of events by the
     * same user within 5 minutes of each other. A naive |t1−t2| ≤ Δ

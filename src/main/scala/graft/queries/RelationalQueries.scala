@@ -234,7 +234,16 @@ object RelationalQueries {
     (s, dir) => {
       import s.implicits._
       val o = Tables.orders(s, dir)
-      val distinctRows = o.dropDuplicates().count()
+      // Count distinct ROW HASHES, not distinct rows: the shuffle then
+      // carries a 16-byte digest per row instead of the full row (the
+      // md5-of-JSON is null-safe and column-order-stable). At 100 TB
+      // this is the difference between shuffling the table and
+      // shuffling a hash column. 128-bit digest keeps the collision
+      // expectation ≪ 1 even at 10^12 rows (birthday bound ~3e-15).
+      val distinctRows = o
+        .select(md5(to_json(struct(o.columns.map(col): _*))).as("__rh"))
+        .agg(countDistinct($"__rh"))
+        .head().getLong(0)
       o.agg(
         countDistinct($"o_orderstatus").as("n_status"),
         countDistinct($"o_orderpriority").as("n_priority"),

@@ -21,14 +21,14 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
-        .select(explode(split($"text", " ")).as("word"))
+        .select(explode(wsTokens($"text")).as("word"))
         .groupBy($"word")
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"word".asc)
         .limit(20)
     },
-    Some("""SELECT w AS word, count(*) AS n
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    Some(s"""SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest($wsTokensSql) AS w FROM documents)
       GROUP BY w ORDER BY n DESC, w ASC LIMIT 20"""),
     headline = true)
 

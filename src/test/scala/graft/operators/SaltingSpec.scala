@@ -34,4 +34,20 @@ class SaltingSpec extends SparkSpec {
     val out = Salting.saltedAgg(df, Seq("k"), Seq("v"), $"id", buckets = 8)
     assert(out.filter($"k" === "hot").head().getAs[Double]("sum_v") == 1000.0)
   }
+
+  test("skewSelfJoinPairs == plain self-join pairs, each pair exactly once") {
+    // key "hot" has 30 members (above threshold → salted path), "warm"
+    // has 5 (cold path), "solo" has 1 (no pairs).
+    val rows = (1L to 30L).map(i => ("hot", i)) ++
+      (31L to 35L).map(i => ("warm", i)) :+ (("solo", 36L))
+    val df = rows.toDF("k", "id")
+    val out = Salting.skewSelfJoinPairs(df, Seq("k"), "id", buckets = 4, hotThreshold = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (for {
+      (ka, a) <- rows; (kb, b) <- rows if ka == kb && a < b
+    } yield (a, b)).toSeq
+    assert(out.sorted == expected.sorted, "pair sets differ")
+    assert(out.length == out.distinct.length, "a pair was emitted twice")
+    assert(out.length == (30 * 29) / 2 + (5 * 4) / 2)
+  }
 }

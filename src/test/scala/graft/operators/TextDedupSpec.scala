@@ -60,4 +60,26 @@ class TextDedupSpec extends SparkSpec {
       docs(1L -> t, 2L -> t), "doc_id", "text").head()
     assert(cand.getDouble(2) == 1.0)
   }
+
+  test("salted band join returns exactly the plain join's candidates") {
+    // 8 copies of one text make every band of those docs a hot bucket
+    // when hotThreshold=0; mixed-in near and far docs exercise the
+    // cold path simultaneously.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "wX").mkString(" ")
+    val rows = (1L to 8L).map(i => i -> base) ++ Seq(
+      9L -> near,
+      10L -> (1 to 40).map(i => s"z$i").mkString(" "),
+      11L -> (1 to 40).map(i => s"y$i").mkString(" "))
+    val d = docs(rows: _*)
+    def pairs(hot: Long) = TextDedup
+      .minhashCandidates(d, "doc_id", "text", saltBuckets = 4, hotThreshold = hot)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val salted = pairs(hot = 0) // every band bucket takes the salted path
+    val plain = pairs(hot = Long.MaxValue) // nothing salted
+    assert(salted == plain, s"salted=$salted plain=$plain")
+    assert(salted.nonEmpty)
+  }
 }
