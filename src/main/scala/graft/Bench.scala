@@ -34,13 +34,18 @@ object Bench {
     // Ambient load on this host swings single runs by up to ±3×
     // (CLAUDE.md); report the MEDIAN of `reps` timed runs per query so
     // round-over-round deltas reflect the plan, not the neighbors.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = qs.map { q =>
       val times = (1 to reps).map { _ =>
+        // Operators that persist intermediates (e.g. minhash signatures)
+        // would serve reps 2+ from cache — clear so every rep measures
+        // the full query, not a cache read.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        // A failed rep records the -1.0 sentinel, not its elapsed time:
+        // a consistently-failing query must not report a plausible median.
+        try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }.sorted
       q.name -> times(times.length / 2)
     }

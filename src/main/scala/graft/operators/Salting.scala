@@ -59,6 +59,11 @@ object Salting {
       idCol: String,
       buckets: Int = 8,
       hotThreshold: Long = 1024): DataFrame = {
+    // buckets = 0 would pmod-by-zero the probe side and emit a
+    // descending sequence(0,-1) salt list on the build side — corrupt
+    // pairs, silently. buckets = 1 is legal (pure passthrough).
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(hotThreshold >= 0, s"hotThreshold must be >= 0, got $hotThreshold")
     val hotKeys = df
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__kn"))

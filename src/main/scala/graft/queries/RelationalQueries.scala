@@ -240,6 +240,10 @@ object RelationalQueries {
       // this is the difference between shuffling the table and
       // shuffling a hash column. 128-bit digest keeps the collision
       // expectation ≪ 1 even at 10^12 rows (birthday bound ~3e-15).
+      // Caveat for doubles: dropDuplicates treats NaN==NaN and
+      // -0.0==0.0 as equal, but they serialize to DISTINCT JSON — on a
+      // table that can hold NaN/-0.0, normalize (nanvl + x+0.0) before
+      // to_json. Orders has no double edge values, so not needed here.
       val distinctRows = o
         .select(md5(to_json(struct(o.columns.map(col): _*))).as("__rh"))
         .agg(countDistinct($"__rh"))
