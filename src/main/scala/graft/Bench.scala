@@ -53,8 +53,36 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // Perf anchor: the reference publishes no wall-times (BASELINE.md),
+    // so the "within 2x of baseline" gate is measured against DuckDB
+    // running the same oracle SQL on the same parquet + host.
+    // `tools/check.py --bench-oracle` writes ORACLE_BENCH.json (median
+    // of 3 per headline query, keyed by sf basename); when present the
+    // bench line carries per-query spark/duckdb ratios.
+    val oracleTimes: Map[String, Double] = try {
+      val f = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_ORACLE_BENCH", "ORACLE_BENCH.json"))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(f).path(new java.io.File(sfDir).getName)
+      val it = node.fieldNames()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .map(k => k -> node.get(k).asDouble()).toMap
+    } catch { case _: Throwable => Map.empty }
+    val extra = {
+      val matched = results.filter { case (k, v) =>
+        v > 0 && oracleTimes.getOrElse(k, 0.0) > 0 }
+      if (matched.isEmpty) ""
+      else {
+        val oj = matched.map { case (k, _) =>
+          "\"" + k + "\":" + oracleTimes(k) }.mkString("{", ",", "}")
+        val rj = matched.map { case (k, v) =>
+          "\"" + k + "\":" + f"${v / oracleTimes(k)}%.2f" }.mkString("{", ",", "}")
+        s""","oracle_sec":$oj,"spark_over_duckdb":$rj"""
+      }
+    }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }

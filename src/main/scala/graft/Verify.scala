@@ -41,6 +41,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // headline set for tools/check.py --bench-oracle (the DuckDB-side
+    // timing anchor for the Spark/DuckDB bench ratio)
+    Files.writeString(Paths.get(s"$outDir/headline.json"),
+      graft.queries.Registry.headline.map(h => q(h.name)).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -4,8 +4,15 @@ given SF, then execute each oracle SQL in DuckDB over the same parquet
 tables and diff the results (columns sorted by name, rows sorted).
 
 Usage: python3 tools/check.py [sfDir] [outDir] [--skip-verify] [query...]
+
+--bench-oracle: instead of comparing, TIME each headline query's oracle
+SQL in DuckDB (median of 3 reps, same parquet, same host) and merge the
+timings into /root/repo/ORACLE_BENCH.json keyed by the sf basename.
+graft.Bench picks that file up and emits a per-query Spark/DuckDB ratio
+— the measurable stand-in for the "within 2x of baseline" gate, since
+the reference publishes no wall-times (BASELINE.md).
 """
-import json, math, subprocess, sys
+import json, math, subprocess, sys, time
 from pathlib import Path
 
 import duckdb
@@ -59,6 +66,28 @@ def canon(rel):
         out.append(tuple(vals))
     return sorted(cols), sorted(out)
 
+
+if "--bench-oracle" in flags:
+    # statistics.median of 3 reps per headline oracle; first rep warms
+    # DuckDB's buffer pool so the median reflects steady state, matching
+    # graft.Bench's warm-up + median-of-3 on the Spark side.
+    headline = json.loads((out / "headline.json").read_text())
+    names = only if only else [n for n in headline if n in oracle]
+    timings = {}
+    for name in names:
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.sql(oracle[name]).fetchall()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(reps)[1], 3)
+        print(f"oracle {name}: {timings[name]}s")
+    bench_path = Path("/root/repo/ORACLE_BENCH.json")
+    merged = json.loads(bench_path.read_text()) if bench_path.exists() else {}
+    merged[Path(sf).name] = timings
+    bench_path.write_text(json.dumps(merged, indent=1, sort_keys=True))
+    print(f"\nwrote {bench_path} [{Path(sf).name}] ({len(timings)} queries)")
+    sys.exit(0)
 
 fails = 0
 names = only if only else sorted(oracle)
