@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.queries.Registry
+
+/** Physical-plan regression gate for the headline queries. The DuckDB
+  * oracle (tools/check.py) proves the VALUES; this spec pins the plan
+  * SHAPES that make those values cheap at scale — the properties the
+  * round verdicts audit by hand:
+  *
+  *  - q03: both dimension joins broadcast, and the fact side reaches
+  *    its partial aggregation without shuffling (exactly one shuffle
+  *    Exchange in the whole plan, the post-partial-agg one).
+  *  - q12: top-k plans `TakeOrderedAndProject` (per-partition heaps),
+  *    never global Sort + Limit.
+  *  - q05: with GraftExtensions installed the rn==1 window filter
+  *    rewrites to the custom `TopKPerGroup` operator while keeping
+  *    Spark's `WindowGroupLimit` pre-truncation below it.
+  *  - registry-wide: no `CartesianProduct` anywhere, and
+  *    `BroadcastNestedLoopJoin` only in the two queries that declare a
+  *    broadcast-bounded cross join (s01/s02's 8-row query set × corpus).
+  *
+  * Plans are inspected pre-execution (`executedPlan` under AQE shows
+  * the initial physical plan), so a regression fails fast without
+  * running the query.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    GraftExtensions.install(spark)
+    Registry.byName(name).run(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  private def count(p: String, token: String): Int =
+    p.sliding(token.length).count(_ == token)
+
+  /** Shuffle exchanges only — `BroadcastExchange` nodes don't count. */
+  private def shuffles(p: String): Int =
+    count(p, "Exchange") - count(p, "BroadcastExchange")
+
+  test("q03 broadcasts both dimensions and never shuffles the fact side pre-agg") {
+    val p = plan("q03_join_agg")
+    assert(count(p, "BroadcastHashJoin") == 2,
+      s"expected 2 BroadcastHashJoins, plan:\n$p")
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "ShuffledHashJoin") == 0,
+      s"dimension join degraded to a shuffle join:\n$p")
+    assert(shuffles(p) == 1,
+      s"expected exactly 1 shuffle Exchange (post-partial-agg), plan:\n$p")
+  }
+
+  test("q12 top-k plans TakeOrderedAndProject, not global sort") {
+    val p = plan("q12_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    // a global Sort would mean the heap optimization regressed
+    assert(!p.contains("Sort "), s"unexpected global Sort in top-k plan:\n$p")
+  }
+
+  test("q05 rewrites rn==1 to TopKPerGroup and keeps WindowGroupLimit below it") {
+    val p = plan("q05_window_top1")
+    assert(p.contains("TopKPerGroup"), s"RankLimitRule/TopKStrategy not applied:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"WindowGroupLimit pre-truncation lost:\n$p")
+    assert(!p.contains("Window "),
+      s"full Window machinery survived the rewrite:\n$p")
+  }
+
+  test("no CartesianProduct anywhere; BNLJ only in the declared broadcast cross joins") {
+    val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf")
+    Registry.all.foreach { q =>
+      val p = plan(q.name)
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct:\n$p")
+      if (!bnljAllowed(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an undeclared BroadcastNestedLoopJoin:\n$p")
+    }
+  }
+}
