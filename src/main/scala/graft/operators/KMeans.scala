@@ -31,13 +31,16 @@ object KMeans {
 
   /** Squared-distance rank expression: index of the nearest centroid.
     * Builds `array(|c0|²-2x·c0, |c1|²-2x·c1, ...)` then argmin — all
-    * inside one whole-stage-codegen projection.
+    * inside one whole-stage-codegen projection. Scores are rounded to
+    * 6 dp before the argmin (the repo-wide rank-on-rounded-values
+    * convention) so the assignment is invariant to FP summation order
+    * and replays bit-for-bit in the DuckDB oracle (s06_kmeans).
     */
   private def nearestCentroid(vecCol: Column, centroids: Array[Array[Double]]): Column = {
     val scores = centroids.map { c =>
       val cf = c.map(_.toFloat)
       val c2 = cf.map(x => x.toDouble * x.toDouble).sum
-      lit(c2) - lit(2.0) * dot(vecCol, typedLit(cf))
+      round(lit(c2) - lit(2.0) * dot(vecCol, typedLit(cf)), 6)
     }
     // array_position returns the FIRST index of the min -> ties break
     // on the lowest centroid id, deterministically

@@ -299,5 +299,95 @@ object SimilarityQueries {
         count(*) AS n_vectors
       FROM expl GROUP BY label, j"""))
 
-  val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn, s05LabelCentroids)
+  private val KmK = 8 // k-means clusters
+  private val KmIters = 2 // Lloyd iterations (fixed for replayability)
+
+  /** Distributed k-means training (`operators.KMeans`) oracled
+    * end-to-end: 2 Lloyd iterations from the deterministic first-K
+    * init, then a final assignment with the fitted centroids. Output
+    * is the long-form model — (cluster, j, m) centroid coordinates
+    * (rounded 6 dp) plus each cluster's final member count. The DuckDB
+    * oracle replays both iterations: assignment score is
+    * round(|c|² − 2x·c, 6) with centroids cast to float32 exactly as
+    * `KMeans.nearestCentroid` does (|x|² is per-row constant, so it
+    * drops out of the argmin), argmin ties break on the lowest cluster
+    * index, and an emptied cluster keeps its previous centroid.
+    *
+    * Scale shape (SCALE.md): per iteration the corpus is touched by
+    * one codegen'd projection (K dot products/row) and one
+    * O(K × dim)-wide partial-agg shuffle; only the K×dim model ever
+    * reaches the driver.
+    */
+  val s06KMeans = Q(
+    "s06_kmeans",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val model = graft.operators.KMeans.fit(e, "embedding", "vec_id", KmK, KmIters)
+      val cents = model.centroids.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (m, j) => (i.toLong, j.toLong, m) }
+      }.toSeq
+      val centDf = cents.toDF("cluster", "j", "m_raw")
+      val counts = graft.operators.KMeans.assign(e, "embedding", model.centroids)
+        .groupBy($"cluster".cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+      centDf.join(counts, Seq("cluster"), "left")
+        .select($"cluster", $"j", round($"m_raw", 6).as("m"),
+          coalesce($"n_members", lit(0L)).as("n_members"))
+    },
+    Some(s"""WITH js AS (SELECT unnest(range($Dim)) AS j),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding AS c_emb
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $KmK)),
+      a1 AS (
+        SELECT e.vec_id, e.embedding, c.cluster,
+          round(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[])
+            - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]), 6) AS score
+        FROM embeddings e, c0 c),
+      a1w AS (
+        SELECT vec_id, embedding, cluster, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score ASC, cluster ASC) AS rn
+        FROM a1),
+      m1 AS (
+        SELECT cluster, j, avg(embedding[j + 1]::DOUBLE) AS m
+        FROM a1w, js WHERE rn = 1 GROUP BY cluster, j),
+      c1 AS (SELECT cluster, j, CAST(m AS FLOAT) AS cm FROM m1),
+      c1sq AS (SELECT cluster, sum(cm::DOUBLE * cm::DOUBLE) AS c2 FROM c1 GROUP BY cluster),
+      d1 AS (
+        SELECT e.vec_id, c.cluster, sum(e.embedding[c.j + 1]::DOUBLE * c.cm::DOUBLE) AS dp
+        FROM embeddings e, c1 c GROUP BY e.vec_id, c.cluster),
+      a2 AS (
+        SELECT e.vec_id, e.embedding, d.cluster, round(s.c2 - 2.0 * d.dp, 6) AS score
+        FROM embeddings e
+        JOIN d1 d ON e.vec_id = d.vec_id
+        JOIN c1sq s ON d.cluster = s.cluster),
+      a2w AS (
+        SELECT vec_id, embedding, cluster, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score ASC, cluster ASC) AS rn
+        FROM a2),
+      m2 AS (
+        SELECT cluster, j, avg(embedding[j + 1]::DOUBLE) AS m
+        FROM a2w, js WHERE rn = 1 GROUP BY cluster, j),
+      m2f AS (
+        SELECT m1.cluster, m1.j, COALESCE(m2.m, m1.m) AS m
+        FROM m1 LEFT JOIN m2 ON m1.cluster = m2.cluster AND m1.j = m2.j),
+      c2f AS (SELECT cluster, j, CAST(m AS FLOAT) AS cm FROM m2f),
+      c2sq AS (SELECT cluster, sum(cm::DOUBLE * cm::DOUBLE) AS c2 FROM c2f GROUP BY cluster),
+      d2 AS (
+        SELECT e.vec_id, c.cluster, sum(e.embedding[c.j + 1]::DOUBLE * c.cm::DOUBLE) AS dp
+        FROM embeddings e, c2f c GROUP BY e.vec_id, c.cluster),
+      a3 AS (
+        SELECT d.vec_id, d.cluster, round(s.c2 - 2.0 * d.dp, 6) AS score
+        FROM d2 d JOIN c2sq s ON d.cluster = s.cluster),
+      a3w AS (
+        SELECT vec_id, cluster, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score ASC, cluster ASC) AS rn
+        FROM a3),
+      cnt AS (SELECT cluster, count(*) AS n_members FROM a3w WHERE rn = 1 GROUP BY cluster)
+      SELECT m.cluster, m.j, round(m.m, 6) AS m,
+        CAST(COALESCE(c.n_members, 0) AS BIGINT) AS n_members
+      FROM m2f m LEFT JOIN cnt c ON m.cluster = c.cluster"""))
+
+  val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
+    s05LabelCentroids, s06KMeans)
 }
