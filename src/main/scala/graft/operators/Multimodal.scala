@@ -76,8 +76,19 @@ object Multimodal {
     }
   }
 
+  /** Real container magic bytes, so format detection reads the payload
+    * (not the metadata): PNG signature, RIFF/WAVE header, and the MP4
+    * `ftyp` box (brand bytes at offset 4).
+    */
+  val PngMagic: Array[Byte] = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+  val RiffMagic: Array[Byte] = "RIFF".getBytes("US-ASCII")
+  val Mp4Ftyp: Array[Byte] =
+    Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes("US-ASCII")
+
   /** Deterministic synthetic media corpus (seeded from media_id) —
-    * stands in for a binary-file source at test time.
+    * stands in for a binary-file source at test time. Payloads carry
+    * the genuine magic bytes of their format followed by seeded body
+    * bytes.
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
     import spark.implicits._
@@ -87,8 +98,14 @@ object Multimodal {
         case 1 => "audio"
         case _ => "video"
       }
+      val magic = kind match {
+        case "image" => PngMagic
+        case "audio" => RiffMagic
+        case _ => Mp4Ftyp
+      }
       val len = 64 + (id % 7).toInt * 32
-      val payload = Array.tabulate[Byte](len)(i => ((id * 131 + i * 17) % 251).toByte)
+      val payload = magic ++
+        Array.tabulate[Byte](len)(i => ((id * 131 + i * 17) % 251).toByte)
       MediaFile(id, kind,
         payload,
         MediaMeta(

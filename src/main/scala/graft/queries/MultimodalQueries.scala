@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Oracle coverage for the multimodal column plumbing
+  * (`operators.Multimodal`): binary payloads + typed metadata structs
+  * flowing through the mapPartitions decode paths.
+  *
+  * The query writes its own fixture — the deterministic synthetic
+  * media corpus, payloads carrying genuine container magic bytes — to
+  * a fixed parquet path, then BOTH engines read that identical file:
+  * Spark runs the real operators (decodeAndFeaturize, sampleFrames,
+  * resizeImages), DuckDB replays their arithmetic over the same
+  * payload bytes. Format detection reads magic bytes off the payload
+  * (PNG signature / RIFF / `ftyp` at offset 4), not the metadata — the
+  * thing a real ingest pipeline must do, since upstream metadata lies.
+  */
+object MultimodalQueries {
+
+  /** Fixture path shared with the DuckDB oracle (same host). */
+  val FixturePath = "/tmp/graft_fixtures/media.parquet"
+
+  private val NMedia = 60
+  private val FrameBytes = 32
+  private val EveryN = 2
+  private val ResizeTo = 16 // resize target (width = height = 16)
+
+  /** Per detected-format stats over the media corpus: item/byte counts
+    * from the featurize pass, sampled-frame totals from the video
+    * flatMap pass, and payload bytes after image resize. All counters
+    * are BIGINT on both sides (DuckDB integer sums are HUGEINT —
+    * CLAUDE.md).
+    */
+  val m01Multimodal = Q(
+    "m01_multimodal",
+    (s, dir) => {
+      import s.implicits._
+      Multimodal.syntheticMedia(s, NMedia).coalesce(1)
+        .write.mode("overwrite").parquet(FixturePath)
+      val media = s.read.parquet(FixturePath).as[Multimodal.MediaFile]
+      val feats = Multimodal.decodeAndFeaturize(media).toDF()
+        .select($"media_id", $"n_bytes")
+      val frames = Multimodal.sampleFrames(media, FrameBytes, EveryN).toDF()
+        .groupBy($"media_id").agg(count(lit(1)).as("n_frames"))
+      val resized = Multimodal.resizeImages(media, ResizeTo, ResizeTo).toDF()
+        .select($"media_id", length($"payload").cast("long").as("r_bytes"))
+      val magic4 = upper(hex(substring($"payload", 1, 4)))
+      val brand = upper(hex(substring($"payload", 5, 4)))
+      val detected = media.toDF().select($"media_id",
+        when(magic4 === "89504E47", "png")
+          .when(magic4 === "52494646", "wav")
+          .when(brand === "66747970", "mp4")
+          .otherwise("unknown").as("format"))
+      detected
+        .join(feats, Seq("media_id"))
+        .join(resized, Seq("media_id"))
+        .join(frames, Seq("media_id"), "left")
+        .groupBy($"format")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"n_bytes").as("total_bytes"),
+          min($"n_bytes").as("min_bytes"),
+          max($"n_bytes").as("max_bytes"),
+          sum(coalesce($"n_frames", lit(0L))).as("n_frames"),
+          sum($"r_bytes").as("resized_bytes"))
+    },
+    Some(s"""WITH media AS (SELECT * FROM '$FixturePath/*.parquet'),
+      det AS (
+        SELECT media_id, payload,
+          struct_extract(meta, 'width') AS w,
+          struct_extract(meta, 'height') AS h,
+          CASE WHEN left(hex(payload), 8) = '89504E47' THEN 'png'
+               WHEN left(hex(payload), 8) = '52494646' THEN 'wav'
+               WHEN substring(hex(payload), 9, 8) = '66747970' THEN 'mp4'
+               ELSE 'unknown' END AS format,
+          CAST(octet_length(payload) AS BIGINT) AS n_bytes
+        FROM media),
+      en AS (
+        SELECT format, n_bytes,
+          -- sampleFrames: ceil(n/$FrameBytes) windows, every ${EveryN}nd kept
+          CASE WHEN format = 'mp4'
+            THEN CAST(ceil(ceil(n_bytes / $FrameBytes.0) / $EveryN.0) AS BIGINT)
+            ELSE 0 END AS n_frames,
+          -- resize keeps indices i % ratio == 0, ratio = max(1, round(w*h/${ResizeTo * ResizeTo}))
+          CASE WHEN format = 'png'
+            THEN ((n_bytes - 1) // greatest(1, CAST(round(w * h / ${ResizeTo * ResizeTo}.0) AS BIGINT))) + 1
+            ELSE n_bytes END AS r_bytes
+        FROM det)
+      SELECT format,
+        CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+        CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+        CAST(sum(n_frames) AS BIGINT) AS n_frames,
+        CAST(sum(r_bytes) AS BIGINT) AS resized_bytes
+      FROM en GROUP BY format"""))
+
+  val all: Seq[Q] = Seq(m01Multimodal)
+}
