@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
 object NearDupClusters {
 
   /** @param pairs DataFrame with two id columns (pair endpoints)
+    * @param jumpFromIteration rounds before the pointer-jump shortcut
+    *   engages (see loop comment); `Int.MaxValue` disables it
     * @return (doc_id, component) — component = min id of the cluster
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20,
+      jumpFromIteration: Int = 3): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
@@ -44,23 +47,52 @@ object NearDupClusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // (min-label propagation advances one hop per iteration — the
-      // iteration count needed equals the pair-graph diameter)
-      // each node adopts min(own label, neighbors' labels); the
-      // did-anything-change flag rides along in the SAME pass, so the
-      // convergence check is a cheap aggregate over the materialized
-      // checkpoint instead of a second shuffle join per iteration
+      // Min-label propagation, one neighbor hop per round: each node
+      // adopts min(own, neighbors') label. Near-dup graphs are usually
+      // shallow stars (boilerplate hubs), so the common case converges
+      // in 2–3 rounds and anything fancier just adds per-round jobs —
+      // measured: an unconditional pointer jump costs ~40% extra wall
+      // time at sf0.1 for zero saved rounds.
+      //
+      // But a deep component (a CHAIN of near-dups at corpus scale)
+      // would need diameter rounds. So if the loop is still running
+      // after `jumpFromIteration` rounds — evidence the graph is deep —
+      // each further round adds the Shiloach-Vishkin pointer jump
+      // (comp := comp(comp)): label distance to the component minimum
+      // then roughly halves per round, turning a 100-hop chain's 100
+      // rounds into ~$jumpFrom + log2(100). The did-anything-change
+      // flag rides along in the same pass either way, so convergence
+      // detection is a cheap aggregate over the materialized result.
+      val doJump = iter >= jumpFromIteration
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy($"dst".as("doc_id"))
         .agg(min($"comp").as("n_comp"))
-      val next = labels
+      val hopBase = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id",
           least($"comp", coalesce($"n_comp", $"comp")).as("comp"),
-          ($"n_comp".isNotNull && $"n_comp" < $"comp").cast("long").as("changed"))
+          $"comp".as("prev"))
+      var cached: Option[DataFrame] = None
+      val next = (if (!doJump) {
+        hopBase
+      } else {
+        // lazily persist so the self-join computes the edges-join
+        // aggregate once inside the single checkpoint job
+        val hop = hopBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached = Some(hop)
+        hop.as("l")
+          .join(
+            hop.select($"doc_id".as("rep"), $"comp".as("rep_comp")).as("r"),
+            col("l.comp") === col("r.rep"), "left")
+          .select(col("l.doc_id").as("doc_id"),
+            least(col("l.comp"), coalesce(col("r.rep_comp"), col("l.comp"))).as("comp"),
+            col("l.prev").as("prev"))
+      }).select($"doc_id", $"comp",
+          ($"comp" < $"prev").cast("long").as("changed"))
         .localCheckpoint(true)
       val changed = next.agg(coalesce(sum($"changed"), lit(0L))).head().getLong(0)
+      cached.foreach(_.unpersist(false))
       labels = next.select($"doc_id", $"comp")
       converged = changed == 0
       iter += 1

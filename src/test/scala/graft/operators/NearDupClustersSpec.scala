@@ -26,6 +26,22 @@ class NearDupClustersSpec extends SparkSpec {
     assert(comps.toSeq == Seq(1L), s"all nodes must collapse to 1, got ${comps.toSeq}")
   }
 
+  test("deep chain: adaptive pointer jump converges in far fewer rounds than the diameter") {
+    // an 80-hop chain needs ~79 hop-only rounds — with maxIterations 20
+    // this converges ONLY because the Shiloach-Vishkin jump engages
+    // after round 3 and label distance then halves per round
+    val chain = (1L to 80L).sliding(2).map(s => (s(1), s.head)).toSeq.toDF("doc_a", "doc_b")
+    val comps = NearDupClusters.connectedComponents(chain, maxIterations = 20)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(comps.toSeq == Seq(1L))
+    // and with the jump disabled the same chain exhausts the budget —
+    // proving the convergence above came from the jump, not the hops
+    assertThrows[IllegalStateException] {
+      NearDupClusters.connectedComponents(chain, maxIterations = 20,
+        jumpFromIteration = Int.MaxValue).collect()
+    }
+  }
+
   test("keepRepresentatives drops non-representative cluster members only") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
