@@ -66,6 +66,30 @@ class PlanShapeSpec extends SparkSpec {
       s"full Window machinery survived the rewrite:\n$p")
   }
 
+  test("q02 pushes its range predicates into the parquet scan and prunes columns") {
+    GraftExtensions.install(spark)
+    // toString elides long metadata ("PushedFilters: [..., GreaterT...")
+    // — formatted explain prints the scan metadata in full
+    val p = Registry.byName("q02_filter_project").run(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThan(l_discount,0.05)") &&
+      p.contains("GreaterThanOrEqual(l_quantity,25.0)"),
+      s"range predicates not pushed to the scan:\n$p")
+    // projection pruning: the 16-column lineitem scan must read only
+    // the 5 referenced columns — l_shipdate in ReadSchema would mean
+    // pruning regressed
+    assert(!p.contains("l_shipdate"), s"scan reads unreferenced columns:\n$p")
+  }
+
+  test("q01 partial-aggregates before its single shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(count(p, "HashAggregate") == 2,
+      s"expected partial+final HashAggregate pair:\n$p")
+    assert(shuffles(p) == 1,
+      s"expected exactly one shuffle (post-partial-agg):\n$p")
+  }
+
   test("no CartesianProduct anywhere; BNLJ only in the declared broadcast cross joins") {
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf")
     Registry.all.foreach { q =>
