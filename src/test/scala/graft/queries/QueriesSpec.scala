@@ -64,8 +64,8 @@ class QueriesSpec extends SparkSpec {
     val rows = Registry.byName("q24_sketches").run(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getBoolean(3), s"approx_count_distinct >5% off for ${r.getString(0)}")
-      assert(r.getBoolean(4), s"hll_sketch estimate >5% off for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"approx_count_distinct >15% off for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"hll_sketch estimate >15% off for ${r.getString(0)}")
     }
   }
 
