@@ -61,8 +61,12 @@ object Bench {
     // of 3 per headline query, keyed by sf basename); when present the
     // bench line carries per-query spark/duckdb ratios.
     val oracleTimes: Map[String, Double] = try {
-      val f = new java.io.File(
-        sys.env.getOrElse("SPARK_GRAFT_ORACLE_BENCH", "ORACLE_BENCH.json"))
+      // check.py writes the repo-root path; the cwd-relative name covers
+      // running from the repo itself or a custom launcher dir
+      val f = Seq(
+        sys.env.getOrElse("SPARK_GRAFT_ORACLE_BENCH", "ORACLE_BENCH.json"),
+        "/root/repo/ORACLE_BENCH.json")
+        .map(new java.io.File(_)).find(_.isFile).get
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(f).path(new java.io.File(sfDir).getName)
       val it = node.fieldNames()

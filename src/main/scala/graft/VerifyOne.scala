@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
 object VerifyOne {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir, outDir) = args
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -17,13 +18,11 @@ object VerifyOne {
     graft.plans.GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
     val q = graft.queries.Registry.byName(name)
+    val sql = q.oracle.getOrElse(sys.error(
+      s"$name has no oracle SQL — only spec coverage; nothing to dump"))
     q.run(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    def esc(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      s"{${esc(name)}: ${esc(q.oracle.get)}}")
+      s"{${Verify.jsonQuote(name)}: ${Verify.jsonQuote(sql)}}")
     spark.stop()
   }
 }

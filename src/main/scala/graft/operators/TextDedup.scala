@@ -78,15 +78,18 @@ object TextDedup {
       textCol: String,
       saltBuckets: Int = 8,
       hotThreshold: Long = 1024): DataFrame = {
-    // Persist the signatures: the salted self-join evaluates its input
-    // in five branches (hot-key agg, semi, anti, probe, build) and the
-    // estimate stage reads them twice more — without the cache the
-    // shingle→minhash aggregation reruns per branch. Signatures are
-    // O(docs × k) longs (tiny next to the corpus); MEMORY_AND_DISK
-    // spills rather than OOMs, and Spark's CacheManager dedupes
-    // repeated calls over the same input by canonicalized plan.
+    // Materialize the signatures: the salted self-join evaluates its
+    // input in five branches (hot-key agg, semi, anti, probe, build)
+    // and the estimate stage reads them twice more — without the
+    // materialization the shingle→minhash aggregation reruns per
+    // branch. Signatures are O(docs × k) longs (tiny next to the
+    // corpus). localCheckpoint rather than persist(): a persisted
+    // DataFrame pins a CacheManager entry for the session's lifetime
+    // (each distinct corpus would leak a cache entry in a long-lived
+    // session), while checkpoint blocks are reclaimed by the
+    // ContextCleaner once the returned plan is unreferenced.
     val mins = minhashSignatures(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val bandCols = (0 until NumBands).map { j =>
       struct(lit(j).as("band_id"),
         concat_ws("_", (0 until BandRows).map(r => col(s"mh_${j * BandRows + r}")): _*).as("bkey"))

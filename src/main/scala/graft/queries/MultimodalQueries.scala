@@ -13,9 +13,12 @@ import graft.operators.Multimodal
   * a fixed parquet path, then BOTH engines read that identical file:
   * Spark runs the real operators (decodeAndFeaturize, sampleFrames,
   * resizeImages), DuckDB replays their arithmetic over the same
-  * payload bytes. Format detection reads magic bytes off the payload
-  * (PNG signature / RIFF / `ftyp` at offset 4), not the metadata — the
-  * thing a real ingest pipeline must do, since upstream metadata lies.
+  * payload bytes. The `format` column is detected from payload magic
+  * bytes (PNG signature / RIFF / `ftyp` at offset 4) — the check a
+  * real ingest pipeline runs because upstream metadata lies — while
+  * the frame/resize passes dispatch on `kind`, exactly as the
+  * operators do; grouping by detected format means a kind/magic
+  * disagreement shows up as a mismatched group on both engines.
   */
 object MultimodalQueries {
 
@@ -67,7 +70,7 @@ object MultimodalQueries {
     },
     Some(s"""WITH media AS (SELECT * FROM '$FixturePath/*.parquet'),
       det AS (
-        SELECT media_id, payload,
+        SELECT media_id, payload, kind,
           struct_extract(meta, 'width') AS w,
           struct_extract(meta, 'height') AS h,
           CASE WHEN left(hex(payload), 8) = '89504E47' THEN 'png'
@@ -78,12 +81,17 @@ object MultimodalQueries {
         FROM media),
       en AS (
         SELECT format, n_bytes,
+          -- the operators dispatch on the metadata `kind` (sampleFrames
+          -- filters kind='video', resizeImages keys on kind='image') —
+          -- the replay must too; `format` stays the magic-byte DETECTION
+          -- output and group key, so a kind/magic disagreement would
+          -- surface as a mismatched group, not a silently-wrong replay
           -- sampleFrames: ceil(n/$FrameBytes) windows, every ${EveryN}nd kept
-          CASE WHEN format = 'mp4'
+          CASE WHEN kind = 'video'
             THEN CAST(ceil(ceil(n_bytes / $FrameBytes.0) / $EveryN.0) AS BIGINT)
             ELSE 0 END AS n_frames,
           -- resize keeps indices i % ratio == 0, ratio = max(1, round(w*h/${ResizeTo * ResizeTo}))
-          CASE WHEN format = 'png'
+          CASE WHEN kind = 'image'
             THEN ((n_bytes - 1) // greatest(1, CAST(round(w * h / ${ResizeTo * ResizeTo}.0) AS BIGINT))) + 1
             ELSE n_bytes END AS r_bytes
         FROM det)

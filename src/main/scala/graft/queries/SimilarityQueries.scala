@@ -351,7 +351,14 @@ object SimilarityQueries {
       m1 AS (
         SELECT cluster, j, avg(embedding[j + 1]::DOUBLE) AS m
         FROM a1w, js WHERE rn = 1 GROUP BY cluster, j),
-      c1 AS (SELECT cluster, j, CAST(m AS FLOAT) AS cm FROM m1),
+      -- a cluster emptied in iteration 1 keeps its INIT centroid
+      -- (KMeans.fit fallback) — m1 alone would silently drop it
+      c0l AS (
+        SELECT cluster, j, c_emb[j + 1]::DOUBLE AS m0 FROM c0, js),
+      m1f AS (
+        SELECT c0l.cluster, c0l.j, COALESCE(m1.m, c0l.m0) AS m
+        FROM c0l LEFT JOIN m1 ON c0l.cluster = m1.cluster AND c0l.j = m1.j),
+      c1 AS (SELECT cluster, j, CAST(m AS FLOAT) AS cm FROM m1f),
       c1sq AS (SELECT cluster, sum(cm::DOUBLE * cm::DOUBLE) AS c2 FROM c1 GROUP BY cluster),
       d1 AS (
         SELECT e.vec_id, c.cluster, sum(e.embedding[c.j + 1]::DOUBLE * c.cm::DOUBLE) AS dp
@@ -369,8 +376,8 @@ object SimilarityQueries {
         SELECT cluster, j, avg(embedding[j + 1]::DOUBLE) AS m
         FROM a2w, js WHERE rn = 1 GROUP BY cluster, j),
       m2f AS (
-        SELECT m1.cluster, m1.j, COALESCE(m2.m, m1.m) AS m
-        FROM m1 LEFT JOIN m2 ON m1.cluster = m2.cluster AND m1.j = m2.j),
+        SELECT m1f.cluster, m1f.j, COALESCE(m2.m, m1f.m) AS m
+        FROM m1f LEFT JOIN m2 ON m1f.cluster = m2.cluster AND m1f.j = m2.j),
       c2f AS (SELECT cluster, j, CAST(m AS FLOAT) AS cm FROM m2f),
       c2sq AS (SELECT cluster, sum(cm::DOUBLE * cm::DOUBLE) AS c2 FROM c2f GROUP BY cluster),
       d2 AS (

@@ -23,8 +23,11 @@ import graft.queries.Registry
   *    broadcast-bounded cross join (s01/s02's 8-row query set × corpus).
   *
   * Plans are inspected pre-execution (`executedPlan` under AQE shows
-  * the initial physical plan), so a regression fails fast without
-  * running the query.
+  * the initial physical plan), so for most queries a regression fails
+  * fast without executing anything. The exceptions are the queries
+  * whose construction itself runs driver-side work (s06's Lloyd
+  * iterations, m01's fixture write, the two-pass quantile queries) —
+  * the sweep still covers their final plans, at the cost of that work.
   */
 class PlanShapeSpec extends SparkSpec {
 

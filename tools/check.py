@@ -68,11 +68,18 @@ def canon(rel):
 
 
 if "--bench-oracle" in flags:
-    # statistics.median of 3 reps per headline oracle; first rep warms
-    # DuckDB's buffer pool so the median reflects steady state, matching
-    # graft.Bench's warm-up + median-of-3 on the Spark side.
-    headline = json.loads((out / "headline.json").read_text())
-    names = only if only else [n for n in headline if n in oracle]
+    # Median of 3 reps per headline oracle. Symmetry note: both engines
+    # read OS-page-cache-warm parquet; graft.Bench's per-rep
+    # clearCache() only drops Spark-side operator caches (persisted
+    # intermediates), so the spark/duckdb ratio compares like with like.
+    hpath = out / "headline.json"
+    if not hpath.exists():
+        sys.exit(f"--bench-oracle needs {hpath} (written by graft.Verify; "
+                 "rerun without --skip-verify or point outDir at a Verify dump)")
+    headline = json.loads(hpath.read_text())
+    names = [n for n in (only if only else headline) if n in oracle]
+    if only and len(names) < len(only):
+        print("skipping (no oracle):", ", ".join(sorted(set(only) - set(names))))
     timings = {}
     for name in names:
         reps = []
