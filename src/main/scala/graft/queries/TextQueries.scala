@@ -323,7 +323,39 @@ object TextQueries {
       FROM counts c JOIN w1tot t USING (w1)
       ORDER BY c.n_bigram DESC, c.bigram ASC LIMIT 20"""))
 
+  private val PackCapacity = 512L // tokens per training sequence
+  private val PackBuckets = 8
+
+  /** Sequence packing (`operators.SeqPacking`): next-fit docs into
+    * 512-token bins per hash bucket, deterministic (bucket, doc_id)
+    * order. The DuckDB oracle replays the greedy fold with a recursive
+    * CTE walking each bucket's rows in the same order — bin advances
+    * when the fill would overflow, an oversized doc takes its own bin.
+    * Output is each doc's bin assignment (the training-shard manifest).
+    */
+  val t11SeqPacking = Q(
+    "t11_seq_packing",
+    (s, dir) => graft.operators.SeqPacking.packDocuments(
+      Tables.documents(s, dir), PackCapacity, PackBuckets),
+    Some(s"""WITH RECURSIVE toks AS (
+        SELECT doc_id, doc_id % $PackBuckets AS bucket,
+          CAST(len($wsTokensSql) AS BIGINT) AS tok,
+          row_number() OVER (PARTITION BY doc_id % $PackBuckets
+            ORDER BY doc_id) AS rn
+        FROM documents),
+      pack AS (
+        SELECT bucket, rn, doc_id, tok, CAST(1 AS BIGINT) AS bin_id, tok AS fill
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT t.bucket, t.rn, t.doc_id, t.tok,
+          CASE WHEN p.fill + t.tok <= $PackCapacity THEN p.bin_id ELSE p.bin_id + 1 END,
+          CASE WHEN p.fill + t.tok <= $PackCapacity THEN p.fill + t.tok ELSE t.tok END
+        FROM pack p JOIN toks t ON t.bucket = p.bucket AND t.rn = p.rn + 1)
+      SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, bin_id, tok
+      FROM pack"""))
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
-      t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm)
+      t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
+      t11SeqPacking)
 }
