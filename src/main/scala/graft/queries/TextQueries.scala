@@ -354,8 +354,68 @@ object TextQueries {
       SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, bin_id, tok
       FROM pack"""))
 
+  private val MixBudget = 700L // per-source token budget
+
+  /** Data-mixture sampling: every source (domain) gets the same token
+    * budget; its acceptance rate is COMPUTED from the corpus
+    * (min(1, budget / source_tokens)) and applied as a deterministic
+    * md5-bucket threshold — the domain-reweighting step of a training
+    * mix, downstream of dedup and upstream of packing. Unlike q37
+    * (fixed per-stratum rates) the rate here derives from measured
+    * totals, so the oracle must replay the whole chain: token census →
+    * integer threshold (one IEEE division + floor, bit-identical cross
+    * engine) → hash gate. Stable under resharding/insertion for
+    * already-present docs (q26's split property), "mix_" salt
+    * decorrelates from q26/q37 assignments.
+    *
+    * Scale: two shuffles (source census, final rollup); the gate itself
+    * is a codegen'd projection. Output is the per-source audit: rate
+    * threshold, kept docs/tokens vs totals.
+    */
+  val t12MixtureSample = Q(
+    "t12_mixture_sample",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", $"source", tokenCount($"text").cast("long").as("tok"))
+      val totals = toks.groupBy($"source")
+        .agg(sum($"tok").as("src_tokens"))
+      val bucket = pmod(
+        graft.functions.exprs.token_hash60(concat(lit("mix_"), $"doc_id".cast("string"))),
+        lit(10000L))
+      toks.join(totals, "source")
+        .withColumn("thr",
+          least(lit(10000L),
+            floor(lit(10000.0) * lit(MixBudget) / $"src_tokens").cast("long")))
+        .withColumn("keep", bucket < $"thr")
+        .groupBy($"source", $"src_tokens", $"thr")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"keep".cast("long")).as("n_kept"),
+          sum(when($"keep", $"tok").otherwise(0L)).as("kept_tokens"))
+        .select($"source", $"src_tokens", $"thr".as("sample_threshold"),
+          $"n_docs", $"n_kept", $"kept_tokens")
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, source, CAST(len($wsTokensSql) AS BIGINT) AS tok
+        FROM documents),
+      tot AS (
+        SELECT source, CAST(sum(tok) AS BIGINT) AS src_tokens
+        FROM toks GROUP BY source),
+      gated AS (
+        SELECT t.source, o.src_tokens, t.tok,
+          least(10000, CAST(floor(10000.0 * $MixBudget / o.src_tokens) AS BIGINT)) AS thr,
+          (CAST(('0x' || substr(md5('mix_' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10000) AS b
+        FROM toks t JOIN tot o USING (source))
+      SELECT source, src_tokens, thr AS sample_threshold,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN b < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN b < thr THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM gated GROUP BY source, src_tokens, thr"""))
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
-      t11SeqPacking)
+      t11SeqPacking, t12MixtureSample)
 }
