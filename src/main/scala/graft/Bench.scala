@@ -23,9 +23,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
 
-    val qs =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) Registry.all
-      else Registry.headline
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (cross-SF
+    // curves, before/after checks); BENCH_ALL times the full registry.
+    val qs = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        Registry.all.filter(q => want(q.name))
+      case None =>
+        if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) Registry.all
+        else Registry.headline
+    }
 
     // Warm the JVM + parquet footers once so per-query times measure the
     // query, not first-touch JIT/IO (the cluster-realistic steady state).
@@ -35,24 +42,39 @@ object Bench {
     // (CLAUDE.md); report the MEDIAN of `reps` timed runs per query so
     // round-over-round deltas reflect the plan, not the neighbors.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results = qs.map { q =>
-      val times = (1 to reps).map { _ =>
-        // Operators that persist intermediates (e.g. minhash signatures)
-        // would serve reps 2+ from cache — clear so every rep measures
-        // the full query, not a cache read.
+    val timed = qs.map { q =>
+      val times = (1 to reps).flatMap { _ =>
+        // Operators that persist intermediates (minhash signatures via
+        // the TextDedup memo, catalog-cached frames) would serve reps
+        // 2+ from cache — clear both so every rep measures the full
+        // query, not a cache read.
         spark.catalog.clearCache()
+        graft.operators.TextDedup.clearSharedSignatures(spark)
         val t0 = System.nanoTime()
-        // A failed rep records the -1.0 sentinel, not its elapsed time:
-        // a consistently-failing query must not report a plausible median.
-        try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        // A failed rep is EXCLUDED from the median rather than recorded
+        // as a sentinel — a -1.0 inside the sort would make a 2/3-pass
+        // query report its min as "median" and quietly shrink `total`.
+        try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }.sorted
-      q.name -> times(times.length / 2)
+      // -1.0 only when EVERY rep failed: a consistently-failing query
+      // must not report a plausible time.
+      val median = if (times.isEmpty) -1.0 else times(times.length / 2)
+      (q.name, median, reps - times.length)
     }
+    val results = timed.map { case (k, v, _) => (k, v) }
     val qJson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total = sum of successful medians; failed queries are reported in
+    // failed_reps (and as -1.0 in queries), not subtracted from total
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = {
+      val failed = timed.filter(_._3 > 0)
+      if (failed.isEmpty) ""
+      else failed.map { case (k, _, n) => "\"" + k + "\":" + n }
+        .mkString(""","failed_reps":{""", ",", "}")
+    }
 
     // Perf anchor: the reference publishes no wall-times (BASELINE.md),
     // so the "within 2x of baseline" gate is measured against DuckDB
@@ -86,7 +108,7 @@ object Bench {
       }
     }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"$extra}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"$extra$failedJson}""")
     spark.stop()
   }
 }

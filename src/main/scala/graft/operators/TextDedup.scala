@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,63 @@ object TextDedup {
     hashed.groupBy(col(idCol)).agg(mhCols.head, mhCols.tail: _*)
   }
 
+  // ---- per-session signature memo ----------------------------------
+  // d02 (Jaccard verification), d03 (LSH candidates) and d06 (cluster
+  // collapse) all start from the same shingle→minhash aggregation — the
+  // dominant cost of candidate generation. Memoize the checkpointed
+  // signature frame per (session, input plan) so one session running
+  // the whole dedup ladder computes signatures once. Entries hold
+  // O(docs × k) longs in checkpoint storage for the session's lifetime
+  // (or until `clearSharedSignatures` — Bench calls it per rep so every
+  // timed rep still measures the full pipeline).
+  private val sigCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  /** Memo key: canonicalized analyzed plan plus per-leaf identity. The
+    * canonicalized tree's STRING distinguishes different transforms but
+    * elides what the leaves actually hold — a parquet relation prints
+    * without its path (two SFs of one table look identical) and a
+    * LocalRelation prints only its schema (two in-memory corpora look
+    * identical) — so scan root paths and local-data hashes are appended
+    * explicitly. Worst case an unrecognized leaf stringifies the same
+    * across distinct inputs is excluded by covering both leaf kinds the
+    * engine produces; an unstable stringification merely misses the
+    * memo and recomputes.
+    */
+  private def planKey(docs: DataFrame, idCol: String, textCol: String): String = {
+    val plan = docs.queryExecution.analyzed
+    val leaves = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.mkString(",")
+          case r => r.toString
+        }
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        s"local:${loc.data.hashCode}"
+    }
+    s"${plan.canonicalized}|${leaves.mkString(";")}|$idCol|$textCol"
+  }
+
+  /** Checkpointed [[minhashSignatures]], memoized per session + input.
+    * localCheckpoint rather than persist(): a persisted DataFrame pins a
+    * CacheManager entry and recomputes per consuming branch until
+    * materialized, while an eager checkpoint materializes once and its
+    * blocks are reclaimed by the ContextCleaner when unreferenced.
+    */
+  def sharedSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val m = sigCache.computeIfAbsent(docs.sparkSession,
+      _ => scala.collection.concurrent.TrieMap.empty)
+    m.getOrElseUpdate(planKey(docs, idCol, textCol),
+      minhashSignatures(docs, idCol, textCol).localCheckpoint(true))
+  }
+
+  /** Drop `spark`'s signature memo (checkpoint blocks become collectable
+    * once the frames are unreferenced).
+    */
+  def clearSharedSignatures(spark: SparkSession): Unit = sigCache.remove(spark)
+
   /** LSH candidate pairs (id_a < id_b) with signature-estimated
     * similarity in [0,1]. The band-bucket self-join goes through
     * `Salting.skewSelfJoinPairs`: a hot band (> `hotThreshold` member
@@ -78,18 +135,14 @@ object TextDedup {
       textCol: String,
       saltBuckets: Int = 8,
       hotThreshold: Long = 1024): DataFrame = {
-    // Materialize the signatures: the salted self-join evaluates its
+    // Materialized signatures: the salted self-join evaluates its
     // input in five branches (hot-key agg, semi, anti, probe, build)
     // and the estimate stage reads them twice more — without the
     // materialization the shingle→minhash aggregation reruns per
     // branch. Signatures are O(docs × k) longs (tiny next to the
-    // corpus). localCheckpoint rather than persist(): a persisted
-    // DataFrame pins a CacheManager entry for the session's lifetime
-    // (each distinct corpus would leak a cache entry in a long-lived
-    // session), while checkpoint blocks are reclaimed by the
-    // ContextCleaner once the returned plan is unreferenced.
-    val mins = minhashSignatures(docs, idCol, textCol)
-      .localCheckpoint(true)
+    // corpus), and the memo means d02/d03/d06 in one session share one
+    // computation.
+    val mins = sharedSignatures(docs, idCol, textCol)
     val bandCols = (0 until NumBands).map { j =>
       struct(lit(j).as("band_id"),
         concat_ws("_", (0 until BandRows).map(r => col(s"mh_${j * BandRows + r}")): _*).as("bkey"))

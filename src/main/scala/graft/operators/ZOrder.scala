@@ -76,6 +76,14 @@ object ZOrder {
         Seq(min(col(c).cast("double")).as(s"min_$c"),
           max(col(c).cast("double")).as(s"max_$c"))): _*)
       .head()
+    // empty input (or an all-NULL / non-castable column) leaves the
+    // min/max aggregates NULL — fail with the actual cause instead of a
+    // NullPointerException from getDouble deep inside zorderWrite
+    cols.zipWithIndex.foreach { case (c, d) =>
+      require(!bounds.isNullAt(2 * d) && !bounds.isNullAt(2 * d + 1),
+        s"z-order column '$c' has no numeric min/max — input is empty " +
+          "or the column is entirely NULL")
+    }
     val k = cols.size
     val bits = bitsPerDim(k)
     val maxBucket = (1 << bits) - 1

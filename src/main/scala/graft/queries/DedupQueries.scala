@@ -115,13 +115,17 @@ object DedupQueries {
       val cand = graft.operators.TextDedup
         .minhashCandidates(docs, "doc_id", "text")
         .select($"doc_a", $"doc_b")
-      // per-doc shingle-hash set, one linear pass + one shuffle on doc_id
+      // per-doc shingle-hash set, one linear pass + one shuffle on
+      // doc_id; checkpointed because BOTH verification joins consume it
+      // (the doc_a and doc_b branches) — without materialization the
+      // explode+distinct+collect_set subtree runs once per branch
       val sets = docs
         .select($"doc_id", explode(shingles($"text")).as("sh"))
         .select($"doc_id", graft.functions.exprs.token_hash60($"sh").as("h"))
         .distinct()
         .groupBy($"doc_id")
         .agg(collect_set($"h").as("hs"))
+        .localCheckpoint(true)
       cand
         .join(sets.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), "doc_a")
         .join(sets.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), "doc_b")
@@ -149,7 +153,8 @@ object DedupQueries {
       FROM inter i
       JOIN sizes sa ON sa.doc_id = i.doc_a
       JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 4) >= 0.5"""))
+      WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 4) >= 0.5"""),
+    headline = true)
 
   /** MinHash + LSH candidate pairs with signature-estimated similarity.
     * Linear in corpus size: per-doc signature (one agg), band keys, and
@@ -296,7 +301,8 @@ object DedupQueries {
         SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
       SELECT a AS doc_id, least(a, min(b)) AS comp
       FROM reach GROUP BY a"""
-    })
+    },
+    headline = true)
 
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,

@@ -10,7 +10,7 @@ import graft.operators.Multimodal
   *
   * The query writes its own fixture — the deterministic synthetic
   * media corpus, payloads carrying genuine container magic bytes — to
-  * a fixed parquet path, then BOTH engines read that identical file:
+  * a per-JVM parquet path, then BOTH engines read that identical file:
   * Spark runs the real operators (decodeAndFeaturize, sampleFrames,
   * resizeImages), DuckDB replays their arithmetic over the same
   * payload bytes. The `format` column is detected from payload magic
@@ -22,8 +22,15 @@ import graft.operators.Multimodal
   */
 object MultimodalQueries {
 
-  /** Fixture path shared with the DuckDB oracle (same host). */
-  val FixturePath = "/tmp/graft_fixtures/media.parquet"
+  /** Fixture path shared with the DuckDB oracle (same host). Keyed by
+    * this JVM's pid: the oracle SQL below is rendered by the same JVM
+    * that writes the fixture (Verify dumps both), so the path always
+    * matches — while two concurrent runs (e.g. sbt test's registry
+    * sweep racing check.py's Verify) write disjoint directories instead
+    * of tearing one shared overwrite.
+    */
+  val FixturePath =
+    s"/tmp/graft_fixtures/media_${ProcessHandle.current().pid()}.parquet"
 
   private val NMedia = 60
   private val FrameBytes = 32

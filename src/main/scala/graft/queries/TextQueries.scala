@@ -229,7 +229,10 @@ object TextQueries {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val nDocs = docs.count() // O(1) scalar, same precedent as q10
+      // driver-side corpus count: ONE scalar crosses the driver (the
+      // idf numerator, a query parameter like the IQR brackets), at the
+      // price of one extra count job — not a collect-of-data path
+      val nDocs = docs.count()
       val tf = docs
         .select($"doc_id", explode(wsTokens($"text")).as("term"))
         .groupBy($"doc_id", $"term")
@@ -337,10 +340,16 @@ object TextQueries {
     "t11_seq_packing",
     (s, dir) => graft.operators.SeqPacking.packDocuments(
       Tables.documents(s, dir), PackCapacity, PackBuckets),
+    // oracle buckets with ((x % n) + n) % n, not bare %: Spark's pmod is
+    // non-negative while DuckDB's % follows the dividend sign, so a
+    // negative doc_id would land in a different bucket AND a different
+    // packing order under bare %
     Some(s"""WITH RECURSIVE toks AS (
-        SELECT doc_id, doc_id % $PackBuckets AS bucket,
+        SELECT doc_id,
+          ((doc_id % $PackBuckets) + $PackBuckets) % $PackBuckets AS bucket,
           CAST(len($wsTokensSql) AS BIGINT) AS tok,
-          row_number() OVER (PARTITION BY doc_id % $PackBuckets
+          row_number() OVER (
+            PARTITION BY ((doc_id % $PackBuckets) + $PackBuckets) % $PackBuckets
             ORDER BY doc_id) AS rn
         FROM documents),
       pack AS (
@@ -383,10 +392,16 @@ object TextQueries {
       val bucket = pmod(
         graft.functions.exprs.token_hash60(concat(lit("mix_"), $"doc_id".cast("string"))),
         lit(10000L))
+      // greatest(src_tokens, 1): a source whose docs are all zero-token
+      // would divide by 0 — Spark double division gives Infinity while
+      // DuckDB gives NULL (CLAUDE.md invariant: guard every /0 path);
+      // the guard is the same expression on both sides so the IEEE
+      // division stays bit-identical
       toks.join(totals, "source")
         .withColumn("thr",
           least(lit(10000L),
-            floor(lit(10000.0) * lit(MixBudget) / $"src_tokens").cast("long")))
+            floor(lit(10000.0) * lit(MixBudget) / greatest($"src_tokens", lit(1L)))
+              .cast("long")))
         .withColumn("keep", bucket < $"thr")
         .groupBy($"source", $"src_tokens", $"thr")
         .agg(
@@ -404,7 +419,7 @@ object TextQueries {
         FROM toks GROUP BY source),
       gated AS (
         SELECT t.source, o.src_tokens, t.tok,
-          least(10000, CAST(floor(10000.0 * $MixBudget / o.src_tokens) AS BIGINT)) AS thr,
+          least(10000, CAST(floor(10000.0 * $MixBudget / greatest(o.src_tokens, 1)) AS BIGINT)) AS thr,
           (CAST(('0x' || substr(md5('mix_' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
             % 10000) AS b
         FROM toks t JOIN tot o USING (source))
