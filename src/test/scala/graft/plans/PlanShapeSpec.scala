@@ -93,6 +93,44 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one shuffle (post-partial-agg):\n$p")
   }
 
+  test("d02 verifies candidates over materialized sets — no corpus re-scan, equi-joins only") {
+    val p = plan("d02_ngram_jaccard")
+    // signatures and shingle-sets are checkpointed (ExistingRDD scans):
+    // a parquet scan in the FINAL plan would mean a corpus-derived
+    // intermediate lost its materialization and re-reads the documents
+    // table once per consuming branch
+    assert(count(p, "Scan parquet") == 0,
+      s"d02 re-scans the corpus instead of reading a materialized intermediate:\n$p")
+    // candidate verification must stay linear in candidates: hash-based
+    // equi-joins, never a nested-loop pair expansion
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d02 verification degraded to a non-equi join:\n$p")
+  }
+
+  test("d06 truncates lineage per round — final plan is independent of iteration count") {
+    val p = plan("d06_dedup_clusters")
+    // each round localCheckpoints its labels; the returned frame reads
+    // ONE materialized RDD. A Join/Exchange here would mean the
+    // iterative self-join lineage compounded across rounds — the plan
+    // blowup that kills long iterative jobs
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"d06 final plan carries un-truncated iteration lineage:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"d06 final plan should read the checkpointed labels:\n$p")
+  }
+
+  test("connectedComponents plan size does not grow with graph diameter") {
+    import spark.implicits._
+    def finalPlanLines(edges: Seq[(Long, Long)]): Int =
+      graft.operators.NearDupClusters
+        .connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .queryExecution.executedPlan.toString.linesIterator.size
+    val star = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L) // converges in ~2 rounds
+    val chain = (1L until 12L).map(i => i -> (i + 1)) // needs pointer-jump rounds
+    assert(finalPlanLines(star) == finalPlanLines(chain),
+      "final plan shape must be identical regardless of rounds executed")
+  }
+
   test("no CartesianProduct anywhere; BNLJ only in the declared broadcast cross joins") {
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf")
     Registry.all.foreach { q =>
