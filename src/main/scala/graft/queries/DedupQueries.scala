@@ -304,7 +304,78 @@ object DedupQueries {
     },
     headline = true)
 
+  /** LSH recall gate — closes the replay blind spot in d02/d03's
+    * verification. The TRUE near-dup set (exact Jaccard ≥ 0.5) is
+    * computed INDEPENDENTLY of the minhash chain: an inverted-index
+    * self-join on 60-bit shingle hashes shares only the shingling
+    * contract (the definition of the similarity itself), none of the
+    * minhash/band algebra. A bug in candidate generation that silently
+    * lost true pairs would keep d02/d03 green (both engines replay the
+    * same algorithm) but drop `recall` here — and `LshRecallSpec` pins
+    * recall ≥ 0.95, the (b=4 bands, r=3 rows) S-curve bound: per-pair
+    * catch probability is 1-(1-J³)⁴ ≥ 0.98 for J ≥ 0.85, and every
+    * true pair in the synthetic corpus has J ≥ 0.85 (measured: min J =
+    * 0.857 at sf0.001, 0.875 at sf0.01; recall = 1.0 at both).
+    *
+    * The exact all-pairs side is the expensive baseline (quadratic in
+    * docs sharing a shingle) — it exists to AUDIT the linear path, the
+    * same role s01's brute force plays for ANN. Not a headline query.
+    */
+  val d07LshRecall = Q(
+    "d07_lsh_recall",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      // checkpointed: the self-join consumes it twice, sizes once
+      val sh60 = docs
+        .select($"doc_id", explode(shingles($"text")).as("sh"))
+        .select($"doc_id", graft.functions.exprs.token_hash60($"sh").as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val sizes = sh60.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh60.as("a")
+        .join(sh60.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val truePairs = inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+        .filter(round($"inter" / ($"sz_a" + $"sz_b" - $"inter"), 4) >= 0.5)
+        .select($"doc_a", $"doc_b")
+      val cand = graft.operators.TextDedup
+        .minhashCandidates(docs, "doc_id", "text")
+        .select($"doc_a", $"doc_b", lit(1L).as("hit"))
+      truePairs
+        .join(cand, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce($"hit", lit(0L))).as("n_caught"))
+        .select($"n_true", $"n_caught",
+          round($"n_caught" / greatest($"n_true", lit(1L)), 4).as("recall"))
+    },
+    Some(s"""WITH $lshCandSql,
+      sh60 AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh60 GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh60 a JOIN sh60 b ON b.h = a.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      tp AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 4) >= 0.5)
+      SELECT CAST(count(*) AS BIGINT) AS n_true,
+        CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+        round(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) /
+          greatest(count(*), 1), 4) AS recall
+      FROM tp t LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b"""))
+
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
-      d05EmbeddingNearDup, d06DedupClusters)
+      d05EmbeddingNearDup, d06DedupClusters, d07LshRecall)
 }
