@@ -91,7 +91,9 @@ if "--bench-oracle" in flags:
         print(f"oracle {name}: {timings[name]}s")
     bench_path = Path("/root/repo/ORACLE_BENCH.json")
     merged = json.loads(bench_path.read_text()) if bench_path.exists() else {}
-    merged[Path(sf).name] = timings
+    # merge per QUERY within the SF: a subset run (explicit names) must
+    # not wipe the other headline timings for that SF
+    merged.setdefault(Path(sf).name, {}).update(timings)
     bench_path.write_text(json.dumps(merged, indent=1, sort_keys=True))
     print(f"\nwrote {bench_path} [{Path(sf).name}] ({len(timings)} queries)")
     sys.exit(0)
