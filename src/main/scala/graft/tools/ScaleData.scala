@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize a larger SF from an existing one by key-offset
+  * replication — the tool behind SCALE.md's fixed-cost convergence
+  * measurements (the driver's testdata stops at sf0.1; the convergence
+  * argument needs a point past it).
+  *
+  * The replication preserves workload CHARACTER, not just row count:
+  *
+  *  - `lineitem` / `orders`: each copy offsets the order keys by
+  *    copy × (max+1), so fact cardinality scales linearly while the
+  *    dimension tables (customer/nation/...) stay fixed — how a real
+  *    warehouse grows. Group-key cardinality for q05 (suppkey × year)
+  *    is unchanged; join fan-in for q03 scales with the facts.
+  *  - `documents`: each copy offsets doc_id AND prefixes every token
+  *    with a copy tag (`c1the c1quick ...`), making copies pairwise
+  *    disjoint in shingle space. Prefixing every token uniformly is a
+  *    Jaccard-preserving bijection per copy, so d03's true-pair count
+  *    scales exactly linearly — no cross-copy near-dups, no artificial
+  *    candidate blowup that would make the scaled run LOOK
+  *    superlinear. Copy 0 is byte-identical to the source corpus.
+  *  - everything else: copied verbatim (dims don't scale).
+  *
+  * Output keeps the driver's single-file-per-table layout
+  * (`<out>/<table>.parquet` as a FILE) so tools/check.py's DuckDB
+  * views read it unchanged.
+  *
+  * Usage: runMain graft.tools.ScaleData <inDir> <outDir> <copies>
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, copiesStr) = args
+    val copies = copiesStr.toInt
+    require(copies >= 1, s"copies must be >= 1, got $copies")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+
+    def replicate(name: String)(xform: (DataFrame, Long) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$inDir/$name.parquet")
+      val out = xform(
+        src.withColumn("__k", explode(sequence(lit(0L), lit(copies - 1L)))),
+        copies.toLong
+      ).drop("__k")
+      // single part file, then rename to the driver's <table>.parquet
+      // FILE layout (DuckDB 1.0 can't read a directory path)
+      val tmp = s"$outDir/__tmp_$name"
+      out.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val tmpDir = new java.io.File(tmp)
+      val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, java.nio.file.Paths.get(s"$outDir/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tmpDir.listFiles().foreach(_.delete()); tmpDir.delete()
+    }
+
+    val span = spark.read.parquet(s"$inDir/orders.parquet")
+      .agg(max($"o_orderkey")).head().getLong(0) + 1
+    val docSpan = spark.read.parquet(s"$inDir/documents.parquet")
+      .agg(max($"doc_id")).head().getLong(0) + 1
+
+    replicate("lineitem") { (df, _) =>
+      df.withColumn("l_orderkey", $"l_orderkey" + $"__k" * lit(span))
+    }
+    replicate("orders") { (df, _) =>
+      df.withColumn("o_orderkey", $"o_orderkey" + $"__k" * lit(span))
+    }
+    replicate("documents") { (df, _) =>
+      df.withColumn("doc_id", $"doc_id" + $"__k" * lit(docSpan))
+        .withColumn("text",
+          when($"__k" === 0, $"text").otherwise(
+            regexp_replace($"text", lit("(\\S+)"),
+              concat(lit("c"), $"__k".cast("string"), lit("$1")))))
+    }
+    for (t <- graft.core.Tables.names
+         if !Set("lineitem", "orders", "documents")(t)) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$inDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$outDir/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"wrote $outDir at ${copies}x $inDir")
+    spark.stop()
+  }
+}
