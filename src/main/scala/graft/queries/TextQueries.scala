@@ -380,6 +380,12 @@ object TextQueries {
     * Scale: two shuffles (source census, final rollup); the gate itself
     * is a codegen'd projection. Output is the per-source audit: rate
     * threshold, kept docs/tokens vs totals.
+    *
+    * Threshold robustness: the 700-token budget is oracle-green at
+    * both verified SFs (20 sources → 20 rows at sf0.01 and sf0.1 — r6
+    * `VerifyOne` + `check.py --skip-verify` runs); at sf0.1 each
+    * source's threshold is 10× tighter, so the hash-gate arithmetic is
+    * exercised at genuinely different acceptance rates.
     */
   val t12MixtureSample = Q(
     "t12_mixture_sample",
