@@ -126,21 +126,44 @@ object ZOrder {
   }
 
   /** Per-file [min, max] of `c` across the parquet files at `path` —
-    * what a stats-pruning scan consults. Used by the spec to measure
-    * skipping; a lakehouse table format serves the same numbers from
-    * its manifest instead of re-reading.
+    * what a stats-pruning scan consults. Read from the parquet FOOTER
+    * statistics (row-group column-chunk min/max), not by re-scanning
+    * values: this is exactly the metadata a pruning reader (or a
+    * lakehouse manifest) serves, so the spec's skip measurement audits
+    * the real pruning inputs at zero data-read cost.
     */
   def fileBounds(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       c: String): Seq[(String, Double, Double)] = {
-    import spark.implicits._
-    spark.read.parquet(path)
-      .select(input_file_name().as("f"), col(c).cast("double").as("v"))
-      .groupBy($"f")
-      .agg(min($"v").as("lo"), max($"v").as("hi"))
-      .collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
-      .toSeq
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .map { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        try {
+          val stats = reader.getFooter.getBlocks.asScala.toSeq
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == c)
+            .map(_.getStatistics)
+          require(stats.nonEmpty && stats.forall(s => s != null && s.hasNonNullValue),
+            s"no footer min/max statistics for column '$c' in ${st.getPath}")
+          def toD(v: Any): Double = v match {
+            case d: java.lang.Double  => d
+            case f: java.lang.Float   => f.toDouble
+            case l: java.lang.Long    => l.toDouble
+            case i: java.lang.Integer => i.toDouble
+            case other => sys.error(
+              s"column '$c' has non-numeric footer stats (${other.getClass.getSimpleName})")
+          }
+          (st.getPath.toString,
+            stats.map(s => toD(s.genericGetMin)).min,
+            stats.map(s => toD(s.genericGetMax)).max)
+        } finally reader.close()
+      }
   }
 }
