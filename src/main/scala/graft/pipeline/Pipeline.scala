@@ -65,6 +65,37 @@ object TableSink {
     healOrphanLocation(df, table)
     df.write.mode("append").format("parquet").saveAsTable(table)
   }
+
+  /** MERGE INTO (upsert) semantics on the parquet sink — the last piece
+    * of the reference's Delta publish surface re-expressed without the
+    * Delta log: target rows whose key matches an update are replaced,
+    * unmatched target rows survive, unmatched updates insert.
+    * `updates` must be unique per key (same contract as Delta MERGE,
+    * which errors on multiple matches).
+    *
+    * Shape: one left-anti join (update keys vs target — Catalyst
+    * broadcasts the DISTINCT key projection when it is small, the
+    * common CDC case) + a union, then a copy-on-write of the table.
+    * The merged frame is checkpointed BEFORE the overwrite because
+    * Spark (correctly) refuses to overwrite a table still being
+    * scanned by the writing plan. At production scale the rewrite
+    * narrows to affected partitions (dynamic partition overwrite over
+    * the same anti-join); a transactional log (Delta/Iceberg) would
+    * replace the full-file copy — documented substitute, same
+    * semantics.
+    */
+  def merge(updates: DataFrame, table: String, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val spark = updates.sparkSession
+    healOrphanLocation(updates, table)
+    if (!spark.catalog.tableExists(table)) { overwrite(updates, table); return }
+    val target = spark.table(table)
+    val survivors = target.join(
+      updates.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+      keys, "left_anti")
+    val snapshot = survivors.unionByName(updates).localCheckpoint(true)
+    overwrite(snapshot, table)
+  }
 }
 
 object Pipeline {

@@ -107,6 +107,16 @@ class PlanShapeSpec extends SparkSpec {
       s"d02 verification degraded to a non-equi join:\n$p")
   }
 
+  test("d03 reads checkpointed signatures — the corpus is scanned once, not per branch") {
+    val p = plan("d03_minhash_lsh")
+    // the salted self-join evaluates its input in five branches and the
+    // estimate stage in two more; all must read the materialized
+    // signature frame (ExistingRDD), never re-run shingle->minhash
+    assert(count(p, "Scan parquet") == 0,
+      s"d03 re-derives signatures from the corpus inside the final plan:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+  }
+
   test("d06 truncates lineage per round — final plan is independent of iteration count") {
     val p = plan("d06_dedup_clusters")
     // each round localCheckpoints its labels; the returned frame reads
