@@ -121,6 +121,25 @@ object TextDedup {
     */
   def clearSharedSignatures(spark: SparkSession): Unit = sigCache.remove(spark)
 
+  /** Banded LSH keys of a signature frame: one row per (doc, band)
+    * with the band's row-concatenated bucket key. Shared by the batch
+    * self-join ([[minhashCandidates]]) and the incremental
+    * state-vs-batch join ([[IncrementalDedup]]).
+    */
+  private[operators] def bandFrame(mins: DataFrame, idCol: String): DataFrame = {
+    val bandCols = (0 until NumBands).map { j =>
+      struct(lit(j).as("band_id"),
+        concat_ws("_", (0 until BandRows).map(r => col(s"mh_${j * BandRows + r}")): _*).as("bkey"))
+    }
+    mins
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band_id"), col("bk.bkey"))
+  }
+
+  /** Signature array column mh_0..mh_k-1 (for whole-signature joins). */
+  private[operators] def sigArray: Column =
+    array((0 until NumHashes).map(i => col(s"mh_$i")): _*)
+
   /** LSH candidate pairs (id_a < id_b) with signature-estimated
     * similarity in [0,1]. The band-bucket self-join goes through
     * `Salting.skewSelfJoinPairs`: a hot band (> `hotThreshold` member
@@ -143,13 +162,7 @@ object TextDedup {
     // corpus), and the memo means d02/d03/d06 in one session share one
     // computation.
     val mins = sharedSignatures(docs, idCol, textCol)
-    val bandCols = (0 until NumBands).map { j =>
-      struct(lit(j).as("band_id"),
-        concat_ws("_", (0 until BandRows).map(r => col(s"mh_${j * BandRows + r}")): _*).as("bkey"))
-    }
-    val exploded = mins
-      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band_id"), col("bk.bkey"))
+    val exploded = bandFrame(mins, idCol)
     val cand = Salting
       .skewSelfJoinPairs(exploded, Seq("band_id", "bkey"), idCol,
         buckets = saltBuckets, hotThreshold = hotThreshold)
@@ -158,9 +171,8 @@ object TextDedup {
     // estimate similarity by comparing whole signatures as arrays (two
     // joins on doc id) instead of exploding k rows per doc — same
     // result, k× less shuffled data
-    val sigCols = array((0 until NumHashes).map(i => col(s"mh_$i")): _*)
-    val sigA = mins.select(col(idCol).as("doc_a"), sigCols.as("sig_a"))
-    val sigB = mins.select(col(idCol).as("doc_b"), sigCols.as("sig_b"))
+    val sigA = mins.select(col(idCol).as("doc_a"), sigArray.as("sig_a"))
+    val sigB = mins.select(col(idCol).as("doc_b"), sigArray.as("sig_b"))
     cand
       .join(sigA, Seq("doc_a"))
       .join(sigB, Seq("doc_b"))
