@@ -28,6 +28,12 @@ object Bench {
     val qs = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(names) =>
         val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val known = Registry.all.map(_.name).toSet
+        val missing = want.diff(known)
+        // a typo'd name must fail loudly, not silently bench an
+        // empty/smaller set and print a plausible total of 0
+        require(missing.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${missing.toSeq.sorted.mkString(", ")}")
         Registry.all.filter(q => want(q.name))
       case None =>
         if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) Registry.all

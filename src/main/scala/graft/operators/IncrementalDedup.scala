@@ -72,10 +72,7 @@ object IncrementalDedup {
       .join(sigA, Seq("doc_a"))
       .join(sigB, Seq("doc_b"))
       // same rounded estimate as the batch path — bit-identical gate
-      .filter(
-        round(
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)) /
-            lit(TextDedup.NumHashes.toDouble), 4) >= threshold)
+      .filter(TextDedup.estSim(col("sig_a"), col("sig_b")) >= threshold)
       .select(col("doc_b").as(idCol))
       .distinct()
     // materialize BEFORE appending to state: the survivors plan reads

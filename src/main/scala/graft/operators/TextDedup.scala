@@ -68,25 +68,35 @@ object TextDedup {
   // d02 (Jaccard verification), d03 (LSH candidates) and d06 (cluster
   // collapse) all start from the same shingle→minhash aggregation — the
   // dominant cost of candidate generation. Memoize the checkpointed
-  // signature frame per (session, input plan) so one session running
-  // the whole dedup ladder computes signatures once. Entries hold
-  // O(docs × k) longs in checkpoint storage for the session's lifetime
-  // (or until `clearSharedSignatures` — Bench calls it per rep so every
-  // timed rep still measures the full pipeline).
-  private val sigCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  // signature frame per (session, input plan, input files) so one
+  // session running the whole dedup ladder computes signatures once.
+  // Entries hold O(docs × k) longs in checkpoint storage for the
+  // session's lifetime (or until `clearSharedSignatures` — Bench calls
+  // it per rep so every timed rep still measures the full pipeline).
+  // Not a WeakHashMap: the cached Datasets strongly reference their
+  // SparkSession, so weak keys would never become collectable — dead
+  // sessions are instead evicted explicitly on every access.
+  private val sigCache =
+    scala.collection.concurrent.TrieMap
+      .empty[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
 
-  /** Memo key: canonicalized analyzed plan plus per-leaf identity. The
-    * canonicalized tree's STRING distinguishes different transforms but
-    * elides what the leaves actually hold — a parquet relation prints
-    * without its path (two SFs of one table look identical) and a
-    * LocalRelation prints only its schema (two in-memory corpora look
-    * identical) — so scan root paths and local-data hashes are appended
-    * explicitly. Worst case an unrecognized leaf stringifies the same
-    * across distinct inputs is excluded by covering both leaf kinds the
-    * engine produces; an unstable stringification merely misses the
-    * memo and recomputes.
+  private def evictStopped(): Unit =
+    sigCache.keySet.foreach(s => if (s.sparkContext.isStopped) sigCache.remove(s))
+
+  /** Memo key: canonicalized analyzed plan plus per-leaf identity plus
+    * a digest of the concrete input files. The canonicalized tree's
+    * STRING distinguishes different transforms but elides what the
+    * leaves actually hold — a parquet relation prints without its path
+    * (two SFs of one table look identical) and a LocalRelation prints
+    * only its schema (two in-memory corpora look identical) — so scan
+    * root paths and local-data hashes are appended explicitly. The
+    * `inputFiles` digest invalidates the memo when the data BEHIND an
+    * unchanged plan changes (files appended/compacted under the same
+    * root path mid-session); parquet writers emit unique part names, so
+    * any rewrite changes the digest. Worst case an unrecognized leaf
+    * stringifies the same across distinct inputs is excluded by
+    * covering both leaf kinds the engine produces; an unstable
+    * stringification merely misses the memo and recomputes.
     */
   private def planKey(docs: DataFrame, idCol: String, textCol: String): String = {
     val plan = docs.queryExecution.analyzed
@@ -100,7 +110,12 @@ object TextDedup {
       case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         s"local:${loc.data.hashCode}"
     }
-    s"${plan.canonicalized}|${leaves.mkString(";")}|$idCol|$textCol"
+    // driver-side file listing off the already-resolved FileIndex; at
+    // cluster scale this is metadata-sized (file names, not data)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.inputFiles.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
+    val filesDigest = md.digest().map("%02x".format(_)).mkString
+    s"${plan.canonicalized}|${leaves.mkString(";")}|$filesDigest|$idCol|$textCol"
   }
 
   /** Checkpointed [[minhashSignatures]], memoized per session + input.
@@ -110,8 +125,9 @@ object TextDedup {
     * blocks are reclaimed by the ContextCleaner when unreferenced.
     */
   def sharedSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val m = sigCache.computeIfAbsent(docs.sparkSession,
-      _ => scala.collection.concurrent.TrieMap.empty)
+    evictStopped()
+    val m = sigCache.getOrElseUpdate(docs.sparkSession,
+      scala.collection.concurrent.TrieMap.empty)
     m.getOrElseUpdate(planKey(docs, idCol, textCol),
       minhashSignatures(docs, idCol, textCol).localCheckpoint(true))
   }
@@ -139,6 +155,17 @@ object TextDedup {
   /** Signature array column mh_0..mh_k-1 (for whole-signature joins). */
   private[operators] def sigArray: Column =
     array((0 until NumHashes).map(i => col(s"mh_$i")): _*)
+
+  /** Signature-estimated Jaccard of two signature arrays — the single
+    * definition of the estimate (rounding included) that both the batch
+    * ([[minhashCandidates]]) and incremental ([[IncrementalDedup]])
+    * paths gate on, so stream == batch stays bit-identical by
+    * construction.
+    */
+  private[operators] def estSim(sigA: Column, sigB: Column): Column =
+    round(
+      size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)) /
+        lit(NumHashes.toDouble), 4)
 
   /** LSH candidate pairs (id_a < id_b) with signature-estimated
     * similarity in [0,1]. The band-bucket self-join goes through
@@ -177,9 +204,7 @@ object TextDedup {
       .join(sigA, Seq("doc_a"))
       .join(sigB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)) /
-            lit(NumHashes.toDouble), 4).as("est_sim"))
+        estSim(col("sig_a"), col("sig_b")).as("est_sim"))
   }
 
   /** Exact dedup: keep the lowest-id row per identical content. One

@@ -127,10 +127,17 @@ object ZOrder {
 
   /** Per-file [min, max] of `c` across the parquet files at `path` —
     * what a stats-pruning scan consults. Read from the parquet FOOTER
-    * statistics (row-group column-chunk min/max), not by re-scanning
-    * values: this is exactly the metadata a pruning reader (or a
-    * lakehouse manifest) serves, so the spec's skip measurement audits
-    * the real pruning inputs at zero data-read cost.
+    * statistics (row-group column-chunk min/max) when the physical type
+    * carries numeric stats (int/long/float/double): this is exactly the
+    * metadata a pruning reader (or a lakehouse manifest) serves, so the
+    * spec's skip measurement audits the real pruning inputs at zero
+    * data-read cost. Chunks that are entirely NULL for `c` have no
+    * min/max and are skipped; a file whose every chunk is NULL-only is
+    * omitted (a stats-pruning reader skips it for any non-null
+    * predicate). Columns whose footer stats are non-numeric (DECIMAL /
+    * BINARY / date physical types — which [[mortonKey]] still accepts
+    * via its double cast) fall back to [[scanBounds]], a one-column
+    * value scan with the same answer.
     */
   def fileBounds(
       spark: org.apache.spark.sql.SparkSession,
@@ -140,30 +147,58 @@ object ZOrder {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
-    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet")).toSeq
+    def toD(v: Any): Option[Double] = v match {
+      case d: java.lang.Double  => Some(d.doubleValue)
+      case f: java.lang.Float   => Some(f.toDouble)
+      case l: java.lang.Long    => Some(l.toDouble)
+      case i: java.lang.Integer => Some(i.toDouble)
+      case _                    => None
+    }
+    // per file: None = footer unusable (fall back to the value scan for
+    // the whole directory, keeping one consistent source of bounds);
+    // Some(None) = file is NULL-only for c (skip); Some(Some(b)) = bounds
+    val perFile = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
       .map { st =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(st.getPath, conf))
         try {
-          val stats = reader.getFooter.getBlocks.asScala.toSeq
+          val chunks = reader.getFooter.getBlocks.asScala.toSeq
             .flatMap(_.getColumns.asScala)
             .filter(_.getPath.toDotString == c)
             .map(_.getStatistics)
-          require(stats.nonEmpty && stats.forall(s => s != null && s.hasNonNullValue),
-            s"no footer min/max statistics for column '$c' in ${st.getPath}")
-          def toD(v: Any): Double = v match {
-            case d: java.lang.Double  => d
-            case f: java.lang.Float   => f.toDouble
-            case l: java.lang.Long    => l.toDouble
-            case i: java.lang.Integer => i.toDouble
-            case other => sys.error(
-              s"column '$c' has non-numeric footer stats (${other.getClass.getSimpleName})")
+          if (chunks.isEmpty || chunks.exists(_ == null)) None
+          else {
+            val usable = chunks.filter(_.hasNonNullValue)
+            if (usable.isEmpty) Some(None)
+            else {
+              val mins = usable.map(s => toD(s.genericGetMin))
+              val maxs = usable.map(s => toD(s.genericGetMax))
+              if ((mins ++ maxs).contains(None)) None
+              else Some(Some((st.getPath.toString,
+                mins.flatten.min, maxs.flatten.max)))
+            }
           }
-          (st.getPath.toString,
-            stats.map(s => toD(s.genericGetMin)).min,
-            stats.map(s => toD(s.genericGetMax)).max)
         } finally reader.close()
       }
+    if (perFile.contains(None)) scanBounds(spark, path, c)
+    else perFile.flatten.flatten
   }
+
+  /** Value-scan fallback for [[fileBounds]]: min/max of `c` cast to
+    * double, grouped by file. One data read of a single column; files
+    * with no non-null value are omitted, matching the footer path.
+    */
+  private def scanBounds(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      c: String): Seq[(String, Double, Double)] =
+    spark.read.parquet(path)
+      .select(input_file_name().as("__f"), col(c).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__f")
+      .agg(min("__v").as("mn"), max("__v").as("mx"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
 }

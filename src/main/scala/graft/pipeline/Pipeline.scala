@@ -71,7 +71,9 @@ object TableSink {
     * Delta log: target rows whose key matches an update are replaced,
     * unmatched target rows survive, unmatched updates insert.
     * `updates` must be unique per key (same contract as Delta MERGE,
-    * which errors on multiple matches).
+    * which errors on multiple matches) — enforced with a hard failure
+    * before any write, so a duplicate-keyed CDC batch cannot corrupt
+    * the table.
     *
     * Shape: one left-anti join (update keys vs target — Catalyst
     * broadcasts the DISTINCT key projection when it is small, the
@@ -87,6 +89,15 @@ object TableSink {
   def merge(updates: DataFrame, table: String, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val spark = updates.sparkSession
+    // enforce the documented Delta contract instead of silently writing
+    // duplicate-key rows; one aggregation over the (small, CDC-sized)
+    // update batch
+    val dupKeys = updates
+      .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .count().filter(col("count") > 1).count()
+    require(dupKeys == 0,
+      s"merge: updates contain $dupKeys duplicate key group(s) on (${keys.mkString(", ")}) — " +
+        "MERGE requires unique update keys")
     healOrphanLocation(updates, table)
     if (!spark.catalog.tableExists(table)) { overwrite(updates, table); return }
     val target = spark.table(table)

@@ -10,7 +10,8 @@ import graft.operators.Multimodal
   *
   * The query writes its own fixture — the deterministic synthetic
   * media corpus, payloads carrying genuine container magic bytes — to
-  * a per-JVM parquet path, then BOTH engines read that identical file:
+  * a stable write-once parquet path, then BOTH engines read that
+  * identical file:
   * Spark runs the real operators (decodeAndFeaturize, sampleFrames,
   * resizeImages), DuckDB replays their arithmetic over the same
   * payload bytes. The `format` column is detected from payload magic
@@ -22,17 +23,35 @@ import graft.operators.Multimodal
   */
 object MultimodalQueries {
 
-  /** Fixture path shared with the DuckDB oracle (same host). Keyed by
-    * this JVM's pid: the oracle SQL below is rendered by the same JVM
-    * that writes the fixture (Verify dumps both), so the path always
-    * matches — while two concurrent runs (e.g. sbt test's registry
-    * sweep racing check.py's Verify) write disjoint directories instead
-    * of tearing one shared overwrite.
-    */
-  val FixturePath =
-    s"/tmp/graft_fixtures/media_${ProcessHandle.current().pid()}.parquet"
-
   private val NMedia = 60
+
+  /** Fixture path shared with the DuckDB oracle (same host). STABLE and
+    * write-once: the corpus is deterministic, so any run can (re)create
+    * the identical file — a stale Verify dump replays after a /tmp wipe
+    * because the next run regenerates the exact path its oracle SQL
+    * references, and nothing accumulates per JVM. Concurrent runs are
+    * safe because creation goes through a pid-keyed temp dir + atomic
+    * rename ([[ensureFixture]]); an existing fixture is never touched.
+    * BUMP the version suffix whenever `Multimodal.syntheticMedia` or
+    * the corpus parameters change, or old hosts keep the stale corpus.
+    */
+  val FixturePath = s"/tmp/graft_fixtures/media_v2_n$NMedia.parquet"
+
+  /** Create [[FixturePath]] if absent (write to a pid-keyed temp dir,
+    * atomically rename into place, defer to a concurrent winner).
+    */
+  private def ensureFixture(s: org.apache.spark.sql.SparkSession): Unit = {
+    val fp = new org.apache.hadoop.fs.Path(FixturePath)
+    val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fp)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$FixturePath.tmp_${ProcessHandle.current().pid()}")
+      Multimodal.syntheticMedia(s, NMedia).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, fp)) fs.delete(tmp, true)
+    }
+  }
+
   private val FrameBytes = 32
   private val EveryN = 2
   private val ResizeTo = 16 // resize target (width = height = 16)
@@ -47,8 +66,7 @@ object MultimodalQueries {
     "m01_multimodal",
     (s, dir) => {
       import s.implicits._
-      Multimodal.syntheticMedia(s, NMedia).coalesce(1)
-        .write.mode("overwrite").parquet(FixturePath)
+      ensureFixture(s)
       val media = s.read.parquet(FixturePath).as[Multimodal.MediaFile]
       val feats = Multimodal.decodeAndFeaturize(media).toDF()
         .select($"media_id", $"n_bytes")

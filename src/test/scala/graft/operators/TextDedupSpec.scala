@@ -61,6 +61,22 @@ class TextDedupSpec extends SparkSpec {
     assert(cand.getDouble(2) == 1.0)
   }
 
+  test("sharedSignatures memo invalidates when files change under an unchanged path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_memo").toString
+    docs(1L -> "alpha beta gamma delta epsilon zeta")
+      .write.mode("overwrite").parquet(dir)
+    def read() = spark.read.parquet(dir)
+    val first = TextDedup.sharedSignatures(read(), "doc_id", "text").count()
+    // same plan, same root path — but new files appended underneath;
+    // the inputFiles digest in the memo key must miss, not serve stale
+    // signatures that would let the new doc's duplicates survive dedup
+    docs(2L -> "eta theta iota kappa lambda mu")
+      .write.mode("append").parquet(dir)
+    val second = TextDedup.sharedSignatures(read(), "doc_id", "text").count()
+    assert(first == 1L && second == 2L,
+      s"appended docs must invalidate the signature memo (got $first then $second rows)")
+  }
+
   test("salted band join returns exactly the plain join's candidates") {
     // 8 copies of one text make every band of those docs a hot bucket
     // when hotThreshold=0; mixed-in near and far docs exercise the

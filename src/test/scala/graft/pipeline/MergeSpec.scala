@@ -37,6 +37,20 @@ class MergeSpec extends SparkSpec {
     assert(rows(t) == once, "replaying the same update batch must be a no-op")
   }
 
+  test("merge rejects a duplicate-keyed update batch before touching the table") {
+    val t = "graft_merge_dupkey"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    TableSink.merge(Seq(1L -> "a").toDF("k", "v"), t, Seq("k"))
+    val dup = Seq(2L -> "first", 2L -> "second").toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      TableSink.merge(dup, t, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate key"),
+      s"expected the unique-key contract failure, got: ${e.getMessage}")
+    assert(rows(t) == Set(1L -> "a"),
+      "a rejected batch must leave the table untouched")
+  }
+
   test("merge with a composite key matches on ALL key columns") {
     val t = "graft_merge_composite"
     spark.sql(s"DROP TABLE IF EXISTS $t")

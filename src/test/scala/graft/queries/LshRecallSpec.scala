@@ -19,10 +19,14 @@ class LshRecallSpec extends SparkSpec {
     test(s"LSH candidates catch >= 95% of true J>=0.5 pairs at $sf") {
       val r = Registry.byName("d07_lsh_recall")
         .run(spark, s"/root/testdata/$sf").head()
-      val (nTrue, nCaught) = (r.getLong(0), r.getLong(1))
-      val recall = r.getDouble(2)
+      // read + assert n_true BEFORE touching the other fields: with no
+      // true pairs they are NULL and a primitive get would NPE, masking
+      // the vacuity diagnostic below
+      val nTrue = r.getLong(0)
       assert(nTrue > 0,
         "corpus has no true near-dup pairs — the recall gate would be vacuous")
+      val nCaught = r.getLong(1)
+      val recall = r.getDouble(2)
       assert(recall >= 0.95,
         s"LSH candidate recall $recall ($nCaught/$nTrue) is below the S-curve bound")
     }
