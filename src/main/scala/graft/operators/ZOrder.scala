@@ -134,10 +134,12 @@ object ZOrder {
     * data-read cost. Chunks that are entirely NULL for `c` have no
     * min/max and are skipped; a file whose every chunk is NULL-only is
     * omitted (a stats-pruning reader skips it for any non-null
-    * predicate). Columns whose footer stats are non-numeric (DECIMAL /
-    * BINARY / date physical types — which [[mortonKey]] still accepts
-    * via its double cast) fall back to [[scanBounds]], a one-column
-    * value scan with the same answer.
+    * predicate). Columns whose footer stats do not carry the value's
+    * own scale — DECIMAL (unscaled ints), DATE/TIMESTAMP (days/micros
+    * vs the double cast's seconds), BINARY — fall back to
+    * [[scanBounds]], a one-column value scan with the same answer in
+    * value space; [[mortonKey]] accepts all of them via its double
+    * cast, so the two APIs compose for every clusterable column.
     */
   def fileBounds(
       spark: org.apache.spark.sql.SparkSession,
@@ -164,11 +166,24 @@ object ZOrder {
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(st.getPath, conf))
         try {
-          val chunks = reader.getFooter.getBlocks.asScala.toSeq
+          val cols = reader.getFooter.getBlocks.asScala.toSeq
             .flatMap(_.getColumns.asScala)
             .filter(_.getPath.toDotString == c)
-            .map(_.getStatistics)
-          if (chunks.isEmpty || chunks.exists(_ == null)) None
+          // DECIMAL stats are UNSCALED ints/binaries and DATE/TIMESTAMP
+          // stats are days/micros — numeric-LOOKING but off by the
+          // logical type's scale vs the value semantics the caller
+          // compares against; route them to the value scan
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          val scaledLogicalType = cols.exists(m =>
+            Option(m.getPrimitiveType.getLogicalTypeAnnotation).exists {
+              case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation   => true
+              case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation      => true
+              case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => true
+              case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation      => true
+              case _                                                      => false
+            })
+          val chunks = cols.map(_.getStatistics)
+          if (chunks.isEmpty || scaledLogicalType || chunks.exists(_ == null)) None
           else {
             val usable = chunks.filter(_.hasNonNullValue)
             if (usable.isEmpty) Some(None)

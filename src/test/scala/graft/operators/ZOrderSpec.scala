@@ -62,6 +62,29 @@ class ZOrderSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fileBounds falls back to a value scan for non-numeric footer stats and skips NULL-only files") {
+    // decimal physical stats are BINARY/INT with scale — not directly
+    // numeric in the footer — so bounds must come from the scan fallback
+    val dir = java.nio.file.Files.createTempDirectory("graft-zb-dec").toString
+    Seq("1.50", "3.25", "2.00").toDF("s")
+      .select(col("s").cast("decimal(10,2)").as("d"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val bounds = ZOrder.fileBounds(spark, dir, "d")
+    assert(bounds.size == 1)
+    assert(bounds.head._2 == 1.5 && bounds.head._3 == 3.25,
+      s"decimal column bounds via the scan fallback, got ${bounds.head}")
+
+    // a file that is entirely NULL for the column is omitted, not fatal
+    val nullDir = java.nio.file.Files.createTempDirectory("graft-zb-null").toString
+    Seq[Option[Double]](None, None).toDF("v")
+      .coalesce(1).write.mode("overwrite").parquet(nullDir)
+    Seq[Option[Double]](Some(7.0)).toDF("v")
+      .coalesce(1).write.mode("append").parquet(nullDir)
+    val nb = ZOrder.fileBounds(spark, nullDir, "v")
+    assert(nb.size == 1 && nb.head._2 == 7.0 && nb.head._3 == 7.0,
+      s"NULL-only file must be skipped, the other file's bounds kept: $nb")
+  }
+
   test("3-column morton key packs 8-bit buckets without bit collisions") {
     val df = Seq((0.0, 0.0, 0.0), (255.0, 255.0, 255.0), (255.0, 0.0, 0.0))
       .toDF("a", "b", "c")
