@@ -379,7 +379,43 @@ object DedupQueries {
           greatest(count(*), 1), 4) AS recall
       FROM tp t LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b"""))
 
+  /** Test-set decontamination (operators.Decontaminate): training docs
+    * sharing any 5-gram shingle with the benchmark corpus, with the
+    * count of distinct shared shingle hashes as evidence. Docs with
+    * doc_id % 37 == 0 stand in for the benchmark/eval set; everything
+    * else is training data. The benchmark shingle-hash set is broadcast
+    * (eval suites are MBs against a 100 TB corpus), so the whole check
+    * is one linear scan of the training side — no corpus shuffle.
+    * `%` (not pmod) deliberately on BOTH sides: Spark and DuckDB `%`
+    * agree (sign of the dividend), and doc_id is non-negative anyway.
+    * Shingle width 3 here (production decontamination uses 8–13-grams):
+    * the synthetic corpus shares almost no 5-grams outside near-dup
+    * pairs, and 3-grams make the overlap path do real work — 312
+    * contaminated docs at sf0.01 vs 1 with width 5. Cross-SF: oracle
+    * green at sf0.01 (312 rows) and sf0.1 (4826 rows), r6 `VerifyOne`
+    * + `check.py --skip-verify` runs.
+    */
+  val d08Decontaminate = Q(
+    "d08_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontaminate.contaminationHits(
+        docs.filter($"doc_id" % 37 =!= 0),
+        docs.filter($"doc_id" % 37 === 0),
+        "doc_id", "text", n = 3)
+    },
+    Some(s"""WITH sh AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(${shinglesSql(3)}) AS sh FROM documents)),
+      bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 37 = 0)
+      SELECT s.doc_id, count(*) AS n_hits
+      FROM sh s JOIN bench b ON b.h = s.h
+      WHERE s.doc_id % 37 <> 0
+      GROUP BY s.doc_id"""))
+
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
-      d05EmbeddingNearDup, d06DedupClusters, d07LshRecall)
+      d05EmbeddingNearDup, d06DedupClusters, d07LshRecall, d08Decontaminate)
 }

@@ -117,6 +117,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
   }
 
+  test("d08 broadcasts the benchmark shingle set — the training corpus never shuffles pre-agg") {
+    val p = plan("d08_decontaminate")
+    // the benchmark side (an eval suite — MBs against a 100 TB corpus)
+    // must broadcast; a SortMergeJoin here would shuffle the full
+    // training shingle stream just to probe a tiny set
+    assert(count(p, "BroadcastHashJoin") == 1,
+      s"expected the benchmark set broadcast, plan:\n$p")
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "ShuffledHashJoin") == 0,
+      s"contamination probe degraded to a shuffle join:\n$p")
+  }
+
   test("d06 truncates lineage per round — final plan is independent of iteration count") {
     val p = plan("d06_dedup_clusters")
     // each round localCheckpoints its labels; the returned frame reads
