@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Intra-document repetition filter — the published Gopher /
+  * RefinedWeb quality heuristics over token n-grams: documents that
+  * loop or carry boilerplate repeat WITHIN themselves, which the
+  * cross-document dedup ladder (TextDedup) never sees. Backs the
+  * oracle-checked `t13_repetition` query.
+  *
+  * Scale shape: two (doc, n-gram) partial-agg shuffles carrying counts
+  * plus a three-way equi-join on the doc id — all hash-partitioned on
+  * the same key, nothing quadratic, no driver state.
+  */
+object RepetitionFilter {
+
+  /** Per-doc repetition stats: `top2gram_frac` = tokens covered by the
+    * most frequent 2-gram (2·max-count / tokens; exceeds 1 for
+    * overlapping runs — the standard form) and `dup5gram_frac` =
+    * fraction of 5-gram positions whose 5-gram occurs more than once.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    def gramCounts(n: Int) = docs
+      .select(col(idCol), explode(TextDedup.shingles(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val top2 = gramCounts(2).groupBy(col(idCol)).agg(max(col("c")).as("top2"))
+    val dup5 = gramCounts(5).groupBy(col(idCol)).agg(
+      sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_pos"),
+      sum(col("c")).as("n_pos"))
+    toks.join(top2, idCol).join(dup5, idCol)
+      .select(col(idCol),
+        round(try_divide(lit(2.0) * col("top2"), col("n_tok")), 4).as("top2gram_frac"),
+        round(try_divide(col("dup_pos"), col("n_pos")), 4).as("dup5gram_frac"))
+  }
+
+  /** Keep only docs below both repetition bounds (defaults are the
+    * published removal thresholds). Full rows survive via anti-join.
+    */
+  def dropRepetitive(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTop2: Double = 0.2,
+      maxDup5: Double = 0.3): DataFrame = {
+    val bad = repetitionStats(docs, idCol, textCol)
+      .filter(col("top2gram_frac") > maxTop2 || col("dup5gram_frac") > maxDup5)
+      .select(col(idCol))
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+}

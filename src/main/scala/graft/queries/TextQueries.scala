@@ -435,8 +435,54 @@ object TextQueries {
         CAST(sum(CASE WHEN b < thr THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
       FROM gated GROUP BY source, src_tokens, thr"""))
 
+  /** Intra-document repetition stats (t13) — the published Gopher /
+    * RefinedWeb repetition heuristics re-expressed over token n-grams
+    * (the synthetic corpus has no line structure): the fraction of
+    * tokens covered by the most frequent 2-gram (2·max-count / tokens,
+    * can exceed 1 for overlapping runs — the standard form) and the
+    * fraction of 5-gram positions whose 5-gram occurs more than once.
+    * High values mark boilerplate/looping documents that the dedup
+    * ladder misses because they repeat WITHIN a doc, not across docs —
+    * the quality filter that runs beside t03 in a pretraining pipeline.
+    *
+    * Scale: two (doc, n-gram) partial-agg shuffles carrying counts and
+    * a three-way equi-join on doc_id, everything hash-partitioned on
+    * the same key; nothing quadratic, no driver state. Degenerate
+    * short docs (< n tokens) emit their whole text as one shingle —
+    * one position, never "repeated". try_divide ↔ DuckDB `/0 = NULL`
+    * for the zero-token edge (CLAUDE.md invariant). Delegates to
+    * `operators.RepetitionFilter` (RepetitionFilterSpec plants a
+    * looping doc to exercise the dup5 path, which the synthetic corpus
+    * leaves at 0.0). Cross-SF: oracle green at sf0.01 (500 rows) and
+    * sf0.1 (5000 rows), r6 `VerifyOne` + `check.py --skip-verify`.
+    */
+  val t13Repetition = Q(
+    "t13_repetition",
+    (s, dir) => graft.operators.RepetitionFilter
+      .repetitionStats(Tables.documents(s, dir), "doc_id", "text"),
+    Some(s"""WITH toks AS (
+        SELECT doc_id, CAST(len($wsTokensSql) AS BIGINT) AS n_tok FROM documents),
+      g2 AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(${DedupQueries.shinglesSql(2)}) AS g FROM documents)
+        GROUP BY doc_id, g),
+      top2 AS (SELECT doc_id, max(c) AS top2 FROM g2 GROUP BY doc_id),
+      g5 AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(${DedupQueries.shinglesSql(5)}) AS g FROM documents)
+        GROUP BY doc_id, g),
+      dup5 AS (
+        SELECT doc_id,
+          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos,
+          sum(c) AS n_pos
+        FROM g5 GROUP BY doc_id)
+      SELECT t.doc_id,
+        round(2.0 * top2 / n_tok, 4) AS top2gram_frac,
+        round(dup_pos / n_pos, 4) AS dup5gram_frac
+      FROM toks t JOIN top2 USING (doc_id) JOIN dup5 USING (doc_id)"""))
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
-      t11SeqPacking, t12MixtureSample)
+      t11SeqPacking, t12MixtureSample, t13Repetition)
 }
