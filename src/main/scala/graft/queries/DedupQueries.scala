@@ -413,7 +413,8 @@ object DedupQueries {
       SELECT s.doc_id, count(*) AS n_hits
       FROM sh s JOIN bench b ON b.h = s.h
       WHERE s.doc_id % 37 <> 0
-      GROUP BY s.doc_id"""))
+      GROUP BY s.doc_id"""),
+    headline = true)
 
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,

@@ -479,7 +479,8 @@ object TextQueries {
       SELECT t.doc_id,
         round(2.0 * top2 / n_tok, 4) AS top2gram_frac,
         round(dup_pos / n_pos, 4) AS dup5gram_frac
-      FROM toks t JOIN top2 USING (doc_id) JOIN dup5 USING (doc_id)"""))
+      FROM toks t JOIN top2 USING (doc_id) JOIN dup5 USING (doc_id)"""),
+    headline = true)
 
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
