@@ -28,10 +28,12 @@ object Bench {
     val qs = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(names) =>
         val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // a typo'd (or empty — unexpanded shell var) value must fail
+        // loudly, not silently bench an empty/smaller set and print a
+        // plausible total of 0
+        require(want.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
         val known = Registry.all.map(_.name).toSet
         val missing = want.diff(known)
-        // a typo'd name must fail loudly, not silently bench an
-        // empty/smaller set and print a plausible total of 0
         require(missing.isEmpty,
           s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${missing.toSeq.sorted.mkString(", ")}")
         Registry.all.filter(q => want(q.name))

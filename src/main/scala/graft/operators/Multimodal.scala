@@ -90,30 +90,38 @@ object Multimodal {
     * the genuine magic bytes of their format followed by seeded body
     * bytes.
     */
+  /** Pure per-id generator — shared by the distributed corpus builder
+    * and the driver-side content digest that addresses the oracle
+    * fixture path (MultimodalQueries), so a change here automatically
+    * yields a new fixture path instead of silently serving a stale
+    * write-once corpus.
+    */
+  def mediaRow(id: Long): MediaFile = {
+    val kind = (id % 3) match {
+      case 0 => "image"
+      case 1 => "audio"
+      case _ => "video"
+    }
+    val magic = kind match {
+      case "image" => PngMagic
+      case "audio" => RiffMagic
+      case _ => Mp4Ftyp
+    }
+    val len = 64 + (id % 7).toInt * 32
+    val payload = magic ++
+      Array.tabulate[Byte](len)(i => ((id * 131 + i * 17) % 251).toByte)
+    MediaFile(id, kind,
+      payload,
+      MediaMeta(
+        width = 16 + (id % 4).toInt * 16,
+        height = 16 + (id % 3).toInt * 16,
+        format = if (kind == "image") "png" else if (kind == "audio") "wav" else "mp4",
+        duration_ms = if (kind == "image") 0L else 1000L + id % 5000))
+  }
+
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
     import spark.implicits._
-    spark.range(n).map { id =>
-      val kind = (id % 3) match {
-        case 0 => "image"
-        case 1 => "audio"
-        case _ => "video"
-      }
-      val magic = kind match {
-        case "image" => PngMagic
-        case "audio" => RiffMagic
-        case _ => Mp4Ftyp
-      }
-      val len = 64 + (id % 7).toInt * 32
-      val payload = magic ++
-        Array.tabulate[Byte](len)(i => ((id * 131 + i * 17) % 251).toByte)
-      MediaFile(id, kind,
-        payload,
-        MediaMeta(
-          width = 16 + (id % 4).toInt * 16,
-          height = 16 + (id % 3).toInt * 16,
-          format = if (kind == "image") "png" else if (kind == "audio") "wav" else "mp4",
-          duration_ms = if (kind == "image") 0L else 1000L + id % 5000))
-    }
+    spark.range(n).map(id => mediaRow(id))
   }
 
   /** Decode + featurize every media item: one decoder per partition,

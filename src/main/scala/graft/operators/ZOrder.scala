@@ -126,20 +126,31 @@ object ZOrder {
   }
 
   /** Per-file [min, max] of `c` across the parquet files at `path` —
-    * what a stats-pruning scan consults. Read from the parquet FOOTER
-    * statistics (row-group column-chunk min/max) when the physical type
-    * carries numeric stats (int/long/float/double): this is exactly the
-    * metadata a pruning reader (or a lakehouse manifest) serves, so the
-    * spec's skip measurement audits the real pruning inputs at zero
-    * data-read cost. Chunks that are entirely NULL for `c` have no
-    * min/max and are skipped; a file whose every chunk is NULL-only is
-    * omitted (a stats-pruning reader skips it for any non-null
-    * predicate). Columns whose footer stats do not carry the value's
-    * own scale — DECIMAL (unscaled ints), DATE/TIMESTAMP (days/micros
-    * vs the double cast's seconds), BINARY — fall back to
-    * [[scanBounds]], a one-column value scan with the same answer in
-    * value space; [[mortonKey]] accepts all of them via its double
-    * cast, so the two APIs compose for every clusterable column.
+    * what a stats-pruning scan consults. File names are returned as
+    * scheme-less absolute paths (identical from both code paths below,
+    * so a bounds map keyed by file keeps matching when the source of
+    * bounds changes).
+    *
+    * Read from the parquet FOOTER statistics (row-group column-chunk
+    * min/max) when the physical type carries directly-numeric stats
+    * (int/long/float/double): this is exactly the metadata a pruning
+    * reader (or a lakehouse manifest) serves, so the spec's skip
+    * measurement audits the real pruning inputs at zero data-read
+    * cost. Chunks PROVABLY all-NULL for `c` (numNulls == row count)
+    * are skipped, and a file whose every chunk is NULL-only is omitted
+    * (a stats-pruning reader skips it for any non-null predicate);
+    * chunks with stats merely ABSENT (writer disabled them, truncated
+    * binary stats) are NOT assumed null — they route the whole
+    * directory to [[scanBounds]] so bounds are never silently narrowed.
+    * Columns whose footer stats do not carry the value's own scale —
+    * DECIMAL (unscaled ints), TIMESTAMP (micros vs the double cast's
+    * seconds), BINARY — also fall back to [[scanBounds]], which
+    * answers in [[mortonKey]]'s cast-to-double value space. Caveats,
+    * matching mortonKey's own domain: DATE is not double-castable in
+    * Spark (both APIs reject it with a clear analysis error), and
+    * NANOS-physical timestamp files (this repo's `events` table —
+    * CLAUDE.md) must be normalized through `Tables.events` before any
+    * layout op, since a raw read of them throws.
     */
   def fileBounds(
       spark: org.apache.spark.sql.SparkSession,
@@ -158,7 +169,8 @@ object ZOrder {
     }
     // per file: None = footer unusable (fall back to the value scan for
     // the whole directory, keeping one consistent source of bounds);
-    // Some(None) = file is NULL-only for c (skip); Some(Some(b)) = bounds
+    // Some(None) = file is provably NULL-only for c (skip);
+    // Some(Some(b)) = bounds
     val perFile = fs.listStatus(dir)
       .filter(_.getPath.getName.endsWith(".parquet")).toSeq
       .map { st =>
@@ -166,33 +178,48 @@ object ZOrder {
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(st.getPath, conf))
         try {
-          val cols = reader.getFooter.getBlocks.asScala.toSeq
-            .flatMap(_.getColumns.asScala)
-            .filter(_.getPath.toDotString == c)
-          // DECIMAL stats are UNSCALED ints/binaries and DATE/TIMESTAMP
-          // stats are days/micros — numeric-LOOKING but off by the
-          // logical type's scale vs the value semantics the caller
-          // compares against; route them to the value scan
+          // (rowCount, chunk) pairs — the block's row count is what
+          // lets an empty-stats chunk prove it is all-NULL
+          val chunks = reader.getFooter.getBlocks.asScala.toSeq
+            .flatMap(b => b.getColumns.asScala
+              .filter(_.getPath.toDotString == c)
+              .map(m => (b.getRowCount, m)))
+          // DECIMAL stats are UNSCALED ints/binaries and
+          // DATE/TIMESTAMP stats are days/micros — numeric-LOOKING but
+          // off by the logical type's scale vs the value semantics the
+          // caller compares against; route them to the value scan
           import org.apache.parquet.schema.LogicalTypeAnnotation
-          val scaledLogicalType = cols.exists(m =>
+          val scaledLogicalType = chunks.exists { case (_, m) =>
             Option(m.getPrimitiveType.getLogicalTypeAnnotation).exists {
               case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation   => true
               case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation      => true
               case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => true
               case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation      => true
               case _                                                      => false
-            })
-          val chunks = cols.map(_.getStatistics)
-          if (chunks.isEmpty || scaledLogicalType || chunks.exists(_ == null)) None
+            }
+          }
+          if (chunks.isEmpty || scaledLogicalType) None
           else {
-            val usable = chunks.filter(_.hasNonNullValue)
-            if (usable.isEmpty) Some(None)
+            // per chunk: None = stats unusable -> fallback;
+            // Some(None) = provably all-NULL -> skip chunk;
+            // Some(Some((mn, mx))) = numeric bounds
+            val classified = chunks.map { case (rows, m) =>
+              val s = m.getStatistics
+              if (s == null) None
+              else if (s.hasNonNullValue)
+                (toD(s.genericGetMin), toD(s.genericGetMax)) match {
+                  case (Some(mn), Some(mx)) => Some(Some((mn, mx)))
+                  case _                    => None
+                }
+              else if (s.isNumNullsSet && s.getNumNulls == rows) Some(None)
+              else None // stats present but empty and NOT provably null
+            }
+            if (classified.contains(None)) None
             else {
-              val mins = usable.map(s => toD(s.genericGetMin))
-              val maxs = usable.map(s => toD(s.genericGetMax))
-              if ((mins ++ maxs).contains(None)) None
-              else Some(Some((st.getPath.toString,
-                mins.flatten.min, maxs.flatten.max)))
+              val vals = classified.flatten.flatten
+              if (vals.isEmpty) Some(None)
+              else Some(Some((st.getPath.toUri.getPath,
+                vals.map(_._1).min, vals.map(_._2).max)))
             }
           }
         } finally reader.close()
@@ -203,7 +230,8 @@ object ZOrder {
 
   /** Value-scan fallback for [[fileBounds]]: min/max of `c` cast to
     * double, grouped by file. One data read of a single column; files
-    * with no non-null value are omitted, matching the footer path.
+    * with no non-null value are omitted and names are normalized to
+    * scheme-less absolute paths, matching the footer path.
     */
   private def scanBounds(
       spark: org.apache.spark.sql.SparkSession,
@@ -215,5 +243,6 @@ object ZOrder {
       .groupBy("__f")
       .agg(min("__v").as("mn"), max("__v").as("mx"))
       .collect().toSeq
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .map(r => (new java.net.URI(r.getString(0)).getPath,
+        r.getDouble(1), r.getDouble(2)))
 }

@@ -91,10 +91,12 @@ object TableSink {
     val spark = updates.sparkSession
     // enforce the documented Delta contract instead of silently writing
     // duplicate-key rows; one aggregation over the (small, CDC-sized)
-    // update batch
+    // update batch. Aliased count — a key column literally named
+    // "count" must not make the guard itself ambiguous.
     val dupKeys = updates
       .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
-      .count().filter(col("count") > 1).count()
+      .agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") > 1).count()
     require(dupKeys == 0,
       s"merge: updates contain $dupKeys duplicate key group(s) on (${keys.mkString(", ")}) — " +
         "MERGE requires unique update keys")

@@ -25,30 +25,51 @@ object MultimodalQueries {
 
   private val NMedia = 60
 
-  /** Fixture path shared with the DuckDB oracle (same host). STABLE and
-    * write-once: the corpus is deterministic, so any run can (re)create
-    * the identical file — a stale Verify dump replays after a /tmp wipe
-    * because the next run regenerates the exact path its oracle SQL
-    * references, and nothing accumulates per JVM. Concurrent runs are
-    * safe because creation goes through a pid-keyed temp dir + atomic
-    * rename ([[ensureFixture]]); an existing fixture is never touched.
-    * BUMP the version suffix whenever `Multimodal.syntheticMedia` or
-    * the corpus parameters change, or old hosts keep the stale corpus.
+  /** Fixture path shared with the DuckDB oracle (same host). STABLE,
+    * write-once, and CONTENT-ADDRESSED: the digest covers every payload
+    * and meta field of the deterministic corpus (via the pure
+    * `Multimodal.mediaRow` generator), so any change to the generator
+    * or `NMedia` yields a new path automatically — no version suffix
+    * for a human to forget to bump — while identical code regenerates
+    * the identical path after a /tmp wipe, keeping stale Verify dumps
+    * replayable. Nothing accumulates per JVM, and an existing fixture
+    * is never touched ([[ensureFixture]]).
     */
-  val FixturePath = s"/tmp/graft_fixtures/media_v2_n$NMedia.parquet"
+  val FixturePath = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0L until NMedia).foreach { id =>
+      val m = Multimodal.mediaRow(id)
+      md.update(m.payload)
+      md.update(
+        s"${m.media_id}|${m.kind}|${m.meta.width}|${m.meta.height}|${m.meta.format}|${m.meta.duration_ms}"
+          .getBytes("UTF-8"))
+    }
+    val digest = md.digest().map("%02x".format(_)).mkString.take(12)
+    s"/tmp/graft_fixtures/media_$digest.parquet"
+  }
 
-  /** Create [[FixturePath]] if absent (write to a pid-keyed temp dir,
-    * atomically rename into place, defer to a concurrent winner).
+  /** Create [[FixturePath]] if absent: write to a pid-keyed temp dir,
+    * then `ATOMIC_MOVE` into place — a true rename(2), which FAILS if
+    * the destination appeared concurrently (Hadoop's FileSystem.rename
+    * would instead nest the source INSIDE an existing destination dir,
+    * corrupting the fixture for every later reader), in which case the
+    * loser discards its temp dir and defers to the winner's identical
+    * corpus.
     */
   private def ensureFixture(s: org.apache.spark.sql.SparkSession): Unit = {
-    val fp = new org.apache.hadoop.fs.Path(FixturePath)
-    val fs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(fp)) {
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$FixturePath.tmp_${ProcessHandle.current().pid()}")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val fp = Paths.get(FixturePath)
+    if (!Files.exists(fp)) {
+      val tmp = Paths.get(s"$FixturePath.tmp_${ProcessHandle.current().pid()}")
       Multimodal.syntheticMedia(s, NMedia).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, fp)) fs.delete(tmp, true)
+      try Files.move(tmp, fp, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException |
+            _: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
     }
   }
 

@@ -51,6 +51,17 @@ class MergeSpec extends SparkSpec {
       "a rejected batch must leave the table untouched")
   }
 
+  test("merge works with a key column literally named 'count'") {
+    val t = "graft_merge_countkey"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    TableSink.merge(Seq(1L -> "a").toDF("count", "v"), t, Seq("count"))
+    TableSink.merge(Seq(1L -> "A", 2L -> "b").toDF("count", "v"), t, Seq("count"))
+    val got = spark.table(t).collect()
+      .map(r => (r.getLong(r.fieldIndex("count")), r.getString(r.fieldIndex("v")))).toSet
+    assert(got == Set(1L -> "A", 2L -> "b"),
+      "the dup-key guard must not clash with a key named 'count'")
+  }
+
   test("merge with a composite key matches on ALL key columns") {
     val t = "graft_merge_composite"
     spark.sql(s"DROP TABLE IF EXISTS $t")
