@@ -203,6 +203,34 @@ object ShingleImpl {
       }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Per-document n-gram frequency stats in one local pass:
+    * [max gram count, positions holding a gram that occurs more than
+    * once, total positions] over [[wordShingles]] output (identical
+    * shingle definition — same tokenizer, same short-doc fallback), so
+    * intra-doc repetition metrics need NO explode/shuffle: the whole
+    * statistic is row-local.
+    */
+  def ngramRepStats(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val grams = wordShingles(text, n)
+    val total = grams.numElements()
+    val counts = new java.util.HashMap[UTF8String, Long](total * 2)
+    var i = 0
+    while (i < total) {
+      counts.merge(grams.getUTF8String(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var maxC = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > maxC) maxC = c
+      if (c > 1) dup += c
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](maxC, dup, total.toLong))
+  }
 }
 
 /** Word n-gram shingling as a native codegen'd expression — the
@@ -225,6 +253,33 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleImpl.wordShingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Per-document n-gram repetition stats as a native codegen'd
+  * expression: string → array<long> [max gram count, duplicated
+  * positions, total positions]. Exists so intra-doc repetition metrics
+  * (t13 / RepetitionFilter) are a zero-shuffle projection instead of a
+  * corpus-wide (doc, gram) explode + two aggregations — at 100 TB the
+  * explode path shuffles the whole n-gram stream for a statistic that
+  * never leaves its row.
+  */
+case class NgramRepStats(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_rep_stats requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleImpl.ngramRepStats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleImpl.ngramRepStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepStats =
     copy(child = newChild)
 }
 
@@ -342,4 +397,7 @@ object exprs {
 
   def token_hash60(c: Column): Column =
     SparkShims.column(TokenHash60(SparkShims.expression(c)))
+
+  def ngram_rep_stats(c: Column, n: Int): Column =
+    SparkShims.column(NgramRepStats(SparkShims.expression(c), n))
 }

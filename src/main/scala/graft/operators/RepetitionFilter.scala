@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * cross-document dedup ladder (TextDedup) never sees. Backs the
   * oracle-checked `t13_repetition` query.
   *
-  * Scale shape: two (doc, n-gram) partial-agg shuffles carrying counts
-  * plus a three-way equi-join on the doc id — all hash-partitioned on
-  * the same key, nothing quadratic, no driver state.
+  * Scale shape: the statistic never leaves its row, so the whole
+  * computation is ONE zero-shuffle projection on the codegen'd
+  * `ngram_rep_stats` kernel — no explode, no aggregation, no join.
+  * (RepetitionFilterSpec pins kernel == the declarative
+  * explode-groupBy-join reference, kept below as
+  * [[repetitionStatsViaAggregation]].)
   */
 object RepetitionFilter {
 
@@ -20,7 +23,26 @@ object RepetitionFilter {
     * overlapping runs — the standard form) and `dup5gram_frac` =
     * fraction of 5-gram positions whose 5-gram occurs more than once.
     */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        graft.functions.exprs.ngram_rep_stats(col(textCol), 2).as("s2"),
+        graft.functions.exprs.ngram_rep_stats(col(textCol), 5).as("s5"))
+      .select(col(idCol),
+        round(try_divide(lit(2.0) * col("s2").getItem(0), col("n_tok")), 4)
+          .as("top2gram_frac"),
+        round(try_divide(col("s5").getItem(1), col("s5").getItem(2)), 4)
+          .as("dup5gram_frac"))
+
+  /** Declarative reference implementation — the corpus-wide
+    * (doc, gram) explode + two aggregations + three-way join the
+    * kernel replaces (same results, two shuffles of the full n-gram
+    * stream). Kept for the equivalence spec, the same role
+    * `TextDedup.shinglesFold` plays for the shingle kernel.
+    */
+  private[operators] def repetitionStatsViaAggregation(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"))
     def gramCounts(n: Int) = docs

@@ -30,4 +30,19 @@ class RepetitionFilterSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L), s"expected only the varied doc to survive, got $kept")
   }
+
+  test("ngram_rep_stats kernel == explode-groupBy reference on a real corpus") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .unionByName(docs.withColumnRenamed("doc_id", "doc_id")
+        .selectExpr("doc_id + 100000 AS doc_id", "text",
+          "NULL AS lang", "NULL AS source", "length(text) AS n_chars"))
+    def collectStats(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val kernel = collectStats(
+      RepetitionFilter.repetitionStats(corpus, "doc_id", "text"))
+    val ref = collectStats(
+      RepetitionFilter.repetitionStatsViaAggregation(corpus, "doc_id", "text"))
+    assert(kernel == ref,
+      s"kernel and reference disagree on ${kernel.keySet.union(ref.keySet).count(k => kernel.get(k) != ref.get(k))} docs")
+  }
 }

@@ -117,6 +117,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
   }
 
+  test("t13 is a zero-shuffle projection — the n-gram stream never leaves its row") {
+    val p = plan("t13_repetition")
+    // the per-doc statistic must come from the codegen'd kernel, not a
+    // corpus-wide (doc, gram) explode + aggregations + join
+    assert(shuffles(p) == 0, s"t13 shuffles a row-local statistic:\n$p")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"t13 regressed to the explode/join plan:\n$p")
+  }
+
   test("d08 broadcasts the benchmark shingle set — the training corpus never shuffles pre-agg") {
     val p = plan("d08_decontaminate")
     // the benchmark side (an eval suite — MBs against a 100 TB corpus)
