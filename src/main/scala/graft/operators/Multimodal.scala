@@ -85,16 +85,14 @@ object Multimodal {
   val Mp4Ftyp: Array[Byte] =
     Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes("US-ASCII")
 
-  /** Deterministic synthetic media corpus (seeded from media_id) —
-    * stands in for a binary-file source at test time. Payloads carry
-    * the genuine magic bytes of their format followed by seeded body
-    * bytes.
-    */
-  /** Pure per-id generator — shared by the distributed corpus builder
-    * and the driver-side content digest that addresses the oracle
-    * fixture path (MultimodalQueries), so a change here automatically
-    * yields a new fixture path instead of silently serving a stale
-    * write-once corpus.
+  /** Pure per-id row of the deterministic synthetic media corpus
+    * (seeded from media_id; payloads carry the genuine magic bytes of
+    * their format followed by seeded body bytes) — shared by the
+    * distributed corpus builder ([[syntheticMedia]]) and the
+    * driver-side content digest that addresses the oracle fixture path
+    * (MultimodalQueries), so a change here automatically yields a new
+    * fixture path instead of silently serving a stale write-once
+    * corpus.
     */
   def mediaRow(id: Long): MediaFile = {
     val kind = (id % 3) match {

@@ -22,9 +22,16 @@ object RepetitionFilter {
     * most frequent 2-gram (2·max-count / tokens; exceeds 1 for
     * overlapping runs — the standard form) and `dup5gram_frac` =
     * fraction of 5-gram positions whose 5-gram occurs more than once.
+    *
+    * NULL-text rows are dropped, matching the explode-based reference
+    * (and the DuckDB oracle's unnest), where they produce no gram rows.
+    * `idCol` is expected unique per row (the documents-table contract):
+    * stats are per ROW, while the aggregation reference would pool
+    * grams across rows sharing an id.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
+      .where(col(textCol).isNotNull)
       .select(col(idCol),
         graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
         graft.functions.exprs.ngram_rep_stats(col(textCol), 2).as("s2"),

@@ -65,10 +65,12 @@ object MultimodalQueries {
         .write.mode("overwrite").parquet(tmp.toString)
       try Files.move(tmp, fp, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.DirectoryNotEmptyException |
-            _: java.nio.file.FileSystemException =>
+        case e: java.nio.file.FileSystemException =>
           org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+          // only a concurrency loss is benign — if no winner's fixture
+          // exists, this was a real failure (permissions, wrong FS):
+          // surface it instead of a later confusing path-missing error
+          if (!Files.exists(fp)) throw e
       }
     }
   }

@@ -32,16 +32,21 @@ class RepetitionFilterSpec extends SparkSpec {
   }
 
   test("ngram_rep_stats kernel == explode-groupBy reference on a real corpus") {
-    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
-      .unionByName(docs.withColumnRenamed("doc_id", "doc_id")
-        .selectExpr("doc_id + 100000 AS doc_id", "text",
-          "NULL AS lang", "NULL AS source", "length(text) AS n_chars"))
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .unionByName(docs.selectExpr("doc_id + 100000 AS doc_id", "text",
+        "NULL AS lang", "NULL AS source", "length(text) AS n_chars"))
+      // NULL text must be DROPPED by both paths (the explode reference
+      // and the DuckDB oracle produce no gram rows for it)
+      .unionByName(spark.range(1).selectExpr("200000 AS doc_id",
+        "CAST(NULL AS STRING) AS text", "NULL AS lang", "NULL AS source",
+        "0 AS n_chars"))
     def collectStats(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val kernel = collectStats(
       RepetitionFilter.repetitionStats(corpus, "doc_id", "text"))
     val ref = collectStats(
       RepetitionFilter.repetitionStatsViaAggregation(corpus, "doc_id", "text"))
+    assert(!kernel.contains(200000L), "NULL-text doc must be dropped")
     assert(kernel == ref,
       s"kernel and reference disagree on ${kernel.keySet.union(ref.keySet).count(k => kernel.get(k) != ref.get(k))} docs")
   }
