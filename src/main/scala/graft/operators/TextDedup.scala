@@ -108,7 +108,19 @@ object TextDedup {
           case r => r.toString
         }
       case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        s"local:${loc.data.hashCode}"
+        // full-content digest, not Seq.hashCode: a 32-bit hash collision
+        // between two same-schema in-memory corpora would silently serve
+        // stale signatures. UnsafeRow exposes its value bytes directly;
+        // other InternalRows render every field into the digest
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(loc.output.map(a => s"${a.name}:${a.dataType}").mkString(",")
+          .getBytes("UTF-8"))
+        loc.data.foreach {
+          case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+            md.update(u.getBytes)
+          case r => md.update(r.toString.getBytes("UTF-8"))
+        }
+        s"local:${md.digest().map("%02x".format(_)).mkString}"
     }
     // driver-side file listing off the already-resolved FileIndex; at
     // cluster scale this is metadata-sized (file names, not data)

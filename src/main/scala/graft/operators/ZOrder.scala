@@ -195,6 +195,11 @@ object ZOrder {
               case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation      => true
               case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => true
               case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation      => true
+              // unsigned ints store two's-complement bit patterns: a
+              // foreign-written UINT32/64 footer read as signed would
+              // report negative bounds that disagree with the
+              // cast-to-double value space — scan instead
+              case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation       => !i.isSigned
               case _                                                      => false
             }
           }

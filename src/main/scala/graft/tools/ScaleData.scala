@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    warehouse grows. Group-key cardinality for q05 (suppkey × year)
   *    is unchanged; join fan-in for q03 scales with the facts.
   *  - `documents`: each copy offsets doc_id AND prefixes every token
-  *    with a copy tag (`c1the c1quick ...`), making copies pairwise
-  *    disjoint in shingle space. Prefixing every token uniformly is a
+  *    with a copy tag (`§1§the §1§quick ...` — '§' is asserted absent
+  *    from the source corpus, so no source token can alias a tagged
+  *    one), making copies pairwise disjoint in shingle space. Prefixing every token uniformly is a
   *    Jaccard-preserving bijection per copy, so d03's true-pair count
   *    scales exactly linearly — no cross-copy near-dups, no artificial
   *    candidate blowup that would make the scaled run LOOK
@@ -76,12 +77,23 @@ object ScaleData {
     replicate("orders") { (df, _) =>
       df.withColumn("o_orderkey", $"o_orderkey" + $"__k" * lit(span))
     }
+    // The copy tag must be a character the source alphabet cannot
+    // produce, or tagging is not a disjoint bijection: with a plain
+    // "c<k>" prefix, copy 0's literal token "c1foo" equals copy 1's
+    // tagging of "foo", creating cross-copy shingle overlap that biases
+    // the linear-scaling measurement. '§' is out-of-alphabet — assert
+    // it, don't assume it.
+    val marker = "§"
+    require(
+      spark.read.parquet(s"$inDir/documents.parquet")
+        .filter($"text".contains(marker)).isEmpty,
+      s"source corpus contains the copy-tag marker '$marker'; pick another")
     replicate("documents") { (df, _) =>
       df.withColumn("doc_id", $"doc_id" + $"__k" * lit(docSpan))
         .withColumn("text",
           when($"__k" === 0, $"text").otherwise(
             regexp_replace($"text", lit("(\\S+)"),
-              concat(lit("c"), $"__k".cast("string"), lit("$1")))))
+              concat(lit(marker), $"__k".cast("string"), lit(marker), lit("$1")))))
     }
     for (t <- graft.core.Tables.names
          if !Set("lineitem", "orders", "documents")(t)) {

@@ -57,6 +57,70 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(b2.isEmpty, "doc 4 near-duplicates SEEN doc 1/2 and must be dropped")
   }
 
+  test("a retried micro-batch (same batchId) is idempotent: no state growth, same survivors") {
+    val stateDir =
+      Files.createTempDirectory("graft-incdedup").toString + "/state"
+    val b1 = corpus.filter(_._1 <= 2)
+    val b2 = corpus.filter(c => c._1 > 2 && c._1 <= 4)
+    val s1 = IncrementalDedup
+      .processBatch(docs(b1), "doc_id", "text", stateDir, 0.5, Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = IncrementalDedup
+      .processBatch(docs(b2), "doc_id", "text", stateDir, 0.5, Some(1L))
+      .collect().map(_.getLong(0)).toSeq
+    def stateRows: Long =
+      spark.read.parquet(s"$stateDir/batch=0", s"$stateDir/batch=1").count()
+    val rowsBefore = stateRows
+    // at-least-once redelivery: foreachBatch re-runs the SAME batch id
+    val retried = IncrementalDedup
+      .processBatch(docs(b2), "doc_id", "text", stateDir, 0.5, Some(1L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(retried.sorted == s2.sorted, "retry must return identical survivors")
+    assert(stateRows == rowsBefore, "retry must not re-append signatures")
+    // downstream batches judge against a single copy of the state
+    val s3 = IncrementalDedup
+      .processBatch(docs(corpus.filter(_._1 > 4)), "doc_id", "text",
+        stateDir, 0.5, Some(2L))
+      .collect().map(_.getLong(0)).toSeq
+    assert((s1 ++ s2 ++ s3).sorted == expectedSurvivors,
+      "post-retry stream must still equal the one-shot batch result")
+  }
+
+  test("a crashed partial state write (no _SUCCESS) is repaired on retry") {
+    val stateDir =
+      Files.createTempDirectory("graft-incdedup").toString + "/state"
+    IncrementalDedup.processBatch(
+      docs(corpus.filter(_._1 <= 2)), "doc_id", "text", stateDir, 0.5, Some(0L))
+    // simulate a crash mid-write of batch 1: a partial parquet file
+    // lands in the batch dir but _SUCCESS never does
+    val partial = new java.io.File(s"$stateDir/batch=1")
+    partial.mkdirs()
+    val src = new java.io.File(s"$stateDir/batch=0").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(src.toPath,
+      java.nio.file.Paths.get(s"$stateDir/batch=1/part-partial.parquet"))
+
+    val b2 = corpus.filter(c => c._1 > 2 && c._1 <= 4)
+    val survivors = IncrementalDedup
+      .processBatch(docs(b2), "doc_id", "text", stateDir, 0.5, Some(1L))
+      .collect().map(_.getLong(0)).toSeq
+
+    // reference: same batches against a clean state dir
+    val cleanDir =
+      Files.createTempDirectory("graft-incdedup").toString + "/state"
+    IncrementalDedup.processBatch(
+      docs(corpus.filter(_._1 <= 2)), "doc_id", "text", cleanDir, 0.5, Some(0L))
+    val expected = IncrementalDedup
+      .processBatch(docs(b2), "doc_id", "text", cleanDir, 0.5, Some(1L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(survivors.sorted == expected.sorted,
+      "partial uncommitted state must not leak into the screen")
+    assert(new java.io.File(s"$stateDir/batch=1/_SUCCESS").exists(),
+      "retry must commit the batch (overwriting the partial write)")
+    assert(!new java.io.File(s"$stateDir/batch=1/part-partial.parquet").exists(),
+      "overwrite must replace the crashed partial file")
+  }
+
   test("streaming wiring: foreachBatch screens each micro-batch against state") {
     val inDir = Files.createTempDirectory("graft-incdedup-in").toString
     val stateDir =

@@ -77,6 +77,21 @@ class TextDedupSpec extends SparkSpec {
       s"appended docs must invalidate the signature memo (got $first then $second rows)")
   }
 
+  test("sharedSignatures keys in-memory corpora by content digest, not identity") {
+    // two same-schema, same-cardinality local corpora: the memo must
+    // key on row CONTENT (md5 digest), never collapse them
+    val a = TextDedup.sharedSignatures(
+      docs(1L -> "aa bb cc dd ee ff"), "doc_id", "text")
+    val b = TextDedup.sharedSignatures(
+      docs(1L -> "gg hh ii jj kk ll"), "doc_id", "text")
+    assert(a.collect().map(_.toSeq).toSeq != b.collect().map(_.toSeq).toSeq,
+      "distinct local corpora must not share a signature memo entry")
+    // ...while a re-built frame with identical content hits the memo
+    val a2 = TextDedup.sharedSignatures(
+      docs(1L -> "aa bb cc dd ee ff"), "doc_id", "text")
+    assert(a2 eq a, "identical local content must reuse the memoized frame")
+  }
+
   test("salted band join returns exactly the plain join's candidates") {
     // 8 copies of one text make every band of those docs a hot bucket
     // when hotThreshold=0; mixed-in near and far docs exercise the

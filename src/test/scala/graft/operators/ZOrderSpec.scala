@@ -85,6 +85,28 @@ class ZOrderSpec extends SparkSpec {
       s"NULL-only file must be skipped, the other file's bounds kept: $nb")
   }
 
+  test("fileBounds routes unsigned-int logical types to the value scan") {
+    // foreign-written UINT32 stores two's-complement bit patterns: the
+    // footer's genericGetMin/Max come back as SIGNED ints (-2 here),
+    // disagreeing with the cast-to-double value space (4294967294).
+    // The footer path must detect isSigned=false and scan instead.
+    val dir = java.nio.file.Files.createTempDirectory("graft-zb-uint").toString
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message m { required int32 u (INTEGER(32,false)); }")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/u.parquet"), conf))
+      .withConf(conf).withType(schema).build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    Seq(5, -2).foreach(v => writer.write(gf.newGroup().append("u", v)))
+    writer.close()
+    val bounds = ZOrder.fileBounds(spark, dir, "u")
+    assert(bounds.size == 1)
+    assert(bounds.head._2 == 5.0 && bounds.head._3 == 4294967294.0,
+      s"unsigned footer stats must come from the scan fallback, got ${bounds.head}")
+  }
+
   test("3-column morton key packs 8-bit buckets without bit collisions") {
     val df = Seq((0.0, 0.0, 0.0), (255.0, 255.0, 255.0), (255.0, 0.0, 0.0))
       .toDF("a", "b", "c")
