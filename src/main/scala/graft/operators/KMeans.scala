@@ -53,8 +53,18 @@ object KMeans {
 
   /** Fit k centroids with `iters` Lloyd iterations. `idCol` orders the
     * deterministic initialization (first K rows by ascending id).
+    * `computeWcss = false` skips the per-iteration WCSS diagnostic pass
+    * (one extra corpus job per iteration) for callers that only need
+    * the centroids — e.g. SemDedup's blocking step; `Model.wcss` is
+    * then empty.
     */
-  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int): Model = {
+  def fit(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iters: Int,
+      computeWcss: Boolean = true): Model = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     var centroids: Array[Array[Double]] =
       df.orderBy(col(idCol).asc).limit(k)
@@ -78,10 +88,11 @@ object KMeans {
         .toMap
       // an emptied cluster keeps its previous centroid
       centroids = centroids.indices.map(i => byDim.getOrElse(i, centroids(i))).toArray
-      val sq = assigned.select(
-        sum(squaredDistance(col(vecCol), centroids)).as("wcss"))
-        .head().getDouble(0)
-      wcss += sq
+      if (computeWcss) {
+        wcss += assigned.select(
+          sum(squaredDistance(col(vecCol), centroids)).as("wcss"))
+          .head().getDouble(0)
+      }
     }
     Model(centroids, wcss.result())
   }

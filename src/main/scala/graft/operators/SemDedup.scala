@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{dot, l2Norm}
+
+/** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+  * arXiv:2303.09540): k-means cluster the embedding space, then drop
+  * near-duplicate members WITHIN each cluster — pairs whose cosine
+  * similarity meets the threshold — keeping the lowest-id member of
+  * every near-dup group. This is the embedding-space rung of the dedup
+  * ladder: exact (d01) → lexical near-dup (d03 MinHash) → semantic
+  * near-dup (here), which catches paraphrases and re-renderings that
+  * share no shingles at all.
+  *
+  * The cluster is the blocking key — the quadratic pair stage runs per
+  * cluster, never corpus-wide. Same greedy one-pass policy as
+  * [[TextDedup.dropNearDuplicates]]: a doc is dropped iff ANY lower-id
+  * doc in its cluster (kept or itself dropped) is ≥ threshold, so
+  * among survivors of one cluster no pair reaches the threshold
+  * (SemDedupSpec asserts this).
+  *
+  * Scale shape (the SemDeDup paper runs this exact plan over LAION-5B):
+  *  - k-means is [[KMeans]] — broadcast centroids, one codegen'd
+  *    projection per iteration, O(K × dim) driver traffic;
+  *  - assignment adds a `cluster` column in the same scan that computes
+  *    the vector norm (one linear pass, no shuffle);
+  *  - the pair stage is a self-equi-join on `cluster`: one shuffle of
+  *    (id, norm, vector) keyed by cluster, quadratic only in CLUSTER
+  *    size. At 100 TB, K is sized so clusters hold ~√N vectors (the
+  *    paper uses 11k clusters for 100M docs); a pathologically hot
+  *    cluster takes the same salting treatment as a hot LSH band
+  *    (`Salting.skewSelfJoinPairs`) — not needed at test SFs.
+  */
+object SemDedup {
+
+  /** Survivors of `vectors` after cluster-blocked cosine dedup, with
+    * their cluster assignment (`cluster` column). Cosine is rounded to
+    * 4 dp before the threshold gate — the repo-wide compare-on-rounded
+    * convention, so the drop set replays identically in the DuckDB
+    * oracle (s07_semdedup).
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    val model = KMeans.fit(vectors, embCol, idCol, k, iters, computeWcss = false)
+    // norm computed in the same projection as the assignment: the pair
+    // stage then does ONE dot product per pair instead of three
+    val e = KMeans.assign(vectors, embCol, model.centroids)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol), col("cluster"), col(embCol),
+        l2Norm(col(embCol)).as("__nrm"))
+    val drops = e.as("a")
+      .join(e.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(
+        round(try_divide(dot(col(s"a.$embCol"), col(s"b.$embCol")),
+          col("a.__nrm") * col("b.__nrm")), 4) >= threshold)
+      .select(col(s"b.$idCol").as(idCol))
+      .distinct()
+    KMeans.assign(vectors, embCol, model.centroids)
+      .join(drops, Seq(idCol), "left_anti")
+  }
+}

@@ -335,7 +335,20 @@ object SimilarityQueries {
         .select($"cluster", $"j", round($"m_raw", 6).as("m"),
           coalesce($"n_members", lit(0L)).as("n_members"))
     },
-    Some(s"""WITH js AS (SELECT unnest(range($Dim)) AS j),
+    Some(s"""WITH $kmeansReplaySql,
+      cnt AS (SELECT cluster, count(*) AS n_members FROM a3w WHERE rn = 1 GROUP BY cluster)
+      SELECT m.cluster, m.j, round(m.m, 6) AS m,
+        CAST(COALESCE(c.n_members, 0) AS BIGINT) AS n_members
+      FROM m2f m LEFT JOIN cnt c ON m.cluster = c.cluster"""))
+
+  /** DuckDB replay of `KMeans.fit(K = KmK, iters = KmIters)` plus the
+    * final assignment — the CTE chain shared by s06 (model output) and
+    * s07 (SemDeDup cluster blocking). Ends with `m2f` (fitted
+    * centroids, long form) and `a3w` (rn = 1 rows are the final
+    * (vec_id, cluster) assignment).
+    */
+  private def kmeansReplaySql: String =
+    s"""js AS (SELECT unnest(range($Dim)) AS j),
       c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding AS c_emb
         FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $KmK)),
@@ -389,12 +402,44 @@ object SimilarityQueries {
       a3w AS (
         SELECT vec_id, cluster, row_number() OVER (
           PARTITION BY vec_id ORDER BY score ASC, cluster ASC) AS rn
-        FROM a3),
-      cnt AS (SELECT cluster, count(*) AS n_members FROM a3w WHERE rn = 1 GROUP BY cluster)
-      SELECT m.cluster, m.j, round(m.m, 6) AS m,
-        CAST(COALESCE(c.n_members, 0) AS BIGINT) AS n_members
-      FROM m2f m LEFT JOIN cnt c ON m.cluster = c.cluster"""))
+        FROM a3)"""
+
+  private val SemThreshold = 0.35
+
+  /** Semantic dedup (`operators.SemDedup` — SemDeDup, arXiv:2303.09540)
+    * oracled end-to-end: k-means cluster blocking (identical replay to
+    * s06), within-cluster rounded-cosine pairs, greedy lowest-id-wins
+    * drop. Output = surviving (vec_id, cluster). Threshold 0.35 follows
+    * d05's tuning (max blocked cos_sim ≈ 0.47 in the synthetic
+    * embeddings), so the drop set is non-empty at every SF and the
+    * oracle exercises the full cluster → pair → anti-join pipeline:
+    * survivors 429/500 at sf0.001, 407/500 at sf0.01, 1191/2000 at
+    * sf0.1 (all oracle-green).
+    */
+  val s07SemDedup = Q(
+    "s07_semdedup",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.SemDedup
+        .semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          KmK, KmIters, SemThreshold)
+        .select($"vec_id", $"cluster".cast("long").as("cluster"))
+    },
+    Some(s"""WITH $kmeansReplaySql,
+      asg AS (SELECT vec_id, cluster FROM a3w WHERE rn = 1),
+      prs AS (
+        SELECT b.vec_id AS vb,
+          round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 4) AS cos_sim
+        FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id)
+      SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+      FROM asg a
+      WHERE a.vec_id NOT IN (SELECT vb FROM prs WHERE cos_sim >= $SemThreshold)"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
-    s05LabelCentroids, s06KMeans)
+    s05LabelCentroids, s06KMeans, s07SemDedup)
 }

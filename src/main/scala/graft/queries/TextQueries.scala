@@ -482,8 +482,52 @@ object TextQueries {
       FROM toks t JOIN top2 USING (doc_id) JOIN dup5 USING (doc_id)"""),
     headline = true)
 
+  /** Bigram-LM perplexity per document (`operators.PerplexityScore` —
+    * the CCNet-style model-based quality gate): t10's conditional
+    * bigram model, scored back over each doc's bigram stream as
+    * ppl = exp(−mean ln P(w2|w1)). Heuristic filters (t03/t13) catch
+    * structural junk; the perplexity gate catches fluent-looking noise
+    * they pass. cond_p is rounded to 6 dp BEFORE the log on both
+    * engines, so the only cross-engine freedom is double summation
+    * order — absorbed by the 4 dp rounding of the final ppl. Docs with
+    * < 2 tokens have no bigram and are absent on both sides.
+    *
+    * Scale: two partial-agg shuffles build the LM, one equi-join on
+    * the bigram key scores it, one per-doc aggregate — nothing
+    * driver-side. At 100 TB the LM trains on a sample, truncates to
+    * top-M bigrams + an unseen floor, and broadcasts (the
+    * `unseenFloor` parameter); here the corpus is its own model.
+    * Cross-SF: oracle green at sf0.001/0.01/0.1 (500/500/5000 rows —
+    * every synthetic doc has ≥ 2 tokens, so none drop out).
+    */
+  val t14Perplexity = Q(
+    "t14_perplexity",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lm = graft.operators.PerplexityScore.bigramLm(docs, "doc_id", "text")
+      graft.operators.PerplexityScore
+        .scorePerplexity(docs, "doc_id", "text", lm)
+    },
+    Some(s"""WITH bg0 AS (
+        SELECT doc_id, unnest(${DedupQueries.shinglesSql(2)}) AS bigram FROM documents),
+      bg AS (
+        SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bg0
+        WHERE len(string_split(bigram, ' ')) = 2),
+      counts AS (
+        SELECT w1, bigram, count(*) AS n_bigram FROM bg GROUP BY w1, bigram),
+      w1tot AS (
+        SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_w1 FROM counts GROUP BY w1),
+      lm AS (
+        SELECT bigram, round(n_bigram / n_w1, 6) AS cond_p
+        FROM counts JOIN w1tot USING (w1))
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(exp(-avg(ln(l.cond_p))), 4) AS ppl
+      FROM bg b JOIN lm l USING (bigram)
+      GROUP BY b.doc_id"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
-      t11SeqPacking, t12MixtureSample, t13Repetition)
+      t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity)
 }
