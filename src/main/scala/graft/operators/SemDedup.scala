@@ -35,11 +35,30 @@ import graft.functions.VectorFunctions.{dot, l2Norm}
   */
 object SemDedup {
 
+  /** L2-normalized copy of the embedding column — SemDeDup clusters
+    * DIRECTIONS (the paper normalizes before k-means, making L2 Lloyd
+    * iterations equivalent to cosine clustering), so near-identical
+    * texts embedded at different magnitudes still co-cluster. Division
+    * runs in double and rounds once to float32: both engines correctly
+    * round double→float, so the oracle's `(x::DOUBLE / nrm)::FLOAT`
+    * replays bit-for-bit (norms already hash-match — d05). A zero
+    * vector normalizes to NULLs via try_divide (= DuckDB x/0) and
+    * never co-clusters.
+    */
+  private[operators] def unitVectors(vectors: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val nrm = l2Norm(col(embCol))
+    vectors.select(col(idCol),
+      transform(col(embCol),
+        x => try_divide(x.cast("double"), nrm).cast("float")).as(embCol))
+  }
+
   /** Survivors of `vectors` after cluster-blocked cosine dedup, with
     * their cluster assignment (`cluster` column). Cosine is rounded to
     * 4 dp before the threshold gate — the repo-wide compare-on-rounded
     * convention, so the drop set replays identically in the DuckDB
-    * oracle (s07_semdedup).
+    * oracle (s07_semdedup). Blocking recall on true high-cosine pairs
+    * is audited independently of the oracle replay in SemDedupSpec
+    * (exact all-pairs baseline, the d07 pattern).
     */
   def semanticDedup(
       vectors: DataFrame,
@@ -49,10 +68,14 @@ object SemDedup {
       iters: Int,
       threshold: Double): DataFrame = {
     val spark = vectors.sparkSession
-    val model = KMeans.fit(vectors, embCol, idCol, k, iters, computeWcss = false)
-    // norm computed in the same projection as the assignment: the pair
+    val unit = unitVectors(vectors, idCol, embCol)
+    val model = KMeans.fit(unit, embCol, idCol, k, iters, computeWcss = false)
+    val assigned = KMeans.assign(unit, embCol, model.centroids)
+      .select(col(idCol), col("cluster"))
+    // norm computed in the same projection as the pair input: the pair
     // stage then does ONE dot product per pair instead of three
-    val e = KMeans.assign(vectors, embCol, model.centroids)
+    val e = vectors
+      .join(assigned, Seq(idCol))
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol), col("cluster"), col(embCol),
         l2Norm(col(embCol)).as("__nrm"))
@@ -65,7 +88,6 @@ object SemDedup {
           col("a.__nrm") * col("b.__nrm")), 4) >= threshold)
       .select(col(s"b.$idCol").as(idCol))
       .distinct()
-    KMeans.assign(vectors, embCol, model.centroids)
-      .join(drops, Seq(idCol), "left_anti")
+    vectors.join(assigned, Seq(idCol)).join(drops, Seq(idCol), "left_anti")
   }
 }

@@ -335,7 +335,7 @@ object SimilarityQueries {
         .select($"cluster", $"j", round($"m_raw", 6).as("m"),
           coalesce($"n_members", lit(0L)).as("n_members"))
     },
-    Some(s"""WITH $kmeansReplaySql,
+    Some(s"""WITH ${kmeansReplaySql()},
       cnt AS (SELECT cluster, count(*) AS n_members FROM a3w WHERE rn = 1 GROUP BY cluster)
       SELECT m.cluster, m.j, round(m.m, 6) AS m,
         CAST(COALESCE(c.n_members, 0) AS BIGINT) AS n_members
@@ -347,16 +347,16 @@ object SimilarityQueries {
     * centroids, long form) and `a3w` (rn = 1 rows are the final
     * (vec_id, cluster) assignment).
     */
-  private def kmeansReplaySql: String =
+  private def kmeansReplaySql(src: String = "embeddings"): String =
     s"""js AS (SELECT unnest(range($Dim)) AS j),
       c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding AS c_emb
-        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $KmK)),
+        FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $KmK)),
       a1 AS (
         SELECT e.vec_id, e.embedding, c.cluster,
           round(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[])
             - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]), 6) AS score
-        FROM embeddings e, c0 c),
+        FROM $src e, c0 c),
       a1w AS (
         SELECT vec_id, embedding, cluster, row_number() OVER (
           PARTITION BY vec_id ORDER BY score ASC, cluster ASC) AS rn
@@ -375,10 +375,10 @@ object SimilarityQueries {
       c1sq AS (SELECT cluster, sum(cm::DOUBLE * cm::DOUBLE) AS c2 FROM c1 GROUP BY cluster),
       d1 AS (
         SELECT e.vec_id, c.cluster, sum(e.embedding[c.j + 1]::DOUBLE * c.cm::DOUBLE) AS dp
-        FROM embeddings e, c1 c GROUP BY e.vec_id, c.cluster),
+        FROM $src e, c1 c GROUP BY e.vec_id, c.cluster),
       a2 AS (
         SELECT e.vec_id, e.embedding, d.cluster, round(s.c2 - 2.0 * d.dp, 6) AS score
-        FROM embeddings e
+        FROM $src e
         JOIN d1 d ON e.vec_id = d.vec_id
         JOIN c1sq s ON d.cluster = s.cluster),
       a2w AS (
@@ -395,7 +395,7 @@ object SimilarityQueries {
       c2sq AS (SELECT cluster, sum(cm::DOUBLE * cm::DOUBLE) AS c2 FROM c2f GROUP BY cluster),
       d2 AS (
         SELECT e.vec_id, c.cluster, sum(e.embedding[c.j + 1]::DOUBLE * c.cm::DOUBLE) AS dp
-        FROM embeddings e, c2f c GROUP BY e.vec_id, c.cluster),
+        FROM $src e, c2f c GROUP BY e.vec_id, c.cluster),
       a3 AS (
         SELECT d.vec_id, d.cluster, round(s.c2 - 2.0 * d.dp, 6) AS score
         FROM d2 d JOIN c2sq s ON d.cluster = s.cluster),
@@ -407,14 +407,20 @@ object SimilarityQueries {
   private val SemThreshold = 0.35
 
   /** Semantic dedup (`operators.SemDedup` — SemDeDup, arXiv:2303.09540)
-    * oracled end-to-end: k-means cluster blocking (identical replay to
-    * s06), within-cluster rounded-cosine pairs, greedy lowest-id-wins
-    * drop. Output = surviving (vec_id, cluster). Threshold 0.35 follows
-    * d05's tuning (max blocked cos_sim ≈ 0.47 in the synthetic
-    * embeddings), so the drop set is non-empty at every SF and the
-    * oracle exercises the full cluster → pair → anti-join pipeline:
-    * survivors 429/500 at sf0.001, 407/500 at sf0.01, 1191/2000 at
-    * sf0.1 (all oracle-green).
+    * oracled end-to-end: k-means over L2-NORMALIZED embeddings (the
+    * paper's setup — unit vectors make L2 Lloyd = cosine clustering;
+    * the `srcn` CTE replays the double-divide/float-round
+    * normalization bit-for-bit), within-cluster rounded-cosine pairs,
+    * greedy lowest-id-wins drop. Output = surviving (vec_id, cluster).
+    * Threshold 0.35 follows d05's tuning (max blocked cos_sim ≈ 0.47
+    * in the synthetic embeddings), so the drop set is non-empty at
+    * every SF and the oracle exercises the full cluster → pair →
+    * anti-join pipeline: survivors 429/500 at sf0.001, 407/500 at
+    * sf0.01, 1191/2000 at sf0.1 (all oracle-green; the corpus arrives
+    * pre-normalized, so the unit projection is value-neutral here).
+    * Blocking is audited independently of the oracle replay in
+    * SemDedupSpec: planted cos ≈ 0.9998 copies must co-cluster and
+    * drop end-to-end — the check a replay oracle cannot provide.
     */
   val s07SemDedup = Q(
     "s07_semdedup",
@@ -425,7 +431,13 @@ object SimilarityQueries {
           KmK, KmIters, SemThreshold)
         .select($"vec_id", $"cluster".cast("long").as("cluster"))
     },
-    Some(s"""WITH $kmeansReplaySql,
+    Some(s"""WITH srcn AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> (x::DOUBLE / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))::FLOAT)
+            AS embedding
+        FROM embeddings),
+      ${kmeansReplaySql("srcn")},
       asg AS (SELECT vec_id, cluster FROM a3w WHERE rn = 1),
       prs AS (
         SELECT b.vec_id AS vb,

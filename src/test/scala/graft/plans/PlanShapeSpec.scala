@@ -161,6 +161,34 @@ class PlanShapeSpec extends SparkSpec {
       "final plan shape must be identical regardless of rounds executed")
   }
 
+  test("s07 keys the semantic pair stage by the learned cluster — hash equi-join, never nested-loop") {
+    val p = plan("s07_semdedup")
+    // the quadratic stage must be BLOCKED: a hash join keyed on the
+    // k-means cluster column (broadcast at this SF, sort-merge at
+    // scale). The id inequality rides as a post-join condition — if
+    // `cluster` ever left the join KEYS the pair count would go
+    // corpus-quadratic via BNLJ, caught here and by the sweep below
+    val joinKeyedByCluster =
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cluster#".r
+    assert(joinKeyedByCluster.findFirstIn(p).isDefined,
+      s"s07 pair stage is not a cluster-keyed equi-join:\n$p")
+  }
+
+  test("t14 scores documents through a bigram-keyed equi-join on the LM") {
+    val p = plan("t14_perplexity")
+    // the doc bigram stream probes the LM on the bigram key — an
+    // equi-join whichever physical strategy AQE picks; anything else
+    // (position-wise zip, nested loop) would not scale to a 100 TB
+    // bigram stream
+    val joinKeyedByBigram =
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[bigram#".r
+    assert(joinKeyedByBigram.findFirstIn(p).isDefined,
+      s"t14 LM join is not keyed by bigram:\n$p")
+    // both LM aggregations partial-aggregate map-side before shuffling
+    assert(count(p, "HashAggregate") >= 4,
+      s"t14 lost its partial/final aggregate pairs:\n$p")
+  }
+
   test("no CartesianProduct anywhere; BNLJ only in the declared broadcast cross joins") {
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf")
     Registry.all.foreach { q =>
