@@ -326,8 +326,34 @@ object AnalyticQueries {
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** GROUPING SETS with an ASYMMETRIC slice list — ((status, priority),
+    * (priority), ()) — that neither rollup (q21, prefix-closed) nor
+    * cube (q35, power set) can express: the per-priority slice without
+    * its per-status sibling. Same physical shape as rollup/cube: Spark
+    * Expands each row once per matching set, then one partial→final
+    * hash aggregate — shuffle carries O(groups × sets), not rows.
+    * Absent group keys surface as NULLs on both engines (q21's
+    * convention; the grouped columns are non-null in the data, so no
+    * conflation).
+    */
+  val q39GroupingSets = Q(
+    "q39_grouping_sets",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+            Seq($"o_orderpriority"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())"""))
+
   val all: Seq[Q] = Seq(
     q27SemiAnti, q28Subqueries, q29ArrayAgg, q30Regex, q31Unpivot,
     q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube, q36Datetime,
-    q37StratifiedSample, q38WelfordUdaf)
+    q37StratifiedSample, q38WelfordUdaf, q39GroupingSets)
 }

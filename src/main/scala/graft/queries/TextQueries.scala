@@ -526,8 +526,35 @@ object TextQueries {
       GROUP BY b.doc_id"""),
     headline = true)
 
+  private val ShardSalt = "epoch0_"
+  private val NShards = 16L
+
+  /** Deterministic epoch shuffle (`operators.Sharding`): the salted
+    * md5-hash permutation + shard assignment a training run executes
+    * before reading the corpus — reproducible without RNG state, a new
+    * permutation per epoch salt, shard stable in (salt, id) under
+    * corpus growth (ShardingSpec). One hash projection, one shuffle on
+    * shard, one within-shard sort; at 100 TB nShards is sized in the
+    * thousands so every shard sorts a bounded slice in parallel.
+    */
+  val t15ShardShuffle = Q(
+    "t15_shard_shuffle",
+    (s, dir) => graft.operators.Sharding.epochShuffle(
+      Tables.documents(s, dir), "doc_id", ShardSalt, NShards),
+    // hash is non-negative (60-bit), so DuckDB's sign-of-dividend `%`
+    // agrees with Spark's pmod here
+    Some(s"""WITH h AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5('$ShardSalt' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents)
+      SELECT doc_id, CAST(h % $NShards AS BIGINT) AS shard,
+        CAST(row_number() OVER (
+          PARTITION BY h % $NShards ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+      FROM h"""))
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
-      t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity)
+      t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
+      t15ShardShuffle)
 }
