@@ -65,7 +65,6 @@ object KMeans {
       k: Int,
       iters: Int,
       computeWcss: Boolean = true): Model = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
     var centroids: Array[Array[Double]] =
       df.orderBy(col(idCol).asc).limit(k)
         .select(col(vecCol))
