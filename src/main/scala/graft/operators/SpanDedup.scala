@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicated-span detection — the exact-substring-dedup
+  * family (suffix-array dedup over the concatenated corpus),
+  * re-expressed for Spark as rolling n-token span hashing: a span is
+  * duplicated iff its 60-bit hash occurs in ≥ 2 distinct documents.
+  * Unlike the pairwise ladder (d02/d03), this is corpus-internal and
+  * never forms document pairs — it finds verbatim passages (licenses,
+  * boilerplate, quoted text) shared by ANY number of documents at the
+  * cost of a hash census instead of a suffix array.
+  *
+  * Scale notes: per-doc distinct spans (one linear pass + one dedup
+  * shuffle), a span-hash census with map-side partial aggregation (one
+  * shuffle carrying (hash, count) pairs only — a ~1% fraction of corpus
+  * bytes at 100 TB), and a hash-partitioned join back onto the span
+  * frame. No stage is quadratic in corpus size, and no stage carries
+  * document text past the shingling scan.
+  */
+object SpanDedup {
+
+  /** (id, span-hash) distinct pairs: word n-gram spans of `textCol`
+    * hashed to 60 bits (md5 prefix — engine-portable). Distinct BEFORE
+    * hashing so the census counts distinct documents per span.
+    */
+  def docSpanHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(TextDedup.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .select(col(idCol), graft.functions.exprs.token_hash60(col("sh")).as("h"))
+
+  /** Per-document duplicated-span statistics: total distinct spans,
+    * spans whose hash occurs in ≥ 2 distinct documents, and the
+    * duplicated fraction (round 4). One row per input document.
+    */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    // checkpointed: the census and the join-back both consume it — the
+    // explode+distinct subtree must not run twice
+    val hashed = docSpanHashes(docs, idCol, textCol, n).localCheckpoint(true)
+    val census = hashed.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    hashed
+      .join(census, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        round(try_divide(col("n_dup_spans"), col("n_spans")), 4).as("dup_frac"))
+  }
+
+  /** Keep only documents whose duplicated-span fraction is at most
+    * `maxDupFrac` (Gopher-style hygiene budget: a doc that is mostly
+    * text seen elsewhere in the corpus is dropped wholesale).
+    */
+  def dropSpanDuplicated(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    val keep = spanStats(docs, idCol, textCol, n)
+      .filter(col("dup_frac") <= maxDupFrac)
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+}

@@ -416,7 +416,39 @@ object DedupQueries {
       GROUP BY s.doc_id"""),
     headline = true)
 
+  /** Cross-document duplicated-span statistics (operators.SpanDedup) —
+    * the exact-substring-dedup family (suffix-array dedup over the
+    * concatenated corpus) re-expressed as rolling 5-token span hashing:
+    * a span is duplicated iff its 60-bit hash occurs in ≥ 2 distinct
+    * documents. Corpus-internal and pair-free — it catches verbatim
+    * passages shared by ANY number of docs, which the pairwise ladder
+    * (d02/d03) only sees if LSH happens to pair the sharers. Width 5
+    * matches the dedup shingle width and is non-degenerate on the
+    * synthetic corpus: 71/500 docs carry a duplicated span at sf0.01,
+    * 2064/5000 at sf0.1, mean dup_frac ≈ 0.1 among carriers (width 3
+    * would mark every doc, width 4 flips between SFs).
+    */
+  val d09SpanDedup = Q(
+    "d09_span_dedup",
+    (s, dir) =>
+      graft.operators.SpanDedup.spanStats(
+        Tables.documents(s, dir), "doc_id", "text", n = N),
+    Some(s"""WITH sp AS (
+        SELECT DISTINCT doc_id, sh
+        FROM (SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
+      hashed AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM sp),
+      census AS (SELECT h, count(*) AS nd FROM hashed GROUP BY h)
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac
+      FROM hashed s JOIN census c USING (h)
+      GROUP BY s.doc_id"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
-      d05EmbeddingNearDup, d06DedupClusters, d07LshRecall, d08Decontaminate)
+      d05EmbeddingNearDup, d06DedupClusters, d07LshRecall, d08Decontaminate,
+      d09SpanDedup)
 }
