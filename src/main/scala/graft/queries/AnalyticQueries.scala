@@ -352,8 +352,62 @@ object AnalyticQueries {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())"""))
 
+  /** Time-RANGE window frames — the value-based sliding frame q33's
+    * ranking suite doesn't touch: per user, the rolling 1-hour event
+    * count and value sum (`RANGE BETWEEN 3600 PRECEDING AND CURRENT
+    * ROW` over epoch seconds), plus a 10-ROW trailing mean. RANGE
+    * frames are tie-insensitive (all peers share one frame), so the
+    * order key needs no tiebreak; the ROWS frame orders on (ts_sec,
+    * event_id) — unique, hence deterministic. One shuffle on user_id,
+    * one sort, both frames evaluated in window operators over the same
+    * partitioning. Epoch seconds via floor on BOTH sides: Spark's
+    * unix_timestamp truncates while a DuckDB double→BIGINT cast
+    * ROUNDS, so the oracle floors epoch() explicitly before casting.
+    * Frame sums run over integer CENTS, not doubles: DuckDB evaluates
+    * windowed aggregates with a segment tree (pairwise combine) while
+    * Spark accumulates frames sequentially — double summation order
+    * differs, and round() can't hide a straddle (nor agree on exact
+    * half-decimals: Spark rounds the double's DECIMAL string HALF_UP,
+    * DuckDB the raw binary double). Integer sums are order-independent
+    * and the divisions are single IEEE ops, so both engines emit
+    * bit-identical doubles UNROUNDED — no rounding is the fix here.
+    */
+  val q40RollingRange = Q(
+    "q40_rolling_range",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", unix_timestamp($"ts").as("ts_sec"),
+          round($"value" * 100).cast("long").as("cents"))
+      val wRange = Window.partitionBy($"user_id").orderBy($"ts_sec".asc)
+        .rangeBetween(-3600L, 0L)
+      val wRows = Window.partitionBy($"user_id").orderBy($"ts_sec".asc, $"event_id".asc)
+        .rowsBetween(-9, 0)
+      ev.select(
+        $"event_id", $"user_id", $"ts_sec",
+        count(lit(1)).over(wRange).as("n_1h"),
+        (sum($"cents").over(wRange) / 100.0).as("value_1h"),
+        (sum($"cents").over(wRows) /
+          (count(lit(1)).over(wRows) * 100.0)).as("avg_prev10"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_id, user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT event_id, user_id, ts_sec,
+        count(*) OVER wr AS n_1h,
+        sum(cents) OVER wr / 100.0 AS value_1h,
+        sum(cents) OVER wrows / (count(*) OVER wrows * 100.0) AS avg_prev10
+      FROM ev
+      WINDOW
+        wr AS (PARTITION BY user_id ORDER BY ts_sec ASC
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+        wrows AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"""))
+
   val all: Seq[Q] = Seq(
     q27SemiAnti, q28Subqueries, q29ArrayAgg, q30Regex, q31Unpivot,
     q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube, q36Datetime,
-    q37StratifiedSample, q38WelfordUdaf, q39GroupingSets)
+    q37StratifiedSample, q38WelfordUdaf, q39GroupingSets, q40RollingRange)
 }
