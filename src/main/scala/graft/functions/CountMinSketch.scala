@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+import scala.reflect.runtime.universe._
+
+/** Count-Min sketch as a typed `Aggregator` (SURVEY.md §2.12 extension,
+  * the frequency-sketch sibling of q24's cardinality sketches): a
+  * Depth×Width counter grid where each item increments one cell per
+  * row, and a point estimate is the MIN of its cells — an upper bound
+  * on the true count (ε ≈ e/Width overestimate with probability
+  * 1 − e^−Depth, never an underestimate).
+  *
+  * The aggregator takes the item's Depth bucket indices already
+  * computed (codegen'd md5 windows in the query — engine-portable, so
+  * DuckDB can re-derive the identical grid); the UDAF itself is pure
+  * arithmetic on a constant-size state. `merge` is elementwise add —
+  * commutative and associative, so the final grid is independent of
+  * row order and partitioning. That order-independence is what makes
+  * an EXACT oracle replay possible where HLL (q24) only supports a
+  * tolerance gate: every grid cell is a plain sum, and DuckDB computes
+  * the same sums by group-by. At 100 TB the sketch is the point: a
+  * 4×1024-long state (32 KiB) summarizes any number of rows, partial
+  * aggregation collapses each partition map-side, and the shuffle
+  * carries one grid per partition instead of a token census.
+  */
+object CountMinSketch extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+  val Depth = 4
+  val Width = 1024
+
+  override def zero: Array[Long] = new Array[Long](Depth * Width)
+
+  override def reduce(buf: Array[Long], buckets: Seq[Int]): Array[Long] = {
+    var i = 0
+    while (i < Depth) { buf(i * Width + buckets(i)) += 1L; i += 1 }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(s: Array[Long]): Seq[Long] = s.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -406,8 +407,60 @@ object AnalyticQueries {
         wrows AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)"""))
 
+  /** Count-Min sketch (functions.CountMinSketch UDAF): estimated vs
+    * exact counts of the corpus's top-10 tokens, with the guaranteed
+    * non-negative overcount surfaced. Buckets are md5 hex windows
+    * (8 hex chars per depth row — engine-portable), computed codegen'd
+    * in the projection so the UDAF is pure arithmetic; the grid is a
+    * sum per cell and therefore merge-order-independent, which lets
+    * DuckDB replay the ENTIRE sketch exactly by group-by — q24's HLL
+    * only admits a tolerance gate. The probe set (top-10 by exact
+    * count, lexicographic tiebreak) is deterministic on both sides.
+    */
+  val q41CountMin = Q(
+    "q41_countmin",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.CountMinSketch.{Depth, Width}
+      def bucket(c: Column, i: Int): Column =
+        (conv(substring(md5(c), 1 + 8 * i, 8), 16, 10).cast("long") % Width).cast("int")
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.functions.TextFunctions.wsTokens($"text")).as("t"))
+      val cms = udaf(graft.functions.CountMinSketch)
+      val sketch = toks
+        .select(array((0 until Depth).map(i => bucket($"t", i)): _*).as("bks"))
+        .agg(cms($"bks").as("sketch"))
+      val top = toks.groupBy($"t").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"exact_cnt".desc, $"t".asc).limit(10)
+      top.crossJoin(sketch)
+        .select($"t".as("word"), $"exact_cnt",
+          least((0 until Depth).map(i =>
+            element_at($"sketch", lit(i * Width + 1) + bucket($"t", i))): _*).as("est_cnt"))
+        .withColumn("overcount", $"est_cnt" - $"exact_cnt")
+    },
+    Some {
+      import graft.functions.CountMinSketch.{Depth, Width}
+      s"""WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+        FROM documents),
+      cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+      bux AS (
+        SELECT t, c, i, CAST(('0x' || substr(md5(t), 1 + 8*i, 8)) AS BIGINT) % $Width AS b
+        FROM cnt, (SELECT unnest(range($Depth)) AS i)),
+      cells AS (SELECT i, b, CAST(sum(c) AS BIGINT) AS cell FROM bux GROUP BY i, b),
+      top AS (SELECT t, c FROM cnt ORDER BY c DESC, t ASC LIMIT 10)
+      SELECT tp.t AS word, CAST(tp.c AS BIGINT) AS exact_cnt,
+        CAST(min(ce.cell) AS BIGINT) AS est_cnt,
+        CAST(min(ce.cell) - tp.c AS BIGINT) AS overcount
+      FROM top tp
+      JOIN bux bx ON bx.t = tp.t
+      JOIN cells ce ON ce.i = bx.i AND ce.b = bx.b
+      GROUP BY tp.t, tp.c"""
+    })
+
   val all: Seq[Q] = Seq(
     q27SemiAnti, q28Subqueries, q29ArrayAgg, q30Regex, q31Unpivot,
     q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube, q36Datetime,
-    q37StratifiedSample, q38WelfordUdaf, q39GroupingSets, q40RollingRange)
+    q37StratifiedSample, q38WelfordUdaf, q39GroupingSets, q40RollingRange,
+    q41CountMin)
 }
