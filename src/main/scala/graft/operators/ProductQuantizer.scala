@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dot
+
+/** Product quantization (PQ) for embedding columns — the memory-bound
+  * ANN scale path past IVF (s02): the vector is split into `m`
+  * subspaces, each subspace gets its own k-entry codebook, and a
+  * vector is stored as `m` small code ids (64-dim float32 → `m` bytes
+  * at k ≤ 256, a 32× compression). Search uses asymmetric distance
+  * computation (ADC): the query stays exact, each corpus vector's
+  * distance is the SUM over subspaces of a precomputed
+  * query-to-codeword table lookup — no corpus floats touched at query
+  * time.
+  *
+  * Scale shape: the codebook is driver-side (m × k × subDim floats, a
+  * few KB) and enters plans as literals; encoding is one codegen'd
+  * projection over the corpus (argmin per subspace — same |c|² − 2x·c
+  * expansion as [[KMeans]]); the ADC table is O(queries × m × k) rows
+  * (broadcast), so a search shuffles code ids only. Everything is
+  * rank-on-rounded (6 dp per subspace distance) so a DuckDB oracle
+  * replays encode and search bit-for-bit.
+  */
+object ProductQuantizer {
+
+  /** `codes(j)(i)` = codeword i of subspace j (subDim floats each). */
+  final case class Codebook(subDim: Int, codes: Array[Array[Array[Float]]]) {
+    def m: Int = codes.length
+    def k: Int = codes.head.length
+  }
+
+  /** 1-based slice of subspace `j`. */
+  private def sub(vecCol: Column, j: Int, subDim: Int): Column =
+    slice(vecCol, j * subDim + 1, subDim)
+
+  /** Rounded squared L2 between subspace `j` of `vecCol` and codeword
+    * `c`: round(x·x − 2x·c + c·c, 6) — the ONE distance formula both
+    * engines evaluate, so argmin ties and rank order can't drift.
+    */
+  private def subDist(vecCol: Column, j: Int, subDim: Int, c: Array[Float]): Column = {
+    val xs = sub(vecCol, j, subDim)
+    val cl = typedLit(c)
+    val c2 = c.map(x => x.toDouble * x.toDouble).sum
+    round(dot(xs, xs) - lit(2.0) * dot(xs, cl) + lit(c2), 6)
+  }
+
+  /** Codebook from the `k` lowest-id vectors' slices — deterministic
+    * and replayable by an external oracle. `refineIters` > 0 runs that
+    * many Lloyd iterations PER SUBSPACE (reusing [[KMeans.fit]] on the
+    * sliced frame) — the production path; refinement only moves
+    * codewords, never changes the search plumbing.
+    */
+  def fitCodebook(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      k: Int,
+      dim: Int,
+      refineIters: Int = 0): Codebook = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    if (refineIters == 0) {
+      val seeds = df.orderBy(col(idCol).asc).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray)
+      Codebook(subDim,
+        Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim))))
+    } else {
+      val codes = Array.tabulate(m) { j =>
+        val sliced = df.select(col(idCol), sub(col(vecCol), j, subDim).as("__sub"))
+        KMeans.fit(sliced, "__sub", idCol, k, refineIters, computeWcss = false)
+          .centroids.map(_.map(_.toFloat))
+      }
+      Codebook(subDim, codes)
+    }
+  }
+
+  /** Append `code_0..code_{m-1}` (int): per subspace, the index of the
+    * nearest codeword (rounded squared L2, first-min tie-break). One
+    * whole-stage-codegen projection — no joins, no shuffles.
+    */
+  def encode(df: DataFrame, vecCol: String, cb: Codebook): DataFrame =
+    (0 until cb.m).foldLeft(df) { (acc, j) =>
+      val ds = array(cb.codes(j).map(c => subDist(col(vecCol), j, cb.subDim, c)): _*)
+      acc.withColumn(s"code_$j",
+        (array_position(ds, array_min(ds)) - 1).cast("int"))
+    }
+
+  /** ADC lookup table: one row per (query, subspace, code) with the
+    * exact query-to-codeword rounded distance. O(queries × m × k) —
+    * broadcast-sized for any sane query batch.
+    */
+  def adcTable(queries: DataFrame, qIdCol: String, qVecCol: String, cb: Codebook): DataFrame = {
+    val entries = for (j <- 0 until cb.m; i <- cb.codes(j).indices) yield
+      struct(lit(j).as("j"), lit(i).as("code"),
+        subDist(col(qVecCol), j, cb.subDim, cb.codes(j)(i)).as("d"))
+    queries.select(col(qIdCol), explode(array(entries: _*)).as("e"))
+      .select(col(qIdCol), col("e.j"), col("e.code"), col("e.d"))
+  }
+
+  /** Top-k ADC search → (q_id, rank, neighbor_id, adc_dist): every
+    * (query, corpus) distance is the sum of m table lookups, composed
+    * as m broadcast joins so both engines add the m doubles in the
+    * same left-to-right order. Rank on (adc asc, id asc); the query
+    * vector itself is excluded when ids collide. Query ids are aliased
+    * internally, so corpus and queries may share an id column name.
+    */
+  def adcSearch(
+      encoded: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      cb: Codebook,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dtab = adcTable(queries, qIdCol, qVecCol, cb)
+      .withColumnRenamed(qIdCol, "q_id")
+      .localCheckpoint(true)
+    val base = encoded
+      .select(col(idCol) +: (0 until cb.m).map(j => col(s"code_$j")): _*)
+      .crossJoin(broadcast(queries.select(col(qIdCol).as("q_id"))))
+    val joined = (0 until cb.m).foldLeft(base) { (acc, j) =>
+      acc.join(
+        broadcast(dtab.filter(col("j") === j)
+          .select(col("q_id"), col("code").as(s"code_$j"), col("d").as(s"d_$j"))),
+        Seq("q_id", s"code_$j"))
+    }
+    val adc = (1 until cb.m).foldLeft(col("d_0"))((e, j) => e + col(s"d_$j"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col(idCol).asc)
+    joined
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"), col("adc").as("adc_dist"))
+  }
+
+  /** Mean quantization distortion: avg over rows of Σ_j min-code
+    * distance — the PQ quality metric refinement should reduce.
+    */
+  def distortion(df: DataFrame, vecCol: String, cb: Codebook): Double = {
+    val perRow = (0 until cb.m).map { j =>
+      array_min(array(cb.codes(j).map(c => subDist(col(vecCol), j, cb.subDim, c)): _*))
+    }.reduce(_ + _)
+    df.select(avg(perRow).as("d")).head().getDouble(0)
+  }
+}

@@ -452,6 +452,80 @@ object SimilarityQueries {
       WHERE a.vec_id NOT IN (SELECT vb FROM prs WHERE cos_sim >= $SemThreshold)"""),
     headline = true)
 
+  private val PqM = 4 // subspaces (64-dim -> 16 dims each)
+  private val PqK = 16 // codewords per subspace: vec_id < PqK slices
+  private val PqTopK = 5
+
+  /** Product quantization + asymmetric-distance search
+    * (operators.ProductQuantizer): vectors compress to PqM code ids
+    * (the memory-bound scale path past s02's IVF — 64-dim float32 →
+    * 4 bytes at this setting), queries stay exact, and every corpus
+    * distance is PqM lookups into a broadcast query-to-codeword table
+    * summed left-to-right on both engines. The codebook here is the
+    * deterministic first-PqK slices (s02's convention) so DuckDB can
+    * replay encode + search bit-for-bit; the production path refines
+    * the same codebook with per-subspace Lloyd iterations
+    * (ProductQuantizerSpec pins distortion non-increase).
+    */
+  val s08PqAdc = Q(
+    "s08_pq_adc",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.operators.ProductQuantizer
+        .fitCodebook(e, "embedding", "vec_id", PqM, PqK, dim = 64)
+      // spread the single-file scan before the codegen'd encode projection
+      val enc = graft.operators.ProductQuantizer
+        .encode(e.repartition(s.sparkContext.defaultParallelism), "embedding", cb)
+      val q = e.filter($"vec_id" < NQ)
+      graft.operators.ProductQuantizer
+        .adcSearch(enc, "vec_id", q, "vec_id", "embedding", cb, PqTopK)
+    },
+    Some {
+      val sd = 64 / PqM
+      s"""WITH js AS (SELECT unnest(range($PqM)) AS j),
+      cbsub AS (
+        SELECT j, vec_id AS code, embedding[j*$sd+1:(j+1)*$sd] AS cs
+        FROM embeddings, js WHERE vec_id < $PqK),
+      dsub AS (
+        SELECT e.vec_id, c.j, c.code,
+          round(
+            list_dot_product(e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
+                             e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[])
+            - 2*list_dot_product(e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
+                                 c.cs::DOUBLE[])
+            + list_dot_product(c.cs::DOUBLE[], c.cs::DOUBLE[]), 6) AS d
+        FROM embeddings e, cbsub c),
+      enc AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn
+          FROM dsub)
+        WHERE rn = 1),
+      codesw AS (
+        SELECT vec_id,
+          max(CASE WHEN j=0 THEN code END) AS c0,
+          max(CASE WHEN j=1 THEN code END) AS c1,
+          max(CASE WHEN j=2 THEN code END) AS c2,
+          max(CASE WHEN j=3 THEN code END) AS c3
+        FROM enc GROUP BY vec_id),
+      dtab AS (SELECT vec_id AS q_id, j, code, d FROM dsub WHERE vec_id < $NQ),
+      pairs AS (
+        SELECT t0.q_id, c.vec_id, t0.d + t1.d + t2.d + t3.d AS adc
+        FROM codesw c
+        JOIN dtab t0 ON t0.j=0 AND t0.code=c.c0
+        JOIN dtab t1 ON t1.q_id=t0.q_id AND t1.j=1 AND t1.code=c.c1
+        JOIN dtab t2 ON t2.q_id=t0.q_id AND t2.j=2 AND t2.code=c.c2
+        JOIN dtab t3 ON t3.q_id=t0.q_id AND t3.j=3 AND t3.code=c.c3
+        WHERE c.vec_id <> t0.q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, rank, vec_id AS neighbor_id, adc AS adc_dist
+      FROM ranked WHERE rank <= $PqTopK"""
+    })
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
-    s05LabelCentroids, s06KMeans, s07SemDedup)
+    s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc)
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PQ semantics on a 4-dim corpus split into m=2 subspaces: codewords
+  * encode to themselves, ADC reproduces exact distances when vectors
+  * sit on the codebook grid, and Lloyd refinement never increases
+  * distortion.
+  */
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ids 0/1 are the codebook seeds (k=2); 2..5 are corpus points near
+  // one seed per subspace
+  private val vecs = Seq(
+    (0L, Seq(0f, 0f, 10f, 10f)),
+    (1L, Seq(4f, 4f, 20f, 20f)),
+    (2L, Seq(0.5f, 0.5f, 19f, 19f)),
+    (3L, Seq(3.5f, 3.5f, 11f, 11f)),
+    (4L, Seq(0.1f, 0.1f, 10.5f, 10.5f)),
+    (5L, Seq(3.9f, 4.1f, 20.5f, 19.5f))).toDF("vec_id", "embedding")
+
+  private val cb =
+    ProductQuantizer.fitCodebook(vecs, "embedding", "vec_id", m = 2, k = 2, dim = 4)
+
+  test("codewords encode to themselves; corpus picks the near seed per subspace") {
+    val codes = ProductQuantizer.encode(vecs, "embedding", cb)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(codes(0L) == ((0, 0)) && codes(1L) == ((1, 1)), s"seeds: $codes")
+    // doc 2: first half near seed 0 (0.5 vs 3.5 away), second near seed 1
+    assert(codes(2L) == ((0, 1)), s"doc 2 mixes subspace codes: ${codes(2L)}")
+    assert(codes(3L) == ((1, 0)), s"doc 3 mirrors doc 2: ${codes(3L)}")
+  }
+
+  test("ADC distance is exact for on-grid vectors and ranks deterministically") {
+    val enc = ProductQuantizer.encode(vecs, "embedding", cb)
+    val q = vecs.filter($"vec_id" === 0L)
+    val res = ProductQuantizer
+      .adcSearch(enc, "vec_id", q, "vec_id", "embedding", cb, topK = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // neighbor 1 decodes to exactly itself: adc == |v0 - v1|^2 = 32 + 200
+    val one = res.find(_._2 == 1L).get
+    assert(one._3 == 232.0, s"on-grid ADC must be exact: $one")
+    // every corpus vector decoding to seed 0 in a subspace contributes 0
+    val four = res.find(_._2 == 4L).get
+    assert(four._1 == 1 && four._3 == 0.0,
+      s"doc 4 decodes to (0,0) => distance 0, rank 1: $four")
+  }
+
+  test("Lloyd refinement never increases distortion") {
+    val raw = ProductQuantizer.distortion(vecs, "embedding", cb)
+    val refined = ProductQuantizer
+      .fitCodebook(vecs, "embedding", "vec_id", m = 2, k = 2, dim = 4, refineIters = 2)
+    val less = ProductQuantizer.distortion(vecs, "embedding", refined)
+    assert(less <= raw + 1e-9, s"refined distortion $less > raw $raw")
+    assert(less < raw, s"this corpus is off-grid, refinement must help: $less vs $raw")
+  }
+}
