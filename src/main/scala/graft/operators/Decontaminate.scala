@@ -69,4 +69,61 @@ object Decontaminate {
       .select(col(idCol))
     train.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** [[contaminationHits]] behind a Bloom prefilter — the sketch-then-
+    * verify shape for when the benchmark shingle SET outgrows a
+    * broadcast (a 10⁹-shingle eval suite is ~8 GB exact but ~1.2 GB as
+    * a 1% Bloom filter): the corpus shingle stream is pruned by a
+    * broadcast Bloom probe (Spark's native codegen'd
+    * `BloomFilterMightContain` — no UDF in the hot path), and only the
+    * ~fpp surviving fraction reaches the exact equi-join. False
+    * positives cost one extra join row each and are then discarded by
+    * the exact match, so the result is IDENTICAL to the unfiltered
+    * path at any fpp (DecontaminateSpec pins equivalence at fpp 0.5).
+    */
+  def contaminationHitsBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.SparkShims
+    import org.apache.spark.sql.types.BinaryType
+    val benchSet = shingleHashes(bench, idCol, textCol, n)
+      .select(col("h")).distinct().localCheckpoint(true)
+    // the bench side is metadata-scale: counting it and folding it into
+    // a filter are executor aggregations over the tiny side only
+    val bf = benchSet.stat.bloomFilter("h", math.max(benchSet.count(), 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = SparkShims.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), SparkShims.expression(col("h"))))
+    shingleHashes(train, idCol, textCol, n)
+      .filter(mightContain)
+      .join(benchSet, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("h")).as("n_hits"))
+  }
+
+  /** [[removeContaminated]] over the Bloom-prefiltered hits — same
+    * output, corpus-side join input shrunk to ~fpp of the stream.
+    */
+  def removeContaminatedBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minHits: Long = 1L,
+      fpp: Double = 0.01): DataFrame = {
+    val hits = contaminationHitsBloom(train, bench, idCol, textCol, n, fpp)
+      .filter(col("n_hits") >= minHits)
+      .select(col(idCol))
+    train.join(hits, Seq(idCol), "left_anti")
+  }
 }

@@ -447,8 +447,39 @@ object DedupQueries {
       GROUP BY s.doc_id"""),
     headline = true)
 
+  /** Bloom-prefiltered decontamination (d08's clean-corpus view
+    * through `Decontaminate.removeContaminatedBloom`): the corpus
+    * shingle stream passes a broadcast Bloom probe (native codegen'd
+    * `BloomFilterMightContain`) before the exact equi-join — the
+    * sketch-then-verify shape for a benchmark set too big to broadcast
+    * exactly. False positives are discarded by the exact join, so the
+    * oracle is the plain anti-join: the Bloom stage changes the plan,
+    * never the result (DecontaminateSpec pins equivalence at fpp 0.5).
+    */
+  val d10DecontaminateBloom = Q(
+    "d10_decontaminate_bloom",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontaminate.removeContaminatedBloom(
+        docs.filter($"doc_id" % 37 =!= 0),
+        docs.filter($"doc_id" % 37 === 0),
+        "doc_id", "text", n = 3)
+        .select($"doc_id", $"source", $"n_chars")
+    },
+    Some(s"""WITH sh AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(${shinglesSql(3)}) AS sh FROM documents)),
+      bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 37 = 0),
+      hits AS (
+        SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON b.h = s.h
+        WHERE s.doc_id % 37 <> 0)
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)"""))
+
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
       d05EmbeddingNearDup, d06DedupClusters, d07LshRecall, d08Decontaminate,
-      d09SpanDedup)
+      d09SpanDedup, d10DecontaminateBloom)
 }

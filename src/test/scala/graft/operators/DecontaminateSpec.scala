@@ -34,4 +34,18 @@ class DecontaminateSpec extends SparkSpec {
     assert(lenient == Set(2L, 3L),
       s"minHits=2 must keep the single-shingle doc, got $lenient")
   }
+
+  test("Bloom prefilter changes the plan, never the result") {
+    // fpp 0.5: every other non-matching shingle sneaks past the Bloom
+    // probe, and the exact join must still discard all of them
+    val bloomHits = Decontaminate
+      .contaminationHitsBloom(train, bench, "doc_id", "text", fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloomHits == Map(1L -> 3L, 3L -> 1L),
+      s"sketch-then-verify must equal the exact path, got $bloomHits")
+    val clean = Decontaminate
+      .removeContaminatedBloom(train, bench, "doc_id", "text", fpp = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L), s"bloom path must drop the same docs, got $clean")
+  }
 }
