@@ -48,4 +48,23 @@ object CountMinSketch extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
 
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Depth-row `i` bucket of a string key: an 8-hex-char md5 window
+    * mod Width — engine-portable (DuckDB replays it), codegen'd.
+    */
+  def bucket(c: Column, i: Int): Column =
+    (conv(substring(md5(c), 1 + 8 * i, 8), 16, 10).cast("long") % Width).cast("int")
+
+  /** All Depth buckets of a key — the aggregator's input column. */
+  def buckets(c: Column): Column = array((0 until Depth).map(bucket(c, _)): _*)
+
+  /** Point estimate of `key` from a sketch column (the grid as a
+    * 1-based Depth×Width array): min over rows of the key's cell.
+    */
+  def probe(sketch: Column, key: Column): Column =
+    least((0 until Depth).map(i =>
+      element_at(sketch, lit(i * Width + 1) + bucket(key, i))): _*)
 }

@@ -421,21 +421,18 @@ object AnalyticQueries {
     "q41_countmin",
     (s, dir) => {
       import s.implicits._
-      import graft.functions.CountMinSketch.{Depth, Width}
-      def bucket(c: Column, i: Int): Column =
-        (conv(substring(md5(c), 1 + 8 * i, 8), 16, 10).cast("long") % Width).cast("int")
+      import graft.functions.CountMinSketch
       val toks = Tables.documents(s, dir)
         .select(explode(graft.functions.TextFunctions.wsTokens($"text")).as("t"))
-      val cms = udaf(graft.functions.CountMinSketch)
+      val cms = udaf(CountMinSketch)
       val sketch = toks
-        .select(array((0 until Depth).map(i => bucket($"t", i)): _*).as("bks"))
+        .select(CountMinSketch.buckets($"t").as("bks"))
         .agg(cms($"bks").as("sketch"))
       val top = toks.groupBy($"t").agg(count(lit(1)).as("exact_cnt"))
         .orderBy($"exact_cnt".desc, $"t".asc).limit(10)
       top.crossJoin(sketch)
         .select($"t".as("word"), $"exact_cnt",
-          least((0 until Depth).map(i =>
-            element_at($"sketch", lit(i * Width + 1) + bucket($"t", i))): _*).as("est_cnt"))
+          CountMinSketch.probe($"sketch", $"t").as("est_cnt"))
         .withColumn("overcount", $"est_cnt" - $"exact_cnt")
     },
     Some {

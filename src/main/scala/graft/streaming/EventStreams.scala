@@ -124,6 +124,27 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Per-window heavy-hitters sketch: each tumbling 1-hour window
+    * accumulates one Count-Min grid over `keyCol`
+    * (graft.functions.CountMinSketch) instead of a per-key count —
+    * streaming state per window is the constant 32 KiB grid, not
+    * O(distinct keys). The UDAF's elementwise-add merge is exactly
+    * what incremental aggregation needs: partial grids fold across
+    * micro-batches in any order, so the emitted sketch is
+    * bit-identical to the batch sketch over the same rows no matter
+    * where the micro-batch boundaries fall (EventStreamsSpec). Probe
+    * the emitted grid with `CountMinSketch.probe`.
+    */
+  def windowedKeySketch(events: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+    val cms = udaf(graft.functions.CountMinSketch)
+    events
+      .withWatermark(tsCol, "2 hours")
+      .select(col(tsCol), graft.functions.CountMinSketch.buckets(col(keyCol)).as("bks"))
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(cms(col("bks")).as("sketch"))
+      .select(col("window.start").as("hour_start"), col("sketch"))
+  }
+
   /** Stream-stream inner join with an event-time interval condition
     * (click attribution: each click matches the same user's views in
     * the preceding `horizonMinutes`). Both sides carry watermarks, so

@@ -12,8 +12,7 @@ class CountMinSketchSpec extends SparkSpec {
   import spark.implicits._
   import CountMinSketch.{Depth, Width}
 
-  private def bucket(c: org.apache.spark.sql.Column, i: Int) =
-    (conv(substring(md5(c), 1 + 8 * i, 8), 16, 10).cast("long") % Width).cast("int")
+  private def bucket(c: org.apache.spark.sql.Column, i: Int) = CountMinSketch.bucket(c, i)
 
   private val words =
     (Seq.fill(40)("alpha") ++ Seq.fill(17)("beta") ++ Seq.fill(3)("gamma") ++

@@ -95,6 +95,54 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("windowed CMS sketch: stream grid == batch grid across micro-batch splits") {
+    val batchEvents = Tables.events(spark, sfDir)
+      .select($"ts", $"event_type").cache()
+    val dir = Files.createTempDirectory("graft-cms-in").toString
+    // two parquet appends -> at least two micro-batches. The split is
+    // by EVENT TIME (a replay in arrival order): batch 1's watermark
+    // advances to splitTs - 2h, so batch 2's events (ts >= splitTs)
+    // are never late — a key-based split would feed half the events
+    // in behind the watermark and lose them
+    val splitTs = batchEvents
+      .agg(expr("percentile_approx(cast(ts AS double), 0.5D)")).head().getDouble(0)
+    val (lo, hi) = (batchEvents.filter($"ts".cast("double") < splitTs),
+      batchEvents.filter($"ts".cast("double") >= splitTs))
+    lo.write.mode("append").parquet(dir)
+
+    val streamIn = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = EventStreams.windowedKeySketch(streamIn, "ts", "event_type")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cms_out").start()
+    q.processAllAvailable()
+    hi.write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val maxTs = batchEvents.agg(max($"ts")).head().getTimestamp(0)
+    Seq((new Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000), "sentinel"))
+      .toDF("ts", "event_type").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = EventStreams.windowedKeySketch(batchEvents, "ts", "event_type")
+    val streamed = spark.table("cms_out")
+    // drop the sentinel's window (it contains only the sentinel)
+    val realWindows = batch.select($"hour_start").collect().map(_.getTimestamp(0)).toSet
+    val streamReal = streamed.filter($"hour_start".isInCollection(realWindows))
+    assert(streamReal.count() == batch.count() && batch.count() > 0)
+    assert(streamReal.exceptAll(batch).count() == 0, "stream grid != batch grid")
+
+    // the emitted grids are probe-able: estimate >= exact per window
+    val exact = batchEvents
+      .groupBy(window($"ts", "1 hour"), $"event_type").count()
+      .select($"window.start".as("hour_start"), $"event_type", $"count")
+    val probed = exact.join(batch, Seq("hour_start"))
+      .select($"count",
+        graft.functions.CountMinSketch.probe($"sketch", $"event_type").as("est"))
+      .collect()
+    assert(probed.nonEmpty && probed.forall(r => r.getLong(1) >= r.getLong(0)),
+      "CMS probe undercounted inside a window")
+  }
+
   test("stream-stream interval join (click attribution) == batch join") {
     val t0 = Timestamp.valueOf("2024-06-01 00:00:00").getTime
     def ts(min: Long): Timestamp = new Timestamp(t0 + min * 60000L)
