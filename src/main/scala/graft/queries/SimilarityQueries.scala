@@ -526,6 +526,80 @@ object SimilarityQueries {
       FROM ranked WHERE rank <= $PqTopK"""
     })
 
+  /** PQ recall gate — d07's role for the vector path: recall@k of
+    * s08's compressed-domain search against the EXACT squared-L2
+    * top-k, computed independently of the PQ chain (brute-force
+    * distances, s01's shape). A quantization bug that silently
+    * reordered neighbors would keep s08 green (both engines replay
+    * the same codebook algebra) but drop `recall` here. Reported per
+    * query vector; the audit side is O(queries × corpus) — the
+    * same "expensive baseline audits the cheap path" shape as d07.
+    * Measured recall on the synthetic embeddings is LOW by
+    * construction (~0.1–0.2 vs ~0.01 chance): the vectors are
+    * near-uniform, so exact top-5 neighbors are nearly equidistant
+    * and heavy compression (64 floats → 4 code ids) can't separate
+    * them — the audit reports that honestly rather than hiding it
+    * (ProductQuantizerSpec pins signal ≥ 10× chance and that Lloyd
+    * refinement cuts real-data distortion).
+    */
+  val s09PqRecall = Q(
+    "s09_pq_recall",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.operators.ProductQuantizer
+        .fitCodebook(e, "embedding", "vec_id", PqM, PqK, dim = 64)
+      val enc = graft.operators.ProductQuantizer
+        .encode(e.repartition(s.sparkContext.defaultParallelism), "embedding", cb)
+      val q = e.filter($"vec_id" < NQ)
+      val approx = graft.operators.ProductQuantizer
+        .adcSearch(enc, "vec_id", q, "vec_id", "embedding", cb, PqTopK)
+        .select($"q_id", $"neighbor_id", lit(1L).as("hit"))
+      // exact ground truth: full squared L2, rank-on-rounded, id ties
+      val qx = q.select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val wExact = Window.partitionBy($"q_id").orderBy($"d2".asc, $"vec_id".asc)
+      val exact = e.repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(qx))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(dot($"embedding", $"embedding")
+            - lit(2.0) * dot($"embedding", $"q_emb")
+            + dot($"q_emb", $"q_emb"), 6).as("d2"))
+        .withColumn("rank", row_number().over(wExact))
+        .filter($"rank" <= PqTopK)
+        .select($"q_id", $"vec_id".as("neighbor_id"))
+      exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+        .groupBy($"q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce($"hit", lit(0L))).as("n_caught"))
+        .select($"q_id", $"n_true", $"n_caught",
+          round($"n_caught" / $"n_true", 4).as("recall"))
+    },
+    Some {
+      val sd = 64 / PqM
+      val s08Sql = s08PqAdc.oracle.get
+      s"""WITH approx AS (SELECT q_id, neighbor_id FROM ($s08Sql)),
+      qx AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
+      dists AS (
+        SELECT qx.q_id, e.vec_id,
+          round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+            - 2*list_dot_product(e.embedding::DOUBLE[], qx.q_emb::DOUBLE[])
+            + list_dot_product(qx.q_emb::DOUBLE[], qx.q_emb::DOUBLE[]), 6) AS d2
+        FROM embeddings e, qx WHERE e.vec_id <> qx.q_id),
+      exact AS (
+        SELECT q_id, vec_id AS neighbor_id FROM (
+          SELECT q_id, vec_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC) AS rank
+          FROM dists)
+        WHERE rank <= $PqTopK)
+      SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_true,
+        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+        round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall
+      FROM exact t
+      LEFT JOIN approx a ON a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id
+      GROUP BY t.q_id"""
+    })
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
-    s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc)
+    s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall)
 }

@@ -55,4 +55,52 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(less <= raw + 1e-9, s"refined distortion $less > raw $raw")
     assert(less < raw, s"this corpus is off-grid, refinement must help: $less vs $raw")
   }
+
+  test("PQ search carries signal on the real embeddings; refinement cuts their distortion") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.dot
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 8)
+
+    def recallOf(refineIters: Int): Double = {
+      val book = ProductQuantizer
+        .fitCodebook(e, "embedding", "vec_id", m = 4, k = 16, dim = 64, refineIters = refineIters)
+      val approx = ProductQuantizer
+        .adcSearch(ProductQuantizer.encode(e, "embedding", book),
+          "vec_id", q, "vec_id", "embedding", book, topK = 5)
+        .select($"q_id", $"neighbor_id")
+      val qx = q.select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val w = Window.partitionBy($"q_id").orderBy($"d2".asc, $"vec_id".asc)
+      val exact = e.crossJoin(broadcast(qx))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          round(dot($"embedding", $"embedding")
+            - lit(2.0) * dot($"embedding", $"q_emb")
+            + dot($"q_emb", $"q_emb"), 6).as("d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"q_id", $"vec_id".as("neighbor_id"))
+      exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi").count().toDouble /
+        exact.count()
+    }
+
+    // the test embeddings are near-uniform, so top-5 neighbors are
+    // nearly equidistant and recall@5 is noise-dominated — refinement
+    // provably cuts DISTORTION, not recall, on such data. Chance
+    // recall is 5/(N-1) ≈ 0.01; both codebooks must sit far above it.
+    val (raw, refined) = (recallOf(0), recallOf(2))
+    assert(raw >= 0.1 && refined >= 0.1,
+      s"PQ recall@5 at chance level — the quantizer lost the signal: raw $raw refined $refined")
+
+    val cbRaw = ProductQuantizer
+      .fitCodebook(e, "embedding", "vec_id", m = 4, k = 16, dim = 64)
+    val cbRef = ProductQuantizer
+      .fitCodebook(e, "embedding", "vec_id", m = 4, k = 16, dim = 64, refineIters = 2)
+    val (dRaw, dRef) = (ProductQuantizer.distortion(e, "embedding", cbRaw),
+      ProductQuantizer.distortion(e, "embedding", cbRef))
+    assert(dRef < dRaw,
+      s"Lloyd refinement must cut real-data distortion: $dRef vs $dRaw")
+  }
 }
