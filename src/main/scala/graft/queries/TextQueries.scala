@@ -552,9 +552,64 @@ object TextQueries {
           PARTITION BY h % $NShards ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
       FROM h"""))
 
+  private val BpeMerges = 6
+
+  /** BPE tokenizer training (operators.BpeTrainer): the first
+    * `BpeMerges` learned merges with their pair frequencies — the
+    * textbook iterative pair-merge loop, deterministic via the
+    * (pf desc, left asc, right asc) tie-break. The oracle replays the
+    * ENTIRE training loop in DuckDB: one MATERIALIZED CTE block per
+    * round (materialization matters — DuckDB 1.0 inlines plain CTEs
+    * and the chained rounds would blow up exponentially), with merge
+    * application via literal `replace` on the self-delimited
+    * `<sym><sym>` string form, which is left-to-right non-overlapping
+    * in both engines — exactly BPE's greedy order. On this corpus the
+    * 6th merge is (m, er): a multi-char symbol learned from an
+    * earlier round, so the oracle genuinely exercises the iteration,
+    * not just a bigram census.
+    */
+  val t16BpeMerges = Q(
+    "t16_bpe_merges",
+    (s, dir) =>
+      graft.operators.BpeTrainer
+        .learnMergesDF(Tables.documents(s, dir), "text", BpeMerges),
+    Some {
+      def roundSql(r: Int) = s"""
+      pairs$r AS MATERIALIZED (
+        SELECT z[1] AS l, z[2] AS r, CAST(sum(freq) AS BIGINT) AS pf
+        FROM enc$r, LATERAL (
+          SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z) AS t
+        WHERE len(syms) >= 2
+        GROUP BY z[1], z[2]),
+      top$r AS MATERIALIZED (
+        SELECT l, r, pf FROM pairs$r ORDER BY pf DESC, l ASC, r ASC LIMIT 1),
+      enc${r + 1} AS MATERIALIZED (
+        SELECT freq, s, regexp_extract_all(s, '<([^>]*)>', 1) AS syms
+        FROM (
+          SELECT freq,
+            replace(s, '<' || (SELECT l FROM top$r) || '><' || (SELECT r FROM top$r) || '>',
+                       '<' || (SELECT l FROM top$r) || (SELECT r FROM top$r) || '>') AS s
+          FROM enc$r))"""
+      val rounds = (0 until BpeMerges).map(roundSql).mkString(",")
+      val sel = (0 until BpeMerges).map(r =>
+        s"SELECT CAST(${r + 1} AS BIGINT) AS step, l AS left_sym, r AS right_sym, pf AS pair_freq FROM top$r")
+        .mkString(" UNION ALL ")
+      s"""WITH words AS MATERIALIZED (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[A-Za-z0-9]+$$')
+        GROUP BY w),
+      enc0 AS MATERIALIZED (
+        SELECT freq, '<' || array_to_string(string_split_regex(w, ''), '><') || '>' AS s,
+          string_split_regex(w, '') AS syms
+        FROM words),$rounds
+      SELECT * FROM ($sel) ORDER BY step"""
+    })
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
-      t15ShardShuffle)
+      t15ShardShuffle, t16BpeMerges)
 }
