@@ -85,13 +85,49 @@ object Multimodal {
   val Mp4Ftyp: Array[Byte] =
     Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes("US-ASCII")
 
+  private def be32(v: Int): Array[Byte] = Array(
+    ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+    ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] = be32(v).reverse
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Real PNG file prefix: the 8-byte signature + a structurally valid
+    * IHDR chunk — width at byte offset 16 (big-endian), height at 20,
+    * then bit depth 8 / color type 6 (RGBA). m02 parses these back
+    * out of the BYTES.
+    */
+  def pngHeader(width: Int, height: Int): Array[Byte] =
+    Array(0x89.toByte) ++ ascii("PNG") ++ Array(0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+      be32(13) ++ ascii("IHDR") ++ be32(width) ++ be32(height) ++
+      Array[Byte](8, 6, 0, 0, 0)
+
+  /** Real RIFF/WAVE prefix: canonical 16-byte PCM `fmt ` chunk, mono,
+    * 16-bit — sample rate at byte offset 24 (little-endian).
+    */
+  def wavHeader(sampleRate: Int): Array[Byte] =
+    ascii("RIFF") ++ le32(36) ++ ascii("WAVE") ++ ascii("fmt ") ++
+      le32(16) ++ le16(1) ++ le16(1) ++ le32(sampleRate) ++
+      le32(sampleRate * 2) ++ le16(2) ++ le16(16)
+
+  /** Real MP4 `ftyp` box: size 24, major brand at byte offset 8. */
+  def mp4Header(brand: String): Array[Byte] =
+    be32(24) ++ ascii("ftyp") ++ ascii(brand) ++ be32(0) ++ ascii(brand)
+
+  /** Deterministic per-id WAV sample rate / MP4 brand (embedded in the
+    * payload header, parsed back by m02).
+    */
+  def sampleRateOf(id: Long): Int = 8000 + (id % 4).toInt * 8000
+  def brandOf(id: Long): String = if (id % 2 == 0) "isom" else "mp42"
+
   /** Pure per-id row of the deterministic synthetic media corpus
-    * (seeded from media_id; payloads carry the genuine magic bytes of
-    * their format followed by seeded body bytes) — shared by the
-    * distributed corpus builder ([[syntheticMedia]]) and the
-    * driver-side content digest that addresses the oracle fixture path
-    * (MultimodalQueries), so a change here automatically yields a new
-    * fixture path instead of silently serving a stale write-once
+    * (seeded from media_id; payloads carry a REAL container header —
+    * PNG signature + IHDR with the metadata's dimensions, canonical
+    * WAVE fmt chunk, MP4 ftyp box — followed by seeded body bytes) —
+    * shared by the distributed corpus builder ([[syntheticMedia]]) and
+    * the driver-side content digest that addresses the oracle fixture
+    * path (MultimodalQueries), so a change here automatically yields a
+    * new fixture path instead of silently serving a stale write-once
     * corpus.
     */
   def mediaRow(id: Long): MediaFile = {
@@ -100,19 +136,21 @@ object Multimodal {
       case 1 => "audio"
       case _ => "video"
     }
-    val magic = kind match {
-      case "image" => PngMagic
-      case "audio" => RiffMagic
-      case _ => Mp4Ftyp
+    val width = 16 + (id % 4).toInt * 16
+    val height = 16 + (id % 3).toInt * 16
+    val header = kind match {
+      case "image" => pngHeader(width, height)
+      case "audio" => wavHeader(sampleRateOf(id))
+      case _ => mp4Header(brandOf(id))
     }
     val len = 64 + (id % 7).toInt * 32
-    val payload = magic ++
+    val payload = header ++
       Array.tabulate[Byte](len)(i => ((id * 131 + i * 17) % 251).toByte)
     MediaFile(id, kind,
       payload,
       MediaMeta(
-        width = 16 + (id % 4).toInt * 16,
-        height = 16 + (id % 3).toInt * 16,
+        width = width,
+        height = height,
         format = if (kind == "image") "png" else if (kind == "audio") "wav" else "mp4",
         duration_ms = if (kind == "image") 0L else 1000L + id % 5000))
   }

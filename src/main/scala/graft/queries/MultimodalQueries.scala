@@ -152,5 +152,64 @@ object MultimodalQueries {
         CAST(sum(r_bytes) AS BIGINT) AS resized_bytes
       FROM en GROUP BY format"""))
 
-  val all: Seq[Q] = Seq(m01Multimodal)
+  /** Container-header parsing straight from the payload BYTES — the
+    * non-stubbed half of the multimodal story (the codec decode stays
+    * a stub; the header layer is real): PNG IHDR width/height
+    * (big-endian at offsets 16/20), WAVE fmt sample rate
+    * (little-endian at offset 24), MP4 ftyp major brand (ASCII at
+    * offset 8). Both engines work over `hex(payload)` (DuckDB 1.0 has
+    * no BLOB slicing): byte k lives at hex chars [2k+1, 2k+2],
+    * big-endian ints are one 8-char window, little-endian ints are
+    * the four byte-pairs reassembled in reverse. One codegen'd
+    * projection per row — this is what ingest metadata-validation
+    * runs at corpus scale, because upstream metadata lies.
+    */
+  val m02HeaderParse = Q(
+    "m02_header_parse",
+    (s, dir) => {
+      import s.implicits._
+      ensureFixture(s)
+      val media = s.read.parquet(FixturePath)
+      val hx = upper(hex($"payload"))
+      def beInt(off: Int) =
+        conv(substring(hx, 2 * off + 1, 8), 16, 10).cast("long")
+      def leInt(off: Int) =
+        conv(concat((3 to 0 by -1).map(k => substring(hx, 2 * (off + k) + 1, 2)): _*),
+          16, 10).cast("long")
+      val isPng = substring(hx, 1, 8) === "89504E47"
+      val isWav = substring(hx, 1, 8) === "52494646"
+      val isMp4 = substring(hx, 9, 8) === "66747970"
+      media.select(
+        $"media_id",
+        when(isPng, "png").when(isWav, "wav").when(isMp4, "mp4")
+          .otherwise("unknown").as("fmt"),
+        when(isPng, beInt(16)).as("px_w"),
+        when(isPng, beInt(20)).as("px_h"),
+        when(isWav, leInt(24)).as("sample_rate"),
+        when(isMp4, decode(substring($"payload", 9, 4), "US-ASCII")).as("brand"))
+    },
+    Some(s"""WITH media AS (SELECT media_id, hex(payload) AS hx
+        FROM '$FixturePath/*.parquet')
+      SELECT media_id,
+        CASE WHEN substring(hx, 1, 8) = '89504E47' THEN 'png'
+             WHEN substring(hx, 1, 8) = '52494646' THEN 'wav'
+             WHEN substring(hx, 9, 8) = '66747970' THEN 'mp4'
+             ELSE 'unknown' END AS fmt,
+        CASE WHEN substring(hx, 1, 8) = '89504E47'
+          THEN CAST(('0x' || substring(hx, 33, 8)) AS BIGINT) END AS px_w,
+        CASE WHEN substring(hx, 1, 8) = '89504E47'
+          THEN CAST(('0x' || substring(hx, 41, 8)) AS BIGINT) END AS px_h,
+        CASE WHEN substring(hx, 1, 8) = '52494646'
+          THEN CAST(('0x' || substring(hx, 55, 2) || substring(hx, 53, 2)
+                          || substring(hx, 51, 2) || substring(hx, 49, 2)) AS BIGINT)
+          END AS sample_rate,
+        CASE WHEN substring(hx, 9, 8) = '66747970'
+          THEN chr(CAST(('0x' || substring(hx, 17, 2)) AS INT))
+            || chr(CAST(('0x' || substring(hx, 19, 2)) AS INT))
+            || chr(CAST(('0x' || substring(hx, 21, 2)) AS INT))
+            || chr(CAST(('0x' || substring(hx, 23, 2)) AS INT))
+          END AS brand
+      FROM media"""))
+
+  val all: Seq[Q] = Seq(m01Multimodal, m02HeaderParse)
 }

@@ -57,6 +57,34 @@ class MultimodalSpec extends SparkSpec {
     assert(top.forall(r => r.getDouble(1) <= 1.0 && r.getDouble(1) >= -1.0))
   }
 
+  test("payload headers are REAL: parsed bytes agree with the metadata") {
+    media.collect().foreach { m =>
+      val p = m.payload
+      def be32(off: Int): Int =
+        ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+          ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+      def le32(off: Int): Int =
+        (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+          ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+      m.kind match {
+        case "image" =>
+          // full 8-byte PNG signature + IHDR dims == metadata dims
+          assert(p.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+            .map(_.toByte))
+          assert(new String(p.slice(12, 16), "US-ASCII") == "IHDR")
+          assert(be32(16) == m.meta.width && be32(20) == m.meta.height,
+            s"IHDR dims ${be32(16)}x${be32(20)} != meta ${m.meta.width}x${m.meta.height}")
+        case "audio" =>
+          assert(new String(p.slice(8, 16), "US-ASCII") == "WAVEfmt ")
+          assert(le32(24) == Multimodal.sampleRateOf(m.media_id))
+          // byte rate = rate * channels(1) * 16/8
+          assert(le32(28) == 2 * le32(24), "WAV byte rate inconsistent with sample rate")
+        case _ =>
+          assert(new String(p.slice(8, 12), "US-ASCII") == Multimodal.brandOf(m.media_id))
+      }
+    }
+  }
+
   test("resize updates metadata and shrinks payloads for images only") {
     val resized = resizeImages(media, 16, 16).collect()
     val orig = media.collect().map(m => m.media_id -> m).toMap

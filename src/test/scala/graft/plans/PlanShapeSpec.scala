@@ -190,9 +190,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no CartesianProduct anywhere; BNLJ only in the declared broadcast cross joins") {
-    // q41: 10-row top-k × 1-row sketch; s08: corpus codes × 8-row
+    // q41: 10-row top-k × 1-row sketch; s08/s09: corpus codes × 8-row
     // broadcast query set — all broadcast-bounded like s01/s02
-    val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin", "s08_pq_adc")
+    val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin",
+      "s08_pq_adc", "s09_pq_recall")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
