@@ -92,7 +92,10 @@ object BpeTrainer {
   /** Segment a word column into the learned subword units: apply the
     * merge list in training order (the standard BPE encode). Pure
     * column expressions — one codegen'd projection however many
-    * merges are applied.
+    * merges are applied. Words containing the `<`/`>` delimiter
+    * characters would corrupt the self-delimited encoding and are
+    * emitted unsegmented (single-element array) — the same contract
+    * as training, which only learns over alphanumeric tokens.
     */
   def segment(df: DataFrame, wordCol: String, merges: Seq[Merge]): DataFrame = {
     val enc0: Column =
@@ -102,9 +105,7 @@ object BpeTrainer {
         lit(s"<${m.left_sym}><${m.right_sym}>"), lit(s"<${m.left_sym}${m.right_sym}>"))
     }
     df.withColumn("subwords",
-      expr_extract_all(encoded))
+      when(col(wordCol).rlike("[<>]"), array(col(wordCol)))
+        .otherwise(regexp_extract_all(encoded, lit("<([^>]*)>"), lit(1))))
   }
-
-  private def expr_extract_all(s: Column): Column =
-    regexp_extract_all(s, lit("<([^>]*)>"), lit(1))
 }

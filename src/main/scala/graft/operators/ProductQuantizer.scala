@@ -66,6 +66,11 @@ object ProductQuantizer {
       val seeds = df.orderBy(col(idCol).asc).limit(k)
         .select(col(vecCol)).collect()
         .map(_.getSeq[Float](0).toArray)
+      // a shorter vector would silently mis-slice (slice() truncates,
+      // dot() folds over the shorter side) — fail loudly at fit time
+      seeds.find(_.length != dim).foreach(s =>
+        throw new IllegalArgumentException(
+          s"codebook seed has ${s.length} dims, expected $dim"))
       Codebook(subDim,
         Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim))))
     } else {

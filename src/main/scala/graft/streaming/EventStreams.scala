@@ -139,6 +139,9 @@ object EventStreams {
     val cms = udaf(graft.functions.CountMinSketch)
     events
       .withWatermark(tsCol, "2 hours")
+      // a null key hashes to null buckets and would NPE inside the
+      // aggregator's unboxing — nulls carry no countable identity, drop
+      .filter(col(keyCol).isNotNull)
       .select(col(tsCol), graft.functions.CountMinSketch.buckets(col(keyCol)).as("bks"))
       .groupBy(window(col(tsCol), "1 hour"))
       .agg(cms(col("bks")).as("sketch"))
