@@ -189,6 +189,27 @@ class PlanShapeSpec extends SparkSpec {
       s"t14 lost its partial/final aggregate pairs:\n$p")
   }
 
+  test("d10's Bloom probe survives into the physical plan as the native expression") {
+    val p = plan("d10_decontaminate_bloom")
+    // the sketch-then-verify shape is only real if the codegen'd
+    // BloomFilterMightContain actually prunes the corpus stream BEFORE
+    // the exact join — a refactor to a UDF or a dropped prefilter
+    // would keep the output identical (the exact join hides it) and
+    // only this pin would notice
+    assert(p.contains("might_contain"),
+      s"d10 lost its Bloom prefilter (no might_contain in the plan):\n$p")
+  }
+
+  test("q41's sketch aggregates partial->final (map-side grid merge)") {
+    val p = plan("q41_countmin")
+    // the 32 KiB grid must collapse per map partition and merge, not
+    // ship raw bucket rows to one reducer
+    assert(count(p, "ObjectHashAggregate") >= 2,
+      s"q41's CMS UDAF lost its partial aggregation:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q41's top-10 must plan as TakeOrderedAndProject, not global sort:\n$p")
+  }
+
   test("no CartesianProduct anywhere; BNLJ only in the declared broadcast cross joins") {
     // q41: 10-row top-k × 1-row sketch; s08/s09: corpus codes × 8-row
     // broadcast query set — all broadcast-bounded like s01/s02
