@@ -71,8 +71,13 @@ object BpeTrainer {
       else {
         val (l, r, pf) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += Merge(step, l, r, pf)
+        // call_function, not SQL-text interpolation: symbols pass as
+        // literals, so the merge apply cannot break if the word filter
+        // ever admits characters meaningful to the SQL parser
         cur = cur
-          .select(col("freq"), expr(s"replace(s, '<$l><$r>', '<$l$r>')").as("s"))
+          .select(col("freq"),
+            call_function("replace", col("s"),
+              lit(s"<$l><$r>"), lit(s"<$l$r>")).as("s"))
           .select(col("freq"), col("s"),
             expr("regexp_extract_all(s, '<([^>]*)>', 1)").as("syms"))
           .localCheckpoint(true)

@@ -78,12 +78,12 @@ object Multimodal {
 
   /** Real container magic bytes, so format detection reads the payload
     * (not the metadata): PNG signature, RIFF/WAVE header, and the MP4
-    * `ftyp` box (brand bytes at offset 4).
+    * `ftyp` box. Derived as prefixes of the actual header builders so
+    * the constants cannot drift from the bytes [[mediaRow]] emits.
     */
-  val PngMagic: Array[Byte] = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
-  val RiffMagic: Array[Byte] = "RIFF".getBytes("US-ASCII")
-  val Mp4Ftyp: Array[Byte] =
-    Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes("US-ASCII")
+  lazy val PngMagic: Array[Byte] = pngHeader(0, 0).take(4)
+  lazy val RiffMagic: Array[Byte] = wavHeader(8000).take(4)
+  lazy val Mp4Ftyp: Array[Byte] = mp4Header("isom").take(8)
 
   private def be32(v: Int): Array[Byte] = Array(
     ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,

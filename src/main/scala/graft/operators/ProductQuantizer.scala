@@ -62,15 +62,17 @@ object ProductQuantizer {
       refineIters: Int = 0): Codebook = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
+    // a shorter vector would silently mis-slice in EITHER branch
+    // (slice() truncates, dot() folds over the shorter side, and the
+    // Lloyd branch's sub() would quietly train on truncated slices) —
+    // validate the k seed vectors before any codebook math
+    val seeds = df.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    seeds.find(_.length != dim).foreach(s =>
+      throw new IllegalArgumentException(
+        s"codebook seed has ${s.length} dims, expected $dim"))
     if (refineIters == 0) {
-      val seeds = df.orderBy(col(idCol).asc).limit(k)
-        .select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).toArray)
-      // a shorter vector would silently mis-slice (slice() truncates,
-      // dot() folds over the shorter side) — fail loudly at fit time
-      seeds.find(_.length != dim).foreach(s =>
-        throw new IllegalArgumentException(
-          s"codebook seed has ${s.length} dims, expected $dim"))
       Codebook(subDim,
         Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim))))
     } else {
