@@ -68,7 +68,14 @@ object SemDedup {
       iters: Int,
       threshold: Double): DataFrame = {
     val spark = vectors.sparkSession
-    val unit = unitVectors(vectors, idCol, embCol)
+    // LAZY localCheckpoint: the normalize projection materializes once
+    // (inside the first job that touches it) and the remaining Lloyd
+    // jobs + the final assignment read the stored blocks instead of
+    // re-scanning the source per job barrier. Lazy (not eager) so no
+    // extra job is spent; localCheckpoint (not persist) so the blocks
+    // are reclaimed by the ContextCleaner when the frame is dropped,
+    // with no CacheManager entry to leak across calls.
+    val unit = unitVectors(vectors, idCol, embCol).localCheckpoint(false)
     val model = KMeans.fit(unit, embCol, idCol, k, iters, computeWcss = false)
     val assigned = KMeans.assign(unit, embCol, model.centroids)
       .select(col(idCol), col("cluster"))
