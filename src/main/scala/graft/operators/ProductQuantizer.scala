@@ -108,6 +108,35 @@ object ProductQuantizer {
       .select(col(qIdCol), col("e.j"), col("e.code"), col("e.d"))
   }
 
+  /** Shared ADC rank stage: `base` holds one row per (q_id, candidate)
+    * with the candidate's code_0..m-1; m broadcast lookups into the
+    * query-to-codeword table compose the distance in the same
+    * left-to-right order both engines use, then rank on (adc asc,
+    * id asc) with the query vector itself excluded on id collision.
+    */
+  private def adcRank(
+      base: DataFrame,
+      idCol: String,
+      dtab: DataFrame,
+      m: Int,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = (0 until m).foldLeft(base) { (acc, j) =>
+      acc.join(
+        broadcast(dtab.filter(col("j") === j)
+          .select(col("q_id"), col("code").as(s"code_$j"), col("d").as(s"d_$j"))),
+        Seq("q_id", s"code_$j"))
+    }
+    val adc = (1 until m).foldLeft(col("d_0"))((e, j) => e + col(s"d_$j"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col(idCol).asc)
+    joined
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"), col("adc").as("adc_dist"))
+  }
+
   /** Top-k ADC search → (q_id, rank, neighbor_id, adc_dist): every
     * (query, corpus) distance is the sum of m table lookups, composed
     * as m broadcast joins so both engines add the m doubles in the
@@ -123,27 +152,44 @@ object ProductQuantizer {
       qVecCol: String,
       cb: Codebook,
       topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dtab = adcTable(queries, qIdCol, qVecCol, cb)
       .withColumnRenamed(qIdCol, "q_id")
       .localCheckpoint(true)
     val base = encoded
       .select(col(idCol) +: (0 until cb.m).map(j => col(s"code_$j")): _*)
       .crossJoin(broadcast(queries.select(col(qIdCol).as("q_id"))))
-    val joined = (0 until cb.m).foldLeft(base) { (acc, j) =>
-      acc.join(
-        broadcast(dtab.filter(col("j") === j)
-          .select(col("q_id"), col("code").as(s"code_$j"), col("d").as(s"d_$j"))),
-        Seq("q_id", s"code_$j"))
-    }
-    val adc = (1 until cb.m).foldLeft(col("d_0"))((e, j) => e + col(s"d_$j"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col(idCol).asc)
-    joined
-      .filter(col(idCol) =!= col("q_id"))
-      .withColumn("adc", adc)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"), col("adc").as("adc_dist"))
+    adcRank(base, idCol, dtab, cb.m, topK)
+  }
+
+  /** IVF×PQ (the FAISS IVFPQ composition, Jégou et al. 2011): ADC
+    * search restricted per query to its probed coarse cells. `encoded`
+    * must carry the coarse cell id in `cellCol` alongside code_0..m-1;
+    * `probes` holds one row per (q_id, cell) candidate cell. The scan
+    * touches only probed cells' candidates (~nprobe/K of the corpus at
+    * scale — with the cell as a write-time partition column this is
+    * partition pruning), and each candidate costs m table lookups
+    * instead of a dim-wide dot product. Same rank semantics as
+    * [[adcSearch]], so recall loss comes only from cell pruning +
+    * quantization — audited in IvfPqSpec.
+    */
+  def adcSearchCells(
+      encoded: DataFrame,
+      idCol: String,
+      cellCol: String,
+      probes: DataFrame,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      cb: Codebook,
+      topK: Int): DataFrame = {
+    val dtab = adcTable(queries, qIdCol, qVecCol, cb)
+      .withColumnRenamed(qIdCol, "q_id")
+      .localCheckpoint(true)
+    val base = encoded
+      .select(col(idCol) +: col(cellCol) +: (0 until cb.m).map(j => col(s"code_$j")): _*)
+      .join(broadcast(probes.select(col("q_id"), col(cellCol))), Seq(cellCol))
+      .drop(cellCol)
+    adcRank(base, idCol, dtab, cb.m, topK)
   }
 
   /** Mean quantization distortion: avg over rows of Σ_j min-code

@@ -65,6 +65,49 @@ object SimilarityQueries {
   private val NCENTROIDS = 16
   private val NPROBE = 4
 
+  /** Coarse-quantizer plumbing shared by s02 (IVF) and s10 (IVF×PQ):
+    * centroids = first NCENTROIDS vectors (deterministic, so the
+    * DuckDB oracle replays the identical cells), assignment = max
+    * rounded cosine with id tie-break, probes = each query's NPROBE
+    * nearest cells.
+    */
+  private def coarseCents(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" < NCENTROIDS)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+  }
+
+  /** (vec_id, embedding, c_id): corpus vector → nearest coarse cell
+    * (broadcast join over a repartitioned scan so assignment
+    * parallelizes).
+    */
+  private def coarseAssign(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_id".asc)
+    Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(coarseCents(s, dir)))
+      .select($"vec_id", $"embedding", $"label", $"c_id",
+        round(cosineSimilarity($"embedding", $"c_emb"), 6).as("c_sim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"embedding", $"c_id")
+  }
+
+  /** (q_id, q_emb, c_id): each query's NPROBE nearest cells. */
+  private def coarseProbes(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir).filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"p_sim".desc, $"c_id".asc)
+    q.crossJoin(broadcast(coarseCents(s, dir)))
+      .select($"q_id", $"q_emb", $"c_id",
+        round(cosineSimilarity($"q_emb", $"c_emb"), 6).as("p_sim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= NPROBE)
+      .select($"q_id", $"q_emb", $"c_id")
+  }
+
   /** IVF (inverted-file) ANN: coarse centroids = first NCENTROIDS
     * vectors; every corpus vector is assigned to its nearest centroid
     * (max cosine, id tie-break); each query probes its NPROBE nearest
@@ -75,28 +118,8 @@ object SimilarityQueries {
     "s02_ann_ivf",
     (s, dir) => {
       import s.implicits._
-      val e = Tables.embeddings(s, dir)
-      val cents = e.filter($"vec_id" < NCENTROIDS)
-        .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
-      // assign: corpus vector -> nearest centroid (broadcast join over a
-      // repartitioned scan so assignment parallelizes)
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_id".asc)
-      val assigned = e.repartition(s.sparkContext.defaultParallelism).crossJoin(broadcast(cents))
-        .select($"vec_id", $"embedding", $"label", $"c_id",
-          round(cosineSimilarity($"embedding", $"c_emb"), 6).as("c_sim"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter($"arn" === 1)
-        .select($"vec_id", $"embedding", $"c_id")
-      // queries probe their NPROBE nearest cells
-      val q = e.filter($"vec_id" < NQ)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-      val wProbe = Window.partitionBy($"q_id").orderBy($"p_sim".desc, $"c_id".asc)
-      val probes = q.crossJoin(broadcast(cents))
-        .select($"q_id", $"q_emb", $"c_id",
-          round(cosineSimilarity($"q_emb", $"c_emb"), 6).as("p_sim"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter($"prn" <= NPROBE)
-        .select($"q_id", $"q_emb", $"c_id")
+      val assigned = coarseAssign(s, dir)
+      val probes = coarseProbes(s, dir)
       // search only the probed cells
       val wRank = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
       assigned.join(broadcast(probes), Seq("c_id"))
@@ -108,30 +131,10 @@ object SimilarityQueries {
         .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos_sim")
     },
     Some {
-      val cos = (a: String, b: String) =>
-        s"""round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
-            (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
-             sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"""
-      s"""WITH cents AS (
-        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCENTROIDS),
-      assigned AS (
-        SELECT vec_id, embedding, c_id FROM (
-          SELECT e.vec_id, e.embedding, c.c_id,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cos("e.embedding", "c.c_emb")} DESC, c.c_id ASC) AS arn
-          FROM embeddings e, cents c)
-        WHERE arn = 1),
-      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
-      probes AS (
-        SELECT q_id, q_emb, c_id FROM (
-          SELECT q.q_id, q.q_emb, c.c_id,
-            row_number() OVER (PARTITION BY q.q_id
-              ORDER BY ${cos("q.q_emb", "c.c_emb")} DESC, c.c_id ASC) AS prn
-          FROM q, cents c)
-        WHERE prn <= $NPROBE),
+      s"""WITH $coarseSql,
       pairs AS (
         SELECT p.q_id, a.vec_id,
-          ${cos("a.embedding", "p.q_emb")} AS cos_sim
+          ${cosSql("a.embedding", "p.q_emb")} AS cos_sim
         FROM assigned a JOIN probes p ON a.c_id = p.c_id
         WHERE a.vec_id <> p.q_id),
       ranked AS (
@@ -141,6 +144,35 @@ object SimilarityQueries {
       SELECT q_id, rank, vec_id AS neighbor_id, cos_sim
       FROM ranked WHERE rank <= $K"""
     })
+
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+        (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
+         sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"""
+
+  /** The coarse-quantizer CTE chain ([[coarseCents]]/[[coarseAssign]]/
+    * [[coarseProbes]] replayed in DuckDB) — shared by the s02 and s10
+    * oracles. Ends with `assigned` (vec_id, embedding, c_id), `q`, and
+    * `probes` (q_id, q_emb, c_id).
+    */
+  private def coarseSql: String =
+    s"""cents AS (
+        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCENTROIDS),
+      assigned AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, c.c_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id ASC) AS arn
+          FROM embeddings e, cents c)
+        WHERE arn = 1),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
+      probes AS (
+        SELECT q_id, q_emb, c_id FROM (
+          SELECT q.q_id, q.q_emb, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${cosSql("q.q_emb", "c.c_emb")} DESC, c.c_id ASC) AS prn
+          FROM q, cents c)
+        WHERE prn <= $NPROBE)"""
 
   /** Scalar int8 quantization of embeddings (max-abs symmetric): the
     * 4× storage/shuffle reduction every 100 TB embedding corpus takes.
@@ -456,6 +488,42 @@ object SimilarityQueries {
   private val PqK = 16 // codewords per subspace: vec_id < PqK slices
   private val PqTopK = 5
 
+  /** The PQ CTE chain (`ProductQuantizer.fitCodebook`/`encode`/
+    * `adcTable` replayed in DuckDB) — shared by the s08 and s10
+    * oracles. Ends with `codesw` (vec_id, c0..c3) and `dtab`
+    * (q_id, j, code, d).
+    */
+  private def pqSql: String = {
+    val sd = 64 / PqM
+    s"""js AS (SELECT unnest(range($PqM)) AS j),
+      cbsub AS (
+        SELECT j, vec_id AS code, embedding[j*$sd+1:(j+1)*$sd] AS cs
+        FROM embeddings, js WHERE vec_id < $PqK),
+      dsub AS (
+        SELECT e.vec_id, c.j, c.code,
+          round(
+            list_dot_product(e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
+                             e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[])
+            - 2*list_dot_product(e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
+                                 c.cs::DOUBLE[])
+            + list_dot_product(c.cs::DOUBLE[], c.cs::DOUBLE[]), 6) AS d
+        FROM embeddings e, cbsub c),
+      enc AS (
+        SELECT vec_id, j, code FROM (
+          SELECT vec_id, j, code,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn
+          FROM dsub)
+        WHERE rn = 1),
+      codesw AS (
+        SELECT vec_id,
+          max(CASE WHEN j=0 THEN code END) AS c0,
+          max(CASE WHEN j=1 THEN code END) AS c1,
+          max(CASE WHEN j=2 THEN code END) AS c2,
+          max(CASE WHEN j=3 THEN code END) AS c3
+        FROM enc GROUP BY vec_id),
+      dtab AS (SELECT vec_id AS q_id, j, code, d FROM dsub WHERE vec_id < $NQ)"""
+  }
+
   /** Product quantization + asymmetric-distance search
     * (operators.ProductQuantizer): vectors compress to PqM code ids
     * (the memory-bound scale path past s02's IVF — 64-dim float32 →
@@ -482,34 +550,7 @@ object SimilarityQueries {
         .adcSearch(enc, "vec_id", q, "vec_id", "embedding", cb, PqTopK)
     },
     Some {
-      val sd = 64 / PqM
-      s"""WITH js AS (SELECT unnest(range($PqM)) AS j),
-      cbsub AS (
-        SELECT j, vec_id AS code, embedding[j*$sd+1:(j+1)*$sd] AS cs
-        FROM embeddings, js WHERE vec_id < $PqK),
-      dsub AS (
-        SELECT e.vec_id, c.j, c.code,
-          round(
-            list_dot_product(e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
-                             e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[])
-            - 2*list_dot_product(e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
-                                 c.cs::DOUBLE[])
-            + list_dot_product(c.cs::DOUBLE[], c.cs::DOUBLE[]), 6) AS d
-        FROM embeddings e, cbsub c),
-      enc AS (
-        SELECT vec_id, j, code FROM (
-          SELECT vec_id, j, code,
-            row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn
-          FROM dsub)
-        WHERE rn = 1),
-      codesw AS (
-        SELECT vec_id,
-          max(CASE WHEN j=0 THEN code END) AS c0,
-          max(CASE WHEN j=1 THEN code END) AS c1,
-          max(CASE WHEN j=2 THEN code END) AS c2,
-          max(CASE WHEN j=3 THEN code END) AS c3
-        FROM enc GROUP BY vec_id),
-      dtab AS (SELECT vec_id AS q_id, j, code, d FROM dsub WHERE vec_id < $NQ),
+      s"""WITH $pqSql,
       pairs AS (
         SELECT t0.q_id, c.vec_id, t0.d + t1.d + t2.d + t3.d AS adc
         FROM codesw c
@@ -600,6 +641,60 @@ object SimilarityQueries {
       GROUP BY t.q_id"""
     })
 
+  /** IVF×PQ — the production ANN index composition (FAISS IVFPQ,
+    * Jégou et al. 2011, "Product quantization for nearest neighbor
+    * search"): s02's coarse quantizer prunes the scan to nprobe/K of
+    * the corpus, s08's product quantizer compresses what remains to m
+    * code ids per vector, and search is an ADC table-lookup scan of
+    * ONLY the probed cells. At 100 TB the cell id is a write-time
+    * partition column (probe = partition pruning) and the PQ codes are
+    * ~0.4% of raw embedding bytes, so a query touches nprobe
+    * partitions of 4-byte codes instead of the full float corpus. Both
+    * stages are already individually oracle-checked (s02, s08); this
+    * query pins their composition — the DuckDB oracle replays coarse
+    * assignment, probe selection, PQ encoding, and the cell-restricted
+    * ADC rank end-to-end. Recall vs the exact top-k is audited
+    * independently in IvfPqSpec (the s09 pattern: pruning + heavy
+    * compression on near-uniform synthetic vectors is reported
+    * honestly, not hidden).
+    */
+  val s10IvfPq = Q(
+    "s10_ann_ivfpq",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.operators.ProductQuantizer
+        .fitCodebook(e, "embedding", "vec_id", PqM, PqK, dim = 64)
+      // coarse cell + PQ codes in ONE projection pass over the corpus
+      val enc = graft.operators.ProductQuantizer
+        .encode(coarseAssign(s, dir), "embedding", cb)
+      val probes = coarseProbes(s, dir).select($"q_id", $"c_id")
+      val q = e.filter($"vec_id" < NQ)
+      graft.operators.ProductQuantizer
+        .adcSearchCells(enc, "vec_id", "c_id", probes, q, "vec_id", "embedding", cb, PqTopK)
+    },
+    Some {
+      s"""WITH $coarseSql,
+      $pqSql,
+      pairs AS (
+        SELECT p.q_id, c.vec_id, t0.d + t1.d + t2.d + t3.d AS adc
+        FROM codesw c
+        JOIN assigned a ON a.vec_id = c.vec_id
+        JOIN probes p ON p.c_id = a.c_id
+        JOIN dtab t0 ON t0.q_id = p.q_id AND t0.j=0 AND t0.code=c.c0
+        JOIN dtab t1 ON t1.q_id = p.q_id AND t1.j=1 AND t1.code=c.c1
+        JOIN dtab t2 ON t2.q_id = p.q_id AND t2.j=2 AND t2.code=c.c2
+        JOIN dtab t3 ON t3.q_id = p.q_id AND t3.j=3 AND t3.code=c.c3
+        WHERE c.vec_id <> p.q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, rank, vec_id AS neighbor_id, adc AS adc_dist
+      FROM ranked WHERE rank <= $PqTopK"""
+    },
+    headline = true)
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
-    s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall)
+    s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq)
 }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.VectorFunctions.{cosineSimilarity, dot}
+import graft.operators.ProductQuantizer
+
+/** Independent audit of s10 (IVF×PQ): the coarse restriction and the
+  * ADC ranking are reconstructed here from first principles (not via
+  * the query's own helpers), so a bug in the s10 plumbing cannot hide
+  * behind a matching oracle replay.
+  */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // s10's published parameters (SimilarityQueries)
+  private val NC = 16
+  private val NPROBE = 4
+  private val NQ = 8
+  private val TopK = 5
+  private val M = 4
+  private val K = 16
+
+  private lazy val e = Tables.embeddings(spark, sfDir)
+
+  // independent coarse quantizer: first-NC centroids, max rounded
+  // cosine with id tie-break — the same published contract s10 claims
+  private lazy val assigned: DataFrame = {
+    val cents = e.filter($"vec_id" < NC)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_id".asc)
+    e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"c_id",
+        round(cosineSimilarity($"embedding", $"c_emb"), 6).as("c_sim"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"c_id")
+  }
+
+  private lazy val probes: DataFrame = {
+    val cents = e.filter($"vec_id" < NC)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"p_sim".desc, $"c_id".asc)
+    e.filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .select($"q_id", $"c_id",
+        round(cosineSimilarity($"q_emb", $"c_emb"), 6).as("p_sim"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= NPROBE)
+      .select($"q_id", $"c_id")
+  }
+
+  private lazy val s10 =
+    Registry.byName("s10_ann_ivfpq").run(spark, sfDir)
+
+  test("every returned neighbor lies in one of its query's probed cells") {
+    val out = s10.select($"q_id", $"neighbor_id")
+    val inProbedCell = out
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(probes, Seq("q_id", "c_id"))
+    assert(out.count() === NQ.toLong * TopK)
+    assert(inProbedCell.count() === out.count(),
+      "an IVF×PQ neighbor came from an unprobed cell")
+  }
+
+  test("s10 == full-ADC ranking restricted to the probed cells") {
+    val cb = ProductQuantizer.fitCodebook(e, "embedding", "vec_id", M, K, dim = 64)
+    val corpusN = e.count().toInt
+    // full (unpruned) ADC ranking over the whole corpus...
+    val full = ProductQuantizer.adcSearch(
+      ProductQuantizer.encode(e, "embedding", cb),
+      "vec_id", e.filter($"vec_id" < NQ), "vec_id", "embedding", cb, corpusN)
+    // ...restricted to probed cells and re-ranked must equal s10
+    val wRe = Window.partitionBy($"q_id").orderBy($"adc_dist".asc, $"neighbor_id".asc)
+    val restricted = full
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(probes, Seq("q_id", "c_id"))
+      .withColumn("rank", row_number().over(wRe))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"neighbor_id", $"adc_dist")
+    val got = s10.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = restricted.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+  }
+
+  test("recall vs the exact top-k is reported and above chance") {
+    val qx = e.filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"d2".asc, $"vec_id".asc)
+    val exact = e.crossJoin(broadcast(qx))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(dot($"embedding", $"embedding")
+          - lit(2.0) * dot($"embedding", $"q_emb")
+          + dot($"q_emb", $"q_emb"), 6).as("d2"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
+      .select($"q_id", $"vec_id".as("neighbor_id"))
+    val caught = exact
+      .join(s10.select($"q_id", $"neighbor_id"), Seq("q_id", "neighbor_id"), "left_semi")
+      .count()
+    val recall = caught.toDouble / exact.count()
+    val chance = TopK.toDouble / (e.count() - 1)
+    info(f"IVF×PQ recall@$TopK = $recall%.4f (chance $chance%.4f)")
+    // near-uniform synthetic vectors + 4/16-cell pruning + 16x PQ
+    // compression: recall is LOW by construction (the honest s09
+    // story); it must still clear chance by a wide margin
+    assert(recall >= 2 * chance,
+      f"IVF×PQ recall $recall%.4f at chance level ($chance%.4f)")
+  }
+}
