@@ -607,9 +607,97 @@ object TextQueries {
       SELECT * FROM ($sel) ORDER BY step"""
     })
 
+  private val QcTau = 0.65 // weak-label threshold on the t03 score
+  private val QcBuckets = 64
+
+  /** The t03 composite quality score as SQL (rounded 4 dp, exactly the
+    * t03 oracle's expression) — t17 thresholds it into weak labels.
+    */
+  private def qsSql(tbl: String): String =
+    s"""round(CASE WHEN len(list_filter(string_split_regex($tbl.text, '\\s+'), t -> t <> '')) < 5 THEN 0.0
+        ELSE 1.0
+          - abs(len(list_filter(list_filter(string_split_regex($tbl.text, '\\s+'), t -> t <> ''),
+              t -> t IN ('the','a','an','of','and','to','is','in','it','that')))
+            * 1.0 / len(list_filter(string_split_regex($tbl.text, '\\s+'), t -> t <> '')) - 0.4)
+          - length(regexp_replace($tbl.text, '[a-z0-9 ]', '', 'g')) * 1.0 / length($tbl.text)
+        END, 4)"""
+
+  /** Trained quality classifier (`operators.QualityClassifier`) — the
+    * model-based gate beside the heuristic (t03) and perplexity (t14)
+    * rungs of the hygiene ladder: weak labels from the t03 score
+    * thresholded at $QcTau (the GPT-3/CCNet distant-supervision
+    * setup), Naive-Bayes log-odds weights over 64 hashed token
+    * buckets, sigmoid scores for every doc. Training AND scoring are
+    * closed-form, so the DuckDB oracle replays the whole thing:
+    * labeling, both token censuses, the smoothed weight table, the
+    * per-doc dot product, and the rounded sigmoid. QualityClassifierSpec
+    * pins the semantics the replay can't: planted boilerplate must
+    * score below clean prose.
+    */
+  val t17QualityClassifier = Q(
+    "t17_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      val toks = wsTokens($"text")
+      val nToks = size(toks).cast("double")
+      val stopHits = tokensInSet(toks, stopwords).cast("double")
+      val punct = length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("double")
+      val qs = round(
+        when(nToks < 5, 0.0).otherwise(
+          lit(1.0) - abs(stopHits / nToks - lit(0.4)) - punct / length($"text")),
+        4)
+      val labeled = Tables.documents(s, dir)
+        .select($"doc_id", $"text",
+          when(qs >= QcTau, 1).otherwise(0).as("weak_label"))
+      graft.operators.QualityClassifier
+        .trainAndScore(labeled, "doc_id", "text", "weak_label", QcBuckets)
+    },
+    Some(s"""WITH lab AS (
+        SELECT doc_id, text,
+          CASE WHEN ${qsSql("documents")} >= $QcTau THEN 1 ELSE 0 END AS weak_label
+        FROM documents),
+      tok AS (
+        SELECT doc_id, weak_label,
+          unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM lab),
+      tb AS (
+        SELECT doc_id, weak_label,
+          CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % $QcBuckets AS b
+        FROM tok),
+      cls AS (SELECT weak_label, b, count(*) AS cc FROM tb GROUP BY weak_label, b),
+      tot AS (SELECT
+          sum(CASE WHEN weak_label = 1 THEN cc ELSE 0 END) AS pos_tot,
+          sum(CASE WHEN weak_label = 0 THEN cc ELSE 0 END) AS neg_tot
+        FROM cls),
+      spine AS (SELECT unnest(range($QcBuckets)) AS b),
+      wts AS (
+        SELECT s.b,
+          round(ln((COALESCE(p.cc, 0) + 1.0) / (t.pos_tot + $QcBuckets.0))
+              - ln((COALESCE(n.cc, 0) + 1.0) / (t.neg_tot + $QcBuckets.0)), 6) AS w
+        FROM spine s
+        LEFT JOIN cls p ON p.b = s.b AND p.weak_label = 1
+        LEFT JOIN cls n ON n.b = s.b AND n.weak_label = 0
+        CROSS JOIN tot t),
+      nd AS (SELECT
+          sum(CASE WHEN weak_label = 1 THEN 1 ELSE 0 END) AS npos,
+          sum(CASE WHEN weak_label = 0 THEN 1 ELSE 0 END) AS nneg
+        FROM lab),
+      perdoc AS (SELECT doc_id, b, count(*) AS cnt FROM tb GROUP BY doc_id, b),
+      dots AS (
+        SELECT d.doc_id, sum(d.cnt * w.w) AS dt
+        FROM perdoc d JOIN wts w ON d.b = w.b GROUP BY d.doc_id),
+      scored AS (
+        SELECT l.doc_id, l.weak_label,
+          round(round(ln((n.npos + 1.0) / (n.nneg + 1.0)), 6)
+              + COALESCE(d.dt, 0.0), 6) AS logit
+        FROM lab l LEFT JOIN dots d ON l.doc_id = d.doc_id CROSS JOIN nd n)
+      SELECT doc_id, CAST(weak_label AS BIGINT) AS weak_label, logit,
+        round(1.0 / (1.0 + exp(-logit)), 4) AS prob_pos
+      FROM scored"""))
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
-      t15ShardShuffle, t16BpeMerges)
+      t15ShardShuffle, t16BpeMerges, t17QualityClassifier)
 }
