@@ -55,36 +55,158 @@ object BpeTrainer {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("pf"))
 
+  /** [[pairCensus]] plus each pair's new-pair bound, in one plan: a
+    * merge of (l, r) can only create pairs AT its application sites,
+    * so any post-merge pair (x, lr) occurs at most count-of-triple
+    * (x, l, r) times and (lr, y) at most (l, r, y) times — the symbol
+    * 3-gram census upper-bounds every pair a merge could create
+    * (greedy non-overlapping application only lowers the true count).
+    * `bound` = max over both triple forms, 0 when no triple surrounds
+    * the pair (its merge can create nothing).
+    */
+  private def pairCensusWithBounds(words: DataFrame): DataFrame = {
+    val triples = words.filter(size(col("syms")) >= 3)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(syms) - 2),
+             i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b,
+                         element_at(syms, i + 2) AS c))""")).as("t"))
+      .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      .agg(sum(col("freq")).as("tf"))
+    // bounds merge into the pair census by UNION + re-aggregate rather
+    // than a join: a join's broadcast exchange costs a separate Spark
+    // job per pass, while the union keeps the whole census ONE job.
+    // Both triple forms are themselves adjacent pairs, so every union
+    // key exists on the pair side and sum/max compose cleanly.
+    val boundRows = triples
+      .select(col("b").as("l"), col("c").as("r"), lit(0L).as("pf"), col("tf").as("bnd"))
+      .union(triples
+        .select(col("a").as("l"), col("b").as("r"), lit(0L).as("pf"), col("tf").as("bnd")))
+    pairCensus(words)
+      .select(col("l"), col("r"), col("pf"), lit(0L).as("bnd"))
+      .union(boundRows)
+      .groupBy(col("l"), col("r"))
+      .agg(sum(col("pf")).as("pf"), max(col("bnd")).as("bound"))
+      .filter(col("pf") > 0)
+  }
+
+  /** Apply `ms` merges to the word table in one map-only projection
+    * (chained literal replaces — call_function, not SQL-text
+    * interpolation, so symbols cannot break the parser), re-derive the
+    * symbol list, and checkpoint to keep lineage flat. `eager = false`
+    * defers materialization into the NEXT job that reads the frame
+    * (the following pass's census), so a batched pass costs ONE job
+    * instead of census + checkpoint — lineage still truncates when the
+    * lazy checkpoint materializes.
+    */
+  private def applyMerges(
+      words: DataFrame,
+      ms: Seq[(String, String)],
+      eager: Boolean = true): DataFrame =
+    words
+      .select(col("freq"),
+        ms.foldLeft(col("s")) { case (s, (l, r)) =>
+          call_function("replace", s, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+        }.as("s"))
+      .select(col("freq"), col("s"),
+        expr("regexp_extract_all(s, '<([^>]*)>', 1)").as("syms"))
+      .localCheckpoint(eager)
+
   /** Learn `numMerges` merges from the corpus. Stops early if the
     * vocabulary runs out of adjacent pairs.
+    *
+    * `batched = true` is the production shape for 30–50k-merge runs:
+    * per pass, ONE pair census feeds a driver-side selection of a
+    * PROVABLY order-equivalent run of merges (see [[selectBatch]]),
+    * all applied in one map pass — so a pass costs 2 jobs however many
+    * merges it lands, instead of 2 jobs per merge. The learned merge
+    * table is identical to the sequential path's by construction
+    * (BpeTrainerSpec asserts it on the Sennrich fixture and the real
+    * corpus).
     */
-  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+  def learnMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      batched: Boolean = false,
+      candPool: Int = 256): Seq[Merge] = {
     var cur = wordTable(docs, textCol).localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var step = 1L
     var exhausted = false
     while (step <= numMerges && !exhausted) {
-      val top = pairCensus(cur)
-        .orderBy(col("pf").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      val batch: Seq[(String, String, Long)] =
+        if (batched) {
+          val top = pairCensusWithBounds(cur)
+            .orderBy(col("pf").desc, col("l").asc, col("r").asc)
+            .limit(candPool).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+          selectBatch(top, (numMerges - step + 1).toInt)
+            .map { case (l, r, pf, _) => (l, r, pf) }
+        } else {
+          pairCensus(cur)
+            .orderBy(col("pf").desc, col("l").asc, col("r").asc)
+            .limit(1).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        }
+      if (batch.isEmpty) exhausted = true
       else {
-        val (l, r, pf) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += Merge(step, l, r, pf)
-        // call_function, not SQL-text interpolation: symbols pass as
-        // literals, so the merge apply cannot break if the word filter
-        // ever admits characters meaningful to the SQL parser
-        cur = cur
-          .select(col("freq"),
-            call_function("replace", col("s"),
-              lit(s"<$l><$r>"), lit(s"<$l$r>")).as("s"))
-          .select(col("freq"), col("s"),
-            expr("regexp_extract_all(s, '<([^>]*)>', 1)").as("syms"))
-          .localCheckpoint(true)
-        step += 1
+        batch.foreach { case (l, r, pf) =>
+          merges += Merge(step, l, r, pf)
+          step += 1
+        }
+        cur = applyMerges(cur, batch.map { case (l, r, _) => (l, r) },
+          eager = !batched)
       }
     }
     merges.result()
+  }
+
+  /** The longest prefix of this pass's census that sequential training
+    * would PROVABLY pick in the same order. Candidates — sorted by the
+    * sequential key (pf desc, l asc, r asc), each carrying its
+    * triple-census new-pair `bound` ([[pairCensusWithBounds]]) — are
+    * accepted while
+    *
+    *  1. the pair's symbols (and its output symbol l+r) are disjoint
+    *     from every already-accepted merge's symbols and output —
+    *     merging only destroys/creates adjacencies AT its application
+    *     sites, so a fully disjoint pair's count and occurrences are
+    *     untouched by the earlier merges in the batch, and
+    *  2. its count strictly beats every already-accepted merge's
+    *     `bound` — no pair any earlier merge can CREATE (including
+    *     cascades between accepted merges, whose seed triples are of
+    *     the bounded forms) could reach this count, so sequential
+    *     training provably still picks this pair next.
+    *
+    * The first candidate that fails either test ends the batch (a later
+    * acceptance could not be proven to precede it; candidates past the
+    * collected pool sort after it by construction). Worst case the
+    * batch is the single top pair — exactly the sequential step.
+    */
+  private[operators] def selectBatch(
+      cand: Seq[(String, String, Long, Long)],
+      maxN: Int): Seq[(String, String, Long, Long)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    var maxBound = Long.MinValue
+    val it = cand.iterator
+    var open = true
+    while (open && it.hasNext && accepted.size < maxN) {
+      val c @ (l, r, pf, bound) = it.next()
+      // the OUTPUT symbol counts as used: a later candidate naming an
+      // existing symbol equal to l+r would gain new occurrences from
+      // this merge, so its census count understates its sequential one
+      val disjoint = !used(l) && !used(r) && !used(l + r)
+      val safe = accepted.isEmpty || (disjoint && pf > maxBound)
+      if (safe) {
+        accepted += c
+        used += l
+        used += r
+        used += (l + r)
+        maxBound = math.max(maxBound, bound)
+      } else open = false
+    }
+    accepted.toSeq
   }
 
   /** The learned merge table as a DataFrame (the t16 query surface). */

@@ -49,4 +49,62 @@ class BpeTrainerSpec extends SparkSpec {
     assert(merges.map(m => (m.left_sym, m.right_sym, m.pair_freq)) ==
       Seq(("a", "b", 2L), ("c", "d", 1L)), s"got $merges")
   }
+
+  test("batched == sequential on the Sennrich fixture") {
+    val seq = BpeTrainer.learnMerges(corpus, "text", 6)
+    val bat = BpeTrainer.learnMerges(corpus, "text", 6, batched = true)
+    assert(bat == seq, s"batched $bat != sequential $seq")
+  }
+
+  test("selectBatch stops at the first unprovable candidate") {
+    // (a,b) then (b,c): shares 'b' -> batch is just the top pair, and
+    // (x,y) after the break must NOT be picked up even though disjoint
+    val cand = Seq(("a", "b", 10L, 0L), ("b", "c", 9L, 0L), ("x", "y", 8L, 0L))
+    assert(BpeTrainer.selectBatch(cand, maxN = 10) == cand.take(1))
+    // disjoint pairs with safe bounds batch together
+    val ok = Seq(("a", "b", 10L, 0L), ("c", "d", 9L, 0L), ("e", "f", 8L, 0L))
+    assert(BpeTrainer.selectBatch(ok, maxN = 10) == ok)
+    // a candidate naming an earlier merge's OUTPUT symbol breaks the
+    // batch: its census count may understate its sequential count
+    val out = Seq(("a", "b", 10L, 0L), ("ab", "d", 9L, 0L))
+    assert(BpeTrainer.selectBatch(out, maxN = 10) == out.take(1))
+    // an accepted merge's new-pair bound gates later candidates: a pair
+    // (a,b) could create can reach count 9, so pf 8 can't be proven to
+    // come next (9 > 8), but pf 9 could not be beaten (strictly)
+    // either -> stop
+    val gated = Seq(("a", "b", 10L, 9L), ("c", "d", 8L, 0L))
+    assert(BpeTrainer.selectBatch(gated, maxN = 10) == gated.take(1))
+    val tied = Seq(("a", "b", 10L, 9L), ("c", "d", 9L, 0L))
+    assert(BpeTrainer.selectBatch(tied, maxN = 10) == tied.take(1))
+    val clear = Seq(("a", "b", 10L, 7L), ("c", "d", 8L, 0L))
+    assert(BpeTrainer.selectBatch(clear, maxN = 10) == clear)
+  }
+
+  test("batched == sequential on the real corpus, at fewer jobs per merge") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val n = 60
+    val seq = BpeTrainer.learnMerges(docs, "text", n)
+
+    val sc = spark.sparkContext
+    // measure the operator's scheduling economy, not AQE's accounting:
+    // adaptive execution splits one census query into a job per stage,
+    // which would triple the count without changing the actual work
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("bpe-batched", "batched BPE job count", false)
+    val bat =
+      try BpeTrainer.learnMerges(docs, "text", n, batched = true)
+      finally {
+        sc.clearJobGroup()
+        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      }
+    val jobs = sc.statusTracker.getJobIdsForGroup("bpe-batched").length
+
+    assert(bat == seq,
+      s"batched merge table diverged from sequential:\n$bat\nvs\n$seq")
+    assert(bat.size == n, s"expected $n merges, got ${bat.size}")
+    assert(jobs < n,
+      s"batched path must cost fewer than 1 job per merge: $jobs jobs for $n merges")
+    info(s"batched BPE: $n merges in $jobs jobs")
+  }
 }
