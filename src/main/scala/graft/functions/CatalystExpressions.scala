@@ -378,6 +378,87 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for [[PqEncodeCode]]. */
+object PqExprImpl {
+
+  /** Index of the nearest codeword to `vec`'s subspace slice
+    * [start, start+subDim), by rounded squared L2 with first-min
+    * tie-break — bit-identical to the declarative formula
+    * `round((x·x − 2x·c) + c², 6)` built from slice + dotF columns:
+    * the slice truncates at the vector's end, both dots fold
+    * sequentially over the shorter operand in float→double, c² sums
+    * the FULL codeword, and rounding is Spark round's HALF_UP.
+    */
+  def argminCode(vec: ArrayData, start: Int, subDim: Int, codes: Array[Array[Float]]): Int = {
+    val sliceLen = math.max(0, math.min(subDim, vec.numElements() - start))
+    var xx = 0.0
+    var i = 0
+    while (i < sliceLen) {
+      val x = vec.getFloat(start + i).toDouble
+      xx += x * x
+      i += 1
+    }
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < codes.length) {
+      val c = codes(ci)
+      var cc = 0.0
+      var j = 0
+      while (j < c.length) { cc += c(j).toDouble * c(j).toDouble; j += 1 }
+      var xc = 0.0
+      val n = math.min(sliceLen, c.length)
+      var k = 0
+      while (k < n) {
+        xc += vec.getFloat(start + k).toDouble * c(k).toDouble
+        k += 1
+      }
+      val d = java.math.BigDecimal.valueOf((xx - 2.0 * xc) + cc)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+}
+
+/** Native PQ encode: ONE expression node per code column, with the
+  * k-codeword argmin loop inside the kernel — the declarative
+  * equivalent (k `slice`+`dot` subtrees fed to array_min/
+  * array_position) costs the optimizer and codegen a tree of
+  * thousands of nodes PER RUN and pushes generated classes toward
+  * Janino's limits. Semantics pinned equal to the declarative form in
+  * ProductQuantizerSpec.
+  */
+case class PqEncodeCode(
+    child: Expression,
+    subStart: Int,
+    subDim: Int,
+    codes: Array[Array[Float]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_code requires ARRAY<FLOAT> input, got ${t.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "pq_encode_code"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqExprImpl.argminCode(v.asInstanceOf[ArrayData], subStart, subDim, codes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodes", codes, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqExprImpl.argminCode($c, $subStart, $subDim, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCode =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the native expressions. */
 object exprs {
   def rolling_hash(c: Column): Column =
@@ -400,4 +481,7 @@ object exprs {
 
   def ngram_rep_stats(c: Column, n: Int): Column =
     SparkShims.column(NgramRepStats(SparkShims.expression(c), n))
+
+  def pq_encode_code(c: Column, subStart: Int, subDim: Int, codes: Array[Array[Float]]): Column =
+    SparkShims.column(PqEncodeCode(SparkShims.expression(c), subStart, subDim, codes))
 }

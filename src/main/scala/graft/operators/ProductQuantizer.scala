@@ -87,25 +87,68 @@ object ProductQuantizer {
 
   /** Append `code_0..code_{m-1}` (int): per subspace, the index of the
     * nearest codeword (rounded squared L2, first-min tie-break). One
-    * whole-stage-codegen projection — no joins, no shuffles.
+    * whole-stage-codegen projection — no joins, no shuffles, and ONE
+    * native expression node per subspace (`PqEncodeCode`): the
+    * declarative k-subDist argmin tree costs the optimizer and Janino
+    * seconds per run at m×k expression subtrees.
     */
   def encode(df: DataFrame, vecCol: String, cb: Codebook): DataFrame =
+    (0 until cb.m).foldLeft(df) { (acc, j) =>
+      acc.withColumn(s"code_$j",
+        graft.functions.exprs.pq_encode_code(col(vecCol), j * cb.subDim, cb.subDim, cb.codes(j)))
+    }
+
+  /** Declarative reference implementation of [[encode]] (k subDist
+    * columns → array argmin) — kept for cross-checking the native
+    * kernel in ProductQuantizerSpec.
+    */
+  private[operators] def encodeExpr(df: DataFrame, vecCol: String, cb: Codebook): DataFrame =
     (0 until cb.m).foldLeft(df) { (acc, j) =>
       val ds = array(cb.codes(j).map(c => subDist(col(vecCol), j, cb.subDim, c)): _*)
       acc.withColumn(s"code_$j",
         (array_position(ds, array_min(ds)) - 1).cast("int"))
     }
 
+  /** [[subDist]] evaluated driver-side with bit-identical arithmetic:
+    * the same sequential float→double dot accumulation as the codegen
+    * kernel (`VectorExprImpl.dotF`), the same (x·x − 2x·c) + c² term
+    * order, and Spark `round`'s HALF_UP BigDecimal rounding.
+    */
+  private def roundedSubDist(xs: Array[Float], c: Array[Float]): Double = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val c2 = c.map(x => x.toDouble * x.toDouble).sum
+    java.math.BigDecimal.valueOf(dot(xs, xs) - 2.0 * dot(xs, c) + c2)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** ADC lookup table: one row per (query, subspace, code) with the
     * exact query-to-codeword rounded distance. O(queries × m × k) —
-    * broadcast-sized for any sane query batch.
+    * broadcast-sized for any sane query batch, so it is computed
+    * DRIVER-side (the KMeans-centroid pattern: bounded model math on
+    * the driver, data stays distributed). The declarative alternative
+    * — exploding an m×k struct array of subDist expressions — generates
+    * a class past what Janino compiles, which costs a doomed
+    * multi-second compile attempt on EVERY run before the interpreted
+    * fallback.
     */
   def adcTable(queries: DataFrame, qIdCol: String, qVecCol: String, cb: Codebook): DataFrame = {
-    val entries = for (j <- 0 until cb.m; i <- cb.codes(j).indices) yield
-      struct(lit(j).as("j"), lit(i).as("code"),
-        subDist(col(qVecCol), j, cb.subDim, cb.codes(j)(i)).as("d"))
-    queries.select(col(qIdCol), explode(array(entries: _*)).as("e"))
-      .select(col(qIdCol), col("e.j"), col("e.code"), col("e.d"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rows = for {
+      (qid, vec) <- qs.toSeq
+      j <- 0 until cb.m
+      i <- cb.codes(j).indices
+    } yield (qid, j, i,
+      roundedSubDist(vec.slice(j * cb.subDim, (j + 1) * cb.subDim), cb.codes(j)(i)))
+    rows.toDF(qIdCol, "j", "code", "d")
   }
 
   /** Shared ADC rank stage: `base` holds one row per (q_id, candidate)
@@ -154,7 +197,6 @@ object ProductQuantizer {
       topK: Int): DataFrame = {
     val dtab = adcTable(queries, qIdCol, qVecCol, cb)
       .withColumnRenamed(qIdCol, "q_id")
-      .localCheckpoint(true)
     val base = encoded
       .select(col(idCol) +: (0 until cb.m).map(j => col(s"code_$j")): _*)
       .crossJoin(broadcast(queries.select(col(qIdCol).as("q_id"))))
@@ -184,7 +226,6 @@ object ProductQuantizer {
       topK: Int): DataFrame = {
     val dtab = adcTable(queries, qIdCol, qVecCol, cb)
       .withColumnRenamed(qIdCol, "q_id")
-      .localCheckpoint(true)
     val base = encoded
       .select(col(idCol) +: col(cellCol) +: (0 until cb.m).map(j => col(s"code_$j")): _*)
       .join(broadcast(probes.select(col("q_id"), col(cellCol))), Seq(cellCol))

@@ -32,6 +32,25 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(codes(3L) == ((1, 0)), s"doc 3 mirrors doc 2: ${codes(3L)}")
   }
 
+  test("native encode kernel == declarative argmin tree") {
+    // 4-dim fixture AND the real 64-dim embeddings: the codegen'd
+    // PqEncodeCode loop must agree with the slice+dot column formula
+    // on every row, including argmin ties broken on the first index
+    val fix = ProductQuantizer.encode(vecs, "embedding", cb).collect().map(_.toSeq)
+    val fixRef = ProductQuantizer.encodeExpr(vecs, "embedding", cb).collect().map(_.toSeq)
+    assert(fix.toSeq == fixRef.toSeq)
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val book = ProductQuantizer
+      .fitCodebook(e, "embedding", "vec_id", m = 4, k = 16, dim = 64)
+    val real = ProductQuantizer.encode(e, "embedding", book)
+      .select($"vec_id", $"code_0", $"code_1", $"code_2", $"code_3")
+      .collect().map(_.toSeq).toSeq
+    val realRef = ProductQuantizer.encodeExpr(e, "embedding", book)
+      .select($"vec_id", $"code_0", $"code_1", $"code_2", $"code_3")
+      .collect().map(_.toSeq).toSeq
+    assert(real == realRef, "native and declarative PQ codes diverge on real data")
+  }
+
   test("ADC distance is exact for on-grid vectors and ranks deterministically") {
     val enc = ProductQuantizer.encode(vecs, "embedding", cb)
     val q = vecs.filter($"vec_id" === 0L)
