@@ -77,21 +77,34 @@ object SimilarityQueries {
       .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
   }
 
-  /** (vec_id, embedding, c_id): corpus vector → nearest coarse cell
-    * (broadcast join over a repartitioned scan so assignment
-    * parallelizes).
+  /** (vec_id, embedding, c_id): corpus vector → nearest coarse cell.
+    * ZERO-shuffle: centroids are collected driver-side (NCENTROIDS ×
+    * dim floats — bounded model math, the KMeans-centroid pattern) and
+    * enter the plan as literals, so assignment is one argmax
+    * projection. The crossJoin + per-vector window alternative
+    * shuffles corpus × 1 rows and sorts per vec_id — at 100 TB that is
+    * a full-corpus shuffle spent recomputing what a map-side argmax
+    * already knows. Semantics identical to the oracle's window replay:
+    * the cosine array is indexed by c_id (centroids dense-ordered by
+    * vec_id, asserted), array_position takes the FIRST max (= lowest
+    * c_id on ties), and an all-NULL row (zero vector) falls to cell 0
+    * exactly like ORDER BY cos DESC NULLS LAST, c_id ASC.
     */
   private def coarseAssign(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"c_id".asc)
+    val cents = coarseCents(s, dir).orderBy($"c_id".asc).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.map(_._1).toSeq == cents.indices.map(_.toLong),
+      "coarse cells must be the dense first-N vec_ids")
+    val sims = array(cents.map { case (_, c) =>
+      round(cosineSimilarity($"embedding", typedLit(c)), 6)
+    }: _*)
     Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(coarseCents(s, dir)))
-      .select($"vec_id", $"embedding", $"label", $"c_id",
-        round(cosineSimilarity($"embedding", $"c_emb"), 6).as("c_sim"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter($"arn" === 1)
-      .select($"vec_id", $"embedding", $"c_id")
+      .select($"vec_id", $"embedding",
+        when(array_max(sims).isNull, lit(1L))
+          .otherwise(array_position(sims, array_max(sims)))
+          .minus(1).cast("long").as("c_id"))
   }
 
   /** (q_id, q_emb, c_id): each query's NPROBE nearest cells. */

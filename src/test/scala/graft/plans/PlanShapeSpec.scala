@@ -212,9 +212,12 @@ class PlanShapeSpec extends SparkSpec {
 
   test("no CartesianProduct anywhere; BNLJ only in the declared broadcast cross joins") {
     // q41: 10-row top-k × 1-row sketch; s08/s09: corpus codes × 8-row
-    // broadcast query set — all broadcast-bounded like s01/s02
+    // broadcast query set — all broadcast-bounded like s01/s02; t17:
+    // per-doc scores × the 1-row broadcast bias/total frames
+    // s10: the 8-row query set × 16-row centroid probe stage (s02's
+    // pattern; corpus-side assignment is a zero-shuffle argmax)
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin",
-      "s08_pq_adc", "s09_pq_recall")
+      "s08_pq_adc", "s09_pq_recall", "s10_ann_ivfpq", "t17_quality_classifier")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
