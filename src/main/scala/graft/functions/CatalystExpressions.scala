@@ -420,6 +420,90 @@ object PqExprImpl {
     }
     best
   }
+
+  /** [[argminCode]] over the float32 residual (x − centroids(cell)):
+    * each residual element rounds to binary32 BEFORE the double
+    * accumulation, matching `(x - c)::FLOAT` in the SQL replay.
+    */
+  def argminResidualCode(
+      vec: ArrayData,
+      cell: Long,
+      centroids: Array[Array[Float]],
+      subStart: Int,
+      subDim: Int,
+      codes: Array[Array[Float]]): Int = {
+    val cent = centroids(cell.toInt)
+    val n = math.min(vec.numElements(), cent.length)
+    val sliceLen = math.max(0, math.min(subDim, n - subStart))
+    val r = new Array[Float](sliceLen)
+    var i = 0
+    while (i < sliceLen) {
+      r(i) = vec.getFloat(subStart + i) - cent(subStart + i)
+      i += 1
+    }
+    var xx = 0.0
+    i = 0
+    while (i < sliceLen) { xx += r(i).toDouble * r(i).toDouble; i += 1 }
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < codes.length) {
+      val c = codes(ci)
+      var cc = 0.0
+      var j = 0
+      while (j < c.length) { cc += c(j).toDouble * c(j).toDouble; j += 1 }
+      var xc = 0.0
+      val m = math.min(sliceLen, c.length)
+      var k = 0
+      while (k < m) { xc += r(k).toDouble * c(k).toDouble; k += 1 }
+      val d = java.math.BigDecimal.valueOf((xx - 2.0 * xc) + cc)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+}
+
+/** Native residual-PQ encode: [[PqEncodeCode]]'s argmin over the
+  * RESIDUAL vector (x − centroid[cell]) — the FAISS `by_residual`
+  * composition, where the quantizer codes what the coarse cell did
+  * not explain. Residual elements are computed in float32
+  * (`(x − c).toFloat`, IEEE binary32 — bit-identical to the oracle's
+  * `(x - c)::FLOAT`) before the standard double-accumulation distance.
+  */
+case class PqEncodeResidualCode(
+    left: Expression,
+    right: Expression,
+    centroids: Array[Array[Float]],
+    subStart: Int,
+    subDim: Int,
+    codes: Array[Array[Float]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.FloatType, _), LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_residual_code requires (ARRAY<FLOAT>, BIGINT), got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "pq_encode_residual_code"
+
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    PqExprImpl.argminResidualCode(v.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Long], centroids, subStart, subDim, codes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("pqCentroids", centroids, "float[][]")
+    val codesRef = ctx.addReferenceObj("pqCodes", codes, "float[][]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.PqExprImpl.argminResidualCode($v, $c, $centRef, $subStart, $subDim, $codesRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeResidualCode =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native PQ encode: ONE expression node per code column, with the
@@ -484,4 +568,10 @@ object exprs {
 
   def pq_encode_code(c: Column, subStart: Int, subDim: Int, codes: Array[Array[Float]]): Column =
     SparkShims.column(PqEncodeCode(SparkShims.expression(c), subStart, subDim, codes))
+
+  def pq_encode_residual_code(
+      vec: Column, cell: Column, centroids: Array[Array[Float]],
+      subStart: Int, subDim: Int, codes: Array[Array[Float]]): Column =
+    SparkShims.column(PqEncodeResidualCode(
+      SparkShims.expression(vec), SparkShims.expression(cell), centroids, subStart, subDim, codes))
 }

@@ -162,13 +162,15 @@ object ProductQuantizer {
       idCol: String,
       dtab: DataFrame,
       m: Int,
-      topK: Int): DataFrame = {
+      topK: Int,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = (0 until m).foldLeft(base) { (acc, j) =>
       acc.join(
         broadcast(dtab.filter(col("j") === j)
-          .select(col("q_id"), col("code").as(s"code_$j"), col("d").as(s"d_$j"))),
-        Seq("q_id", s"code_$j"))
+          .select(col("q_id") +: extraKeys.map(col) :+
+            col("code").as(s"code_$j") :+ col("d").as(s"d_$j"): _*)),
+        Seq("q_id") ++ extraKeys :+ s"code_$j")
     }
     val adc = (1 until m).foldLeft(col("d_0"))((e, j) => e + col(s"d_$j"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col(idCol).asc)
@@ -231,6 +233,109 @@ object ProductQuantizer {
       .join(broadcast(probes.select(col("q_id"), col(cellCol))), Seq(cellCol))
       .drop(cellCol)
     adcRank(base, idCol, dtab, cb.m, topK)
+  }
+
+  /** Float32 residual of `vec` against its cell's centroid — the ONE
+    * definition shared by codebook fit, encode kernel, and ADC table
+    * (each element rounds to binary32 before any distance math, like
+    * the oracle's `(x - c)::FLOAT`).
+    */
+  private def residualOf(vec: Array[Float], cent: Array[Float]): Array[Float] = {
+    val n = math.min(vec.length, cent.length)
+    Array.tabulate(n)(i => vec(i) - cent(i))
+  }
+
+  /** Residual-PQ codebook (FAISS `by_residual`): codewords are the
+    * first `k` vectors' RESIDUAL slices — each seed vector minus its
+    * assigned cell's centroid. `assigned` must carry (idCol, vecCol,
+    * cellCol); seeds collect driver-side like [[fitCodebook]]'s.
+    */
+  def fitResidualCodebook(
+      assigned: DataFrame,
+      vecCol: String,
+      cellCol: String,
+      idCol: String,
+      centroids: Array[Array[Float]],
+      m: Int,
+      k: Int,
+      dim: Int): Codebook = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val seeds = assigned.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol), col(cellCol).cast("long")).collect()
+      .map(r => residualOf(r.getSeq[Float](0).toArray, centroids(r.getLong(1).toInt)))
+    seeds.find(_.length != dim).foreach(s =>
+      throw new IllegalArgumentException(
+        s"residual codebook seed has ${s.length} dims, expected $dim"))
+    Codebook(subDim,
+      Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim))))
+  }
+
+  /** Append residual-PQ codes: per subspace, the nearest codeword to
+    * (vec − centroid[cell]) — one native kernel expression per code
+    * column ([[graft.functions.PqEncodeResidualCode]]), zero shuffles.
+    */
+  def encodeResidual(
+      df: DataFrame,
+      vecCol: String,
+      cellCol: String,
+      centroids: Array[Array[Float]],
+      cb: Codebook): DataFrame =
+    (0 until cb.m).foldLeft(df) { (acc, j) =>
+      acc.withColumn(s"code_$j",
+        graft.functions.exprs.pq_encode_residual_code(
+          col(vecCol), col(cellCol).cast("long"), centroids, j * cb.subDim, cb.subDim, cb.codes(j)))
+    }
+
+  /** Residual ADC table: one row per (query, PROBED CELL, subspace,
+    * code) — the query's residual differs per cell, so each probed
+    * cell gets its own lookup table. O(queries × nprobe × m × k),
+    * driver-computed like [[adcTable]].
+    */
+  def adcTableResidual(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      probes: DataFrame,
+      cellCol: String,
+      centroids: Array[Array[Float]],
+      cb: Codebook): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val ps = probes.select(col("q_id").cast("long"), col(cellCol).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = for {
+      (qid, cell) <- ps.toSeq
+      r = residualOf(qs(qid), centroids(cell.toInt))
+      j <- 0 until cb.m
+      i <- cb.codes(j).indices
+    } yield (qid, cell, j, i,
+      roundedSubDist(r.slice(j * cb.subDim, (j + 1) * cb.subDim), cb.codes(j)(i)))
+    rows.toDF("q_id", cellCol, "j", "code", "d")
+  }
+
+  /** Residual IVF×PQ search: [[adcSearchCells]] with per-(query, cell)
+    * lookup tables — candidates join their cell's table, so distances
+    * are against the query residual in that cell.
+    */
+  def adcSearchCellsResidual(
+      encoded: DataFrame,
+      idCol: String,
+      cellCol: String,
+      probes: DataFrame,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      centroids: Array[Array[Float]],
+      cb: Codebook,
+      topK: Int): DataFrame = {
+    val dtab = adcTableResidual(queries, qIdCol, qVecCol, probes, cellCol, centroids, cb)
+    val base = encoded
+      .select(col(idCol) +: col(cellCol) +: (0 until cb.m).map(j => col(s"code_$j")): _*)
+      .join(broadcast(probes.select(col("q_id"), col(cellCol))), Seq(cellCol))
+    adcRank(base, idCol, dtab, cb.m, topK, extraKeys = Seq(cellCol))
   }
 
   /** Mean quantization distortion: avg over rows of Σ_j min-code

@@ -90,13 +90,21 @@ object SimilarityQueries {
     * c_id on ties), and an all-NULL row (zero vector) falls to cell 0
     * exactly like ORDER BY cos DESC NULLS LAST, c_id ASC.
     */
-  private def coarseAssign(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    import s.implicits._
-    val cents = coarseCents(s, dir).orderBy($"c_id".asc).collect()
+  /** The coarse centroids as a driver-side array indexed by cell id
+    * (dense first-N vec_ids, asserted) — shared by the zero-shuffle
+    * assignment and the residual-PQ math (s11).
+    */
+  private def centroidArray(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Float]] = {
+    val cents = coarseCents(s, dir).orderBy(col("c_id").asc).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(cents.map(_._1).toSeq == cents.indices.map(_.toLong),
       "coarse cells must be the dense first-N vec_ids")
-    val sims = array(cents.map { case (_, c) =>
+    cents.map(_._2)
+  }
+
+  private def coarseAssign(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val sims = array(centroidArray(s, dir).map { c =>
       round(cosineSimilarity($"embedding", typedLit(c)), 6)
     }: _*)
     Tables.embeddings(s, dir)
@@ -502,25 +510,26 @@ object SimilarityQueries {
   private val PqTopK = 5
 
   /** The PQ CTE chain (`ProductQuantizer.fitCodebook`/`encode`/
-    * `adcTable` replayed in DuckDB) — shared by the s08 and s10
-    * oracles. Ends with `codesw` (vec_id, c0..c3) and `dtab`
-    * (q_id, j, code, d).
+    * `adcTable` replayed in DuckDB) — shared by the s08, s09, s10 and
+    * (over residual vectors) s11 oracles. `src`/`vecCol` name the
+    * vector table: codewords are the first-PqK rows' slices. Ends with
+    * `codesw` (vec_id, c0..c3) and `dtab` (q_id, j, code, d).
     */
-  private def pqSql: String = {
+  private def pqSql(src: String = "embeddings", vecCol: String = "embedding"): String = {
     val sd = 64 / PqM
     s"""js AS (SELECT unnest(range($PqM)) AS j),
       cbsub AS (
-        SELECT j, vec_id AS code, embedding[j*$sd+1:(j+1)*$sd] AS cs
-        FROM embeddings, js WHERE vec_id < $PqK),
+        SELECT j, vec_id AS code, $vecCol[j*$sd+1:(j+1)*$sd] AS cs
+        FROM $src, js WHERE vec_id < $PqK),
       dsub AS (
         SELECT e.vec_id, c.j, c.code,
           round(
-            list_dot_product(e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
-                             e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[])
-            - 2*list_dot_product(e.embedding[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
+            list_dot_product(e.$vecCol[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
+                             e.$vecCol[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[])
+            - 2*list_dot_product(e.$vecCol[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
                                  c.cs::DOUBLE[])
             + list_dot_product(c.cs::DOUBLE[], c.cs::DOUBLE[]), 6) AS d
-        FROM embeddings e, cbsub c),
+        FROM $src e, cbsub c),
       enc AS (
         SELECT vec_id, j, code FROM (
           SELECT vec_id, j, code,
@@ -563,7 +572,7 @@ object SimilarityQueries {
         .adcSearch(enc, "vec_id", q, "vec_id", "embedding", cb, PqTopK)
     },
     Some {
-      s"""WITH $pqSql,
+      s"""WITH ${pqSql()},
       pairs AS (
         SELECT t0.q_id, c.vec_id, t0.d + t1.d + t2.d + t3.d AS adc
         FROM codesw c
@@ -688,7 +697,7 @@ object SimilarityQueries {
     },
     Some {
       s"""WITH $coarseSql,
-      $pqSql,
+      ${pqSql()},
       pairs AS (
         SELECT p.q_id, c.vec_id, t0.d + t1.d + t2.d + t3.d AS adc
         FROM codesw c
@@ -708,6 +717,76 @@ object SimilarityQueries {
     },
     headline = true)
 
+  /** Residual IVF×PQ — FAISS IVFPQ's actual default (`by_residual`):
+    * the product quantizer codes the RESIDUAL (vector − its cell's
+    * centroid) instead of the raw vector, so the codebook spends its
+    * bits on what the coarse cell did not explain — the composition
+    * that makes IVFPQ accurate in production. Differences from s10:
+    * the codebook is fit on the first-PqK residuals, encode subtracts
+    * the row's own cell centroid inside the native kernel
+    * (`PqEncodeResidualCode`), and each (query, probed cell) pair gets
+    * its OWN ADC table because the query's residual differs per cell
+    * (table rows = queries × nprobe × m × k, still driver-bounded).
+    * Residual elements round to float32 before any distance math, so
+    * the oracle's `(x - c)::FLOAT` replays the kernel bit-for-bit.
+    * IvfPqSpec audits recall vs exact for both variants side by side.
+    */
+  val s11IvfPqResidual = Q(
+    "s11_ann_ivfpq_residual",
+    (s, dir) => {
+      import s.implicits._
+      val cents = centroidArray(s, dir)
+      val assigned = coarseAssign(s, dir)
+      val cb = graft.operators.ProductQuantizer
+        .fitResidualCodebook(assigned, "embedding", "c_id", "vec_id", cents, PqM, PqK, dim = 64)
+      val enc = graft.operators.ProductQuantizer
+        .encodeResidual(assigned, "embedding", "c_id", cents, cb)
+      val probes = coarseProbes(s, dir).select($"q_id", $"c_id")
+      val q = Tables.embeddings(s, dir).filter($"vec_id" < NQ)
+      graft.operators.ProductQuantizer
+        .adcSearchCellsResidual(enc, "vec_id", "c_id", probes, q, "vec_id", "embedding",
+          cents, cb, PqTopK)
+    },
+    Some {
+      val sd = 64 / PqM
+      s"""WITH $coarseSql,
+      res AS (
+        SELECT a.vec_id, a.c_id,
+          list_transform(list_zip(a.embedding, c.c_emb), p -> (p[1] - p[2])::FLOAT) AS r
+        FROM assigned a JOIN cents c ON a.c_id = c.c_id),
+      ${pqSql("res", "r")},
+      qres AS (
+        SELECT p.q_id, p.c_id,
+          list_transform(list_zip(p.q_emb, c.c_emb), pp -> (pp[1] - pp[2])::FLOAT) AS r
+        FROM probes p JOIN cents c ON p.c_id = c.c_id),
+      qdtab AS (
+        SELECT e.q_id, e.c_id, c.j, c.code,
+          round(
+            list_dot_product(e.r[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
+                             e.r[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[])
+            - 2*list_dot_product(e.r[c.j*$sd+1:(c.j+1)*$sd]::DOUBLE[],
+                                 c.cs::DOUBLE[])
+            + list_dot_product(c.cs::DOUBLE[], c.cs::DOUBLE[]), 6) AS d
+        FROM qres e, cbsub c),
+      pairs AS (
+        SELECT p.q_id, cw.vec_id, t0.d + t1.d + t2.d + t3.d AS adc
+        FROM codesw cw
+        JOIN res a ON a.vec_id = cw.vec_id
+        JOIN probes p ON p.c_id = a.c_id
+        JOIN qdtab t0 ON t0.q_id=p.q_id AND t0.c_id=a.c_id AND t0.j=0 AND t0.code=cw.c0
+        JOIN qdtab t1 ON t1.q_id=p.q_id AND t1.c_id=a.c_id AND t1.j=1 AND t1.code=cw.c1
+        JOIN qdtab t2 ON t2.q_id=p.q_id AND t2.c_id=a.c_id AND t2.j=2 AND t2.code=cw.c2
+        JOIN qdtab t3 ON t3.q_id=p.q_id AND t3.c_id=a.c_id AND t3.j=3 AND t3.code=cw.c3
+        WHERE cw.vec_id <> p.q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, rank, vec_id AS neighbor_id, adc AS adc_dist
+      FROM ranked WHERE rank <= $PqTopK"""
+    })
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
-    s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq)
+    s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
+    s11IvfPqResidual)
 }

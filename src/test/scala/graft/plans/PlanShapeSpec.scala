@@ -217,7 +217,8 @@ class PlanShapeSpec extends SparkSpec {
     // s10: the 8-row query set × 16-row centroid probe stage (s02's
     // pattern; corpus-side assignment is a zero-shuffle argmax)
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin",
-      "s08_pq_adc", "s09_pq_recall", "s10_ann_ivfpq", "t17_quality_classifier")
+      "s08_pq_adc", "s09_pq_recall", "s10_ann_ivfpq", "s11_ann_ivfpq_residual",
+      "t17_quality_classifier")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),

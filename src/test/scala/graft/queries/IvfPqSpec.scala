@@ -88,7 +88,7 @@ class IvfPqSpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("recall vs the exact top-k is reported and above chance") {
+  test("recall vs the exact top-k is reported and above chance, both variants") {
     val qx = e.filter($"vec_id" < NQ)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
     val w = Window.partitionBy($"q_id").orderBy($"d2".asc, $"vec_id".asc)
@@ -100,16 +100,30 @@ class IvfPqSpec extends SparkSpec {
           + dot($"q_emb", $"q_emb"), 6).as("d2"))
       .withColumn("rank", row_number().over(w)).filter($"rank" <= TopK)
       .select($"q_id", $"vec_id".as("neighbor_id"))
-    val caught = exact
-      .join(s10.select($"q_id", $"neighbor_id"), Seq("q_id", "neighbor_id"), "left_semi")
-      .count()
-    val recall = caught.toDouble / exact.count()
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+      exact.join(res.select($"q_id", $"neighbor_id"),
+        Seq("q_id", "neighbor_id"), "left_semi").count().toDouble / exact.count()
+    val raw = recallOf(s10)
+    val residual = recallOf(
+      Registry.byName("s11_ann_ivfpq_residual").run(spark, sfDir))
     val chance = TopK.toDouble / (e.count() - 1)
-    info(f"IVF×PQ recall@$TopK = $recall%.4f (chance $chance%.4f)")
+    info(f"IVFPQ recall@$TopK raw=$raw%.4f residual=$residual%.4f (chance $chance%.4f)")
     // near-uniform synthetic vectors + 4/16-cell pruning + 16x PQ
     // compression: recall is LOW by construction (the honest s09
-    // story); it must still clear chance by a wide margin
-    assert(recall >= 2 * chance,
-      f"IVF×PQ recall $recall%.4f at chance level ($chance%.4f)")
+    // story); both variants must still clear chance by a wide margin
+    assert(raw >= 2 * chance,
+      f"IVFPQ recall $raw%.4f at chance level ($chance%.4f)")
+    assert(residual >= 2 * chance,
+      f"residual IVFPQ recall $residual%.4f at chance level ($chance%.4f)")
+  }
+
+  test("residual neighbors also come only from probed cells") {
+    val out = Registry.byName("s11_ann_ivfpq_residual").run(spark, sfDir)
+      .select($"q_id", $"neighbor_id")
+    val inProbedCell = out
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(probes, Seq("q_id", "c_id"))
+    assert(out.count() === NQ.toLong * TopK)
+    assert(inProbedCell.count() === out.count())
   }
 }
