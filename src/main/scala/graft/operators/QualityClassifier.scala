@@ -31,30 +31,42 @@ object QualityClassifier {
 
   val DefaultBuckets = 64
 
+  /** The learned model: B bucket weights + a 1-row bias frame — both
+    * lazy DataFrames, broadcast at scoring time.
+    */
+  final case class Model(weights: DataFrame, bias: DataFrame, buckets: Int)
+
   /** Hashed-bucket column for a token column. */
   private def bucketOf(tok: org.apache.spark.sql.Column, buckets: Int) =
     pmod(graft.functions.exprs.token_hash60(tok), lit(buckets.toLong))
 
-  /** Train NB log-odds weights on `docs`' weak labels and score every
-    * doc: → (idCol, weak_label, logit, prob_pos). `labelCol` must hold
-    * 1 (keep) / 0 (drop) weak labels — e.g. the t03 heuristic gate
-    * thresholded, the distant-supervision setup quality classifiers
-    * are actually trained with. The logit is rounded to 6 dp BEFORE
-    * the sigmoid and the probability to 4 dp, the repo's
-    * compare-on-rounded convention.
+  /** (doc, bucket) token census of `docs`, with the label carried when
+    * `labelCol` is set.
     */
-  def trainAndScore(
+  private def bucketCensus(
+      docs: DataFrame, idCol: String, textCol: String,
+      labelCol: Option[String], buckets: Int): DataFrame = {
+    val lbl = labelCol.map(c => col(c).as("__lbl")).toSeq
+    docs
+      .select(col(idCol) +: lbl :+ explode(wsTokens(col(textCol))).as("__tok"): _*)
+      .select(col(idCol) +: lbl.map(_ => col("__lbl")) :+
+        bucketOf(col("__tok"), buckets).as("__b"): _*)
+  }
+
+  /** Fit NB log-odds weights with Laplace smoothing from `docs`' weak
+    * labels (1 = keep, 0 = drop). The labeled set can be a curated
+    * reference distinct from the corpus being scored — the standard
+    * distant-supervision deployment (train on labeled reference,
+    * score the crawl).
+    */
+  def train(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       labelCol: String,
-      buckets: Int = DefaultBuckets): DataFrame = {
+      buckets: Int = DefaultBuckets): Model = {
     val b = buckets
-    // token → bucket census, keyed by (doc, label)
-    val tb = docs
-      .select(col(idCol), col(labelCol).as("__lbl"),
-        explode(wsTokens(col(textCol))).as("__tok"))
-      .select(col(idCol), col("__lbl"), bucketOf(col("__tok"), b).as("__b"))
+    val tb = bucketCensus(docs, idCol, textCol, Some(labelCol), b)
     // per-class-per-bucket token counts (B × 2 rows)
     val cls = tb.groupBy(col("__lbl"), col("__b")).agg(count(lit(1)).as("__cc"))
     // class token totals as a 1-row frame (broadcast via crossJoin)
@@ -80,16 +92,39 @@ object QualityClassifier {
       round(log(
         (sum(when(col(labelCol) === 1, 1L).otherwise(0L)) + lit(1.0)) /
           (sum(when(col(labelCol) === 0, 1L).otherwise(0L)) + lit(1.0))), 6).as("__bias"))
-    // score: per-doc bucket counts · broadcast weights
-    val dots = tb.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
-      .join(broadcast(weights), Seq("__b"))
+    Model(weights, bias, b)
+  }
+
+  /** Score `docs` with a trained [[Model]] → (idCol, logit, prob_pos):
+    * per-doc bucket counts dotted with the broadcast weights, logit
+    * rounded to 6 dp BEFORE the sigmoid and the probability to 4 dp
+    * (the repo's compare-on-rounded convention). Token-less docs score
+    * at the class prior.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    val dots = bucketCensus(docs, idCol, textCol, None, model.buckets)
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .join(broadcast(model.weights), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum(col("__cnt") * col("__w")).as("__dot"))
-    docs.select(col(idCol), col(labelCol).cast("long").as("weak_label"))
-      .join(dots, Seq(idCol), "left") // token-less docs score at the prior
-      .crossJoin(broadcast(bias))
+    docs.select(col(idCol))
+      .join(dots, Seq(idCol), "left")
+      .crossJoin(broadcast(model.bias))
       .withColumn("logit", round(col("__bias") + coalesce(col("__dot"), lit(0.0)), 6))
-      .select(col(idCol), col("weak_label"), col("logit"),
+      .select(col(idCol), col("logit"),
         round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 4).as("prob_pos"))
   }
+
+  /** [[train]] + [[score]] over the same weakly-labeled corpus — the
+    * t17 query surface: → (idCol, weak_label, logit, prob_pos).
+    */
+  def trainAndScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int = DefaultBuckets): DataFrame =
+    docs.select(col(idCol), col(labelCol).cast("long").as("weak_label"))
+      .join(score(docs, idCol, textCol, train(docs, idCol, textCol, labelCol, buckets)),
+        Seq(idCol))
 }
