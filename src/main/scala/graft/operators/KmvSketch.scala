@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+  * 2002; Beyer et al. 2007 "On synopses for distinct-value estimation
+  * under multiset operations"): keep the k smallest hash values per
+  * group; if the k-th smallest is h_k out of a 2^60 hash space, the
+  * group holds ≈ (k−1)·2^60/h_k distinct values. Two properties make
+  * it the sketch of choice here over HLL:
+  *
+  *  - it is MERGEABLE by set-union of the min-k lists (union two
+  *    sketches, re-take the k smallest — KmvSketchSpec pins the
+  *    algebra), so partial sketches combine across partitions, shards,
+  *    or days exactly like any partial aggregate; and
+  *  - with the engine-portable md5-prefix hash the whole estimator is
+  *    DETERMINISTIC, so an external SQL oracle replays the estimate
+  *    EXACTLY (q42) — unlike HLL, whose register layouts differ per
+  *    engine and force tolerance-gate oracles (q24).
+  *
+  * Scale shape: one (group, hash) distinct pass, then a per-group
+  * bottom-k — O(groups × k) state, the same partial-window-limit shape
+  * as q05/q12. The estimate's arithmetic is single-IEEE-op per stage
+  * ((k−1)·2^60 is exactly representable in double) so rounding once at
+  * 4 dp is cross-engine stable.
+  */
+object KmvSketch {
+
+  val DefaultK = 32
+
+  /** The sketch state: the k smallest DISTINCT hash values per group,
+    * ranked (group, h, rn). Hash = md5-prefix token_hash60 of the
+    * value rendered as a string — engine-portable and uniform over
+    * [0, 2^60).
+    */
+  def minKHashes(df: DataFrame, groupCol: String, valueCol: String, k: Int = DefaultK): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc)
+    df.select(col(groupCol),
+      graft.functions.exprs.token_hash60(col(valueCol).cast("string")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Per-group distinct-count estimate, self-audited against the exact
+    * count: → (groupCol, exact_distinct, est_distinct, rel_err).
+    * Groups with fewer than k distinct values fall back to the exact
+    * count (their sketch IS the value set); a zero k-th hash
+    * (vanishing probability) likewise falls back via try_divide.
+    */
+  def distinctEstimate(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = DefaultK): DataFrame = {
+    val kth = minKHashes(df, groupCol, valueCol, k)
+      .filter(col("rn") === k)
+      .select(col(groupCol), col("h").as("__hk"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    exact.join(kth, Seq(groupCol), "left")
+      .select(col(groupCol), col("exact_distinct"),
+        round(coalesce(
+          try_divide(lit((k - 1).toDouble) * lit(1L << 60), col("__hk")),
+          col("exact_distinct").cast("double")), 4).as("est_distinct"))
+      .withColumn("rel_err",
+        round(abs(col("est_distinct") - col("exact_distinct")) / col("exact_distinct"), 4))
+  }
+}

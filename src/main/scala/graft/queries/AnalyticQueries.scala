@@ -455,9 +455,47 @@ object AnalyticQueries {
       GROUP BY tp.t, tp.c"""
     })
 
+  private val KmvK = 32
+
+  /** KMV distinct-count sketch (`operators.KmvSketch`) — the mergeable
+    * distinct estimator beside q41's Count-Min frequency sketch:
+    * per group, the k smallest portable hashes; estimate
+    * (k−1)·2^60/h_k, self-audited against the exact distinct count.
+    * The md5-prefix hash makes the whole estimator deterministic, so
+    * the oracle replays the ESTIMATE exactly — the property HLL can't
+    * offer (q24's sketches are rows-only for that reason). Mergeability
+    * (union + re-min-k == sketch of union) is pinned in KmvSketchSpec.
+    */
+  val q42KmvDistinct = Q(
+    "q42_kmv_distinct",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.KmvSketch
+        .distinctEstimate(Tables.lineitem(s, dir), "l_returnflag", "l_orderkey", KmvK)
+    },
+    Some(s"""WITH h AS (
+        SELECT DISTINCT l_returnflag AS g,
+          CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM lineitem),
+      rk AS (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h ASC) AS rn FROM h),
+      kth AS (SELECT g, h AS hk FROM rk WHERE rn = $KmvK),
+      ex AS (
+        SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS exact_distinct
+        FROM lineitem GROUP BY 1),
+      sel AS (
+        SELECT ex.g, ex.exact_distinct,
+          round(COALESCE(${KmvK - 1}.0 * ${1L << 60} / kth.hk,
+                         ex.exact_distinct), 4) AS est_distinct
+        FROM ex LEFT JOIN kth ON ex.g = kth.g)
+      SELECT g AS l_returnflag, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        est_distinct,
+        round(abs(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_err
+      FROM sel"""))
+
   val all: Seq[Q] = Seq(
     q27SemiAnti, q28Subqueries, q29ArrayAgg, q30Regex, q31Unpivot,
     q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube, q36Datetime,
     q37StratifiedSample, q38WelfordUdaf, q39GroupingSets, q40RollingRange,
-    q41CountMin)
+    q41CountMin, q42KmvDistinct)
 }

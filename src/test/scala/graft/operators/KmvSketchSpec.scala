@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge algebra: min-k of a union == re-min-k of the unioned sketches") {
+    // two disjoint halves of one keyspace; the sketch of the union
+    // must equal merging the half-sketches and re-taking the k
+    // smallest — the property that makes KMV a partial aggregate
+    val a = (1L to 500L).map(v => ("g", v)).toDF("g", "v")
+    val b = (501L to 1000L).map(v => ("g", v)).toDF("g", "v")
+    val k = 16
+    def hashes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      KmvSketch.minKHashes(df, "g", "v", k).select($"h")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    val whole = hashes(a.union(b))
+    val merged = (hashes(a) ++ hashes(b)).distinct.sorted.take(k)
+    assert(whole == merged, s"union sketch $whole != merged sketches $merged")
+  }
+
+  test("estimate lands near the truth; small groups fall back to exact") {
+    val big = (1L to 2000L).map(v => ("big", v))
+    val tiny = (1L to 5L).map(v => ("tiny", v))
+    val out = KmvSketch.distinctEstimate((big ++ tiny).toDF("g", "v"), "g", "v", k = 32)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (bigExact, bigEst, bigErr) = out("big")
+    assert(bigExact == 2000L)
+    // KMV sigma ~ 1/sqrt(k-2) ~ 18% at k=32; 3 sigma on a fixed hash
+    info(f"KMV estimate for 2000 distinct: $bigEst%.1f (rel_err $bigErr%.4f)")
+    assert(bigErr < 0.55, s"estimate $bigEst too far from 2000 (rel_err $bigErr)")
+    // 5 distinct < k: the sketch IS the value set -> exact answer
+    assert(out("tiny") == ((5L, 5.0, 0.0)), s"""tiny group: ${out("tiny")}""")
+  }
+
+  test("q42 on the real table: estimates within 3 sigma per group") {
+    val rows = KmvSketch
+      .distinctEstimate(Tables.lineitem(spark, sfDir), "l_returnflag", "l_orderkey", 32)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.length == 3)
+    val bound = 3.0 / math.sqrt(32 - 2)
+    rows.foreach { case (g, exact, err) =>
+      assert(exact > 32, s"group $g too small for the sketch path")
+      assert(err <= bound, f"group $g rel_err $err%.4f beyond 3-sigma $bound%.3f")
+    }
+  }
+}
