@@ -148,6 +148,28 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("sketch"))
   }
 
+  /** Per-hour distinct-key estimate via the KMV min-K sketch UDAF
+    * (`MinKSketch` — the streaming form of q42): state per window is
+    * ≤ K longs however many events arrive, the union-merge is
+    * commutative + idempotent, so the emitted sketch (and therefore
+    * the estimate) is bit-identical to the batch sketch over the same
+    * rows regardless of micro-batch boundaries OR re-deliveries of
+    * the same key (EventStreamsSpec). The distinct-count sibling of
+    * [[windowedKeySketch]]'s frequency grid.
+    */
+  def windowedDistinctSketch(events: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+    val mk = udaf(graft.functions.MinKSketch)
+    events
+      .withWatermark(tsCol, "2 hours")
+      .filter(col(keyCol).isNotNull)
+      .select(col(tsCol),
+        graft.functions.exprs.token_hash60(col(keyCol).cast("string")).as("h"))
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(mk(col("h")).as("sketch"))
+      .select(col("window.start").as("hour_start"), col("sketch"),
+        graft.functions.MinKSketch.estimate(col("sketch")).as("est_distinct"))
+  }
+
   /** Stream-stream inner join with an event-time interval condition
     * (click attribution: each click matches the same user's views in
     * the preceding `horizonMinutes`). Both sides carry watermarks, so

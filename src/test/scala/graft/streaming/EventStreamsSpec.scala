@@ -143,6 +143,59 @@ class EventStreamsSpec extends SparkSpec {
       "CMS probe undercounted inside a window")
   }
 
+  test("windowed KMV sketch: stream == batch across splits AND re-deliveries") {
+    val batchEvents = Tables.events(spark, sfDir)
+      .select($"ts", $"user_id").cache()
+    val dir = Files.createTempDirectory("graft-kmv-in").toString
+    val splitTs = batchEvents
+      .agg(expr("percentile_approx(cast(ts AS double), 0.5D)")).head().getDouble(0)
+    val (lo, hi) = (batchEvents.filter($"ts".cast("double") < splitTs),
+      batchEvents.filter($"ts".cast("double") >= splitTs))
+    lo.write.mode("append").parquet(dir)
+
+    val streamIn = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = EventStreams.windowedDistinctSketch(streamIn, "ts", "user_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("kmv_out").start()
+    q.processAllAvailable()
+    // re-deliver the first half wholesale: unlike the CMS grid, the
+    // KMV sketch must be IDEMPOTENT under at-least-once delivery —
+    // duplicate hashes change nothing, so stream must still == batch
+    lo.write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    hi.write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val maxTs = batchEvents.agg(max($"ts")).head().getTimestamp(0)
+    Seq((new Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000), 999999L))
+      .toDF("ts", "user_id").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = EventStreams.windowedDistinctSketch(batchEvents, "ts", "user_id")
+    val streamed = spark.table("kmv_out")
+    val realWindows = batch.select($"hour_start").collect().map(_.getTimestamp(0)).toSet
+    val streamReal = streamed.filter($"hour_start".isInCollection(realWindows))
+    assert(streamReal.count() == batch.count() && batch.count() > 0)
+    assert(streamReal.exceptAll(batch).count() == 0,
+      "stream KMV sketch != batch sketch")
+
+    // estimate semantics per window: exact while unsaturated, within
+    // 3 sigma of the true distinct count once the sketch is full
+    val k = graft.functions.MinKSketch.K
+    val exact = batchEvents
+      .groupBy(window($"ts", "1 hour")).agg(countDistinct($"user_id").as("nd"))
+      .select($"window.start".as("hour_start"), $"nd")
+    val rows = exact.join(batch, Seq("hour_start"))
+      .select($"nd", size($"sketch").as("sz"), $"est_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, sz, est) = (r.getLong(0), r.getInt(1), r.getDouble(2))
+      if (sz < k) assert(est == nd.toDouble, s"unsaturated window must be exact: $nd vs $est")
+      else assert(math.abs(est - nd) / nd <= 3.0 / math.sqrt(k - 2),
+        s"saturated window estimate $est too far from $nd")
+    }
+  }
+
   test("stream-stream interval join (click attribution) == batch join") {
     val t0 = Timestamp.valueOf("2024-06-01 00:00:00").getTime
     def ts(min: Long): Timestamp = new Timestamp(t0 + min * 60000L)
