@@ -58,7 +58,8 @@ object Salting {
       keys: Seq[String],
       idCol: String,
       buckets: Int = 8,
-      hotThreshold: Long = 1024): DataFrame = {
+      hotThreshold: Long = 1024,
+      carry: Seq[String] = Nil): DataFrame = {
     // buckets = 0 would pmod-by-zero the probe side and emit a
     // descending sequence(0,-1) salt list on the build side — corrupt
     // pairs, silently. buckets = 1 is legal (pure passthrough).
@@ -72,10 +73,16 @@ object Salting {
     val hot = df.join(broadcast(hotKeys), keys, "left_semi")
     val cold = df.join(broadcast(hotKeys), keys, "left_anti")
 
+    // `carry` columns ride through as <c>_a/<c>_b, so a downstream
+    // verify stage (cosine, Jaccard) reads them straight off the pair
+    // row instead of re-joining a corpus-sized table on each id — at
+    // scale that re-join is a second full shuffle the carry avoids.
     def pairs(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame =
       a.as("a").join(b.as("b"), joinKeys)
         .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+        .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+          carry.flatMap(c =>
+            Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
 
     val coldPairs = pairs(cold, cold, keys)
     // probe side: one deterministic salt per row; build side: replicated

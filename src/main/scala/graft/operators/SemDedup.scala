@@ -30,8 +30,11 @@ import graft.functions.VectorFunctions.{dot, l2Norm}
   *    (id, norm, vector) keyed by cluster, quadratic only in CLUSTER
   *    size. At 100 TB, K is sized so clusters hold ~√N vectors (the
   *    paper uses 11k clusters for 100M docs); a pathologically hot
-  *    cluster takes the same salting treatment as a hot LSH band
-  *    (`Salting.skewSelfJoinPairs`) — not needed at test SFs.
+  *    cluster takes the same salting treatment as a hot LSH band —
+  *    the pair stage runs through `Salting.skewSelfJoinPairs` with
+  *    vectors and norms carried, so clusters above
+  *    `hotClusterThreshold` members spread their pair work across
+  *    `saltBuckets` reducers with identical output.
   */
 object SemDedup {
 
@@ -66,7 +69,9 @@ object SemDedup {
       embCol: String,
       k: Int,
       iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      saltBuckets: Int = 8,
+      hotClusterThreshold: Long = 65536): DataFrame = {
     val spark = vectors.sparkSession
     // LAZY localCheckpoint: the normalize projection materializes once
     // (inside the first job that touches it) and the remaining Lloyd
@@ -86,14 +91,20 @@ object SemDedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol), col("cluster"), col(embCol),
         l2Norm(col(embCol)).as("__nrm"))
-    val drops = e.as("a")
-      .join(e.as("b"),
-        col("a.cluster") === col("b.cluster") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+    // the cluster-keyed self-join goes through the same skew guard as
+    // a hot LSH band: clusters above `hotClusterThreshold` members
+    // spread their quadratic pair work over `saltBuckets` reducers,
+    // with vectors and norms CARRIED through the salted join so the
+    // cosine verify needs no corpus re-join. Output is identical to
+    // the plain join (SemDedupSpec pins it at threshold 0).
+    val drops = Salting
+      .skewSelfJoinPairs(e, Seq("cluster"), idCol,
+        buckets = saltBuckets, hotThreshold = hotClusterThreshold,
+        carry = Seq(embCol, "__nrm"))
       .filter(
-        round(try_divide(dot(col(s"a.$embCol"), col(s"b.$embCol")),
-          col("a.__nrm") * col("b.__nrm")), 4) >= threshold)
-      .select(col(s"b.$idCol").as(idCol))
+        round(try_divide(dot(col(s"${embCol}_a"), col(s"${embCol}_b")),
+          col("__nrm_a") * col("__nrm_b")), 4) >= threshold)
+      .select(col("id_b").as(idCol))
       .distinct()
     vectors.join(assigned, Seq(idCol)).join(drops, Seq(idCol), "left_anti")
   }

@@ -35,6 +35,22 @@ class SemDedupSpec extends SparkSpec {
     assert(survivors.contains(12L), "orthogonal vector is not a near-dup")
   }
 
+  test("salted pair stage == plain pair stage on the real embeddings") {
+    // hotClusterThreshold = 0 forces EVERY cluster through the salted
+    // path (carried vectors + norms, spread over 4 reducers); output
+    // must be identical to the default (all-cold, plain cluster join)
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    def ids(hot: Long): Seq[Long] = SemDedup
+      .semanticDedup(e, "vec_id", "embedding", k = 8, iters = 2,
+        threshold = 0.35, saltBuckets = 4, hotClusterThreshold = hot)
+      .select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val salted = ids(hot = 0)
+    val plain = ids(hot = Long.MaxValue)
+    assert(salted == plain, "salted cluster pair stage changed the drop set")
+    assert(salted.nonEmpty && salted.size < e.count(),
+      "the threshold must actually drop something for this test to bite")
+  }
+
   test("no surviving same-cluster pair reaches the threshold (greedy invariant)") {
     val thr = 0.95
     val out = SemDedup.semanticDedup(df, "vec_id", "embedding",
