@@ -65,31 +65,37 @@ object Salting {
     // pairs, silently. buckets = 1 is legal (pure passthrough).
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(hotThreshold >= 0, s"hotThreshold must be >= 0, got $hotThreshold")
+    // ONE pair join with a conditional salt, not a cold/hot split with
+    // a union: cold rows take salt 0 on both sides (meet exactly once,
+    // no replication), hot rows take the deterministic probe salt /
+    // full build replication. A pair always shares its key, so both
+    // members agree on hotness — output is identical to the plain
+    // self-join, but the plan is one census + two broadcast hot-tags +
+    // one join, instead of the semi/anti split + two joins + union
+    // (whose empty hot side still cost its stages when nothing is hot).
     val hotKeys = df
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__kn"))
       .filter(col("__kn") > hotThreshold)
       .drop("__kn")
-    val hot = df.join(broadcast(hotKeys), keys, "left_semi")
-    val cold = df.join(broadcast(hotKeys), keys, "left_anti")
+      .withColumn("__hot", lit(true))
+    val tagged = df.join(broadcast(hotKeys), keys, "left")
+      .withColumn("__hot", coalesce(col("__hot"), lit(false)))
+    val probe = tagged.withColumn("__salt",
+      when(col("__hot"), pmod(xxhash64(col(idCol)), lit(buckets.toLong)))
+        .otherwise(lit(0L)))
+    val build = tagged.withColumn("__salt",
+      explode(when(col("__hot"), sequence(lit(0L), lit(buckets.toLong - 1)))
+        .otherwise(array(lit(0L)))))
 
     // `carry` columns ride through as <c>_a/<c>_b, so a downstream
     // verify stage (cosine, Jaccard) reads them straight off the pair
     // row instead of re-joining a corpus-sized table on each id — at
     // scale that re-join is a second full shuffle the carry avoids.
-    def pairs(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame =
-      a.as("a").join(b.as("b"), joinKeys)
-        .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
-          carry.flatMap(c =>
-            Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
-
-    val coldPairs = pairs(cold, cold, keys)
-    // probe side: one deterministic salt per row; build side: replicated
-    // to every salt → each qualifying pair meets exactly once.
-    val probe = hot.withColumn("__salt", pmod(xxhash64(col(idCol)), lit(buckets.toLong)))
-    val build = hot.withColumn("__salt", explode(sequence(lit(0L), lit(buckets.toLong - 1))))
-    val hotPairs = pairs(probe, build, keys :+ "__salt")
-    coldPairs.union(hotPairs)
+    probe.as("a").join(build.as("b"), keys :+ "__salt")
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+        carry.flatMap(c =>
+          Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
   }
 }

@@ -86,11 +86,17 @@ object SemDedup {
       .select(col(idCol), col("cluster"))
     // norm computed in the same projection as the pair input: the pair
     // stage then does ONE dot product per pair instead of three
+    // lazy checkpoint: the salted self-join evaluates this frame in
+    // five branches (hot-key census, semi, anti, probe, build) — the
+    // same many-readers shape TextDedup solves for LSH signatures;
+    // materialize once instead of re-running the join + repartition
+    // subtree per branch
     val e = vectors
       .join(assigned, Seq(idCol))
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol), col("cluster"), col(embCol),
         l2Norm(col(embCol)).as("__nrm"))
+      .localCheckpoint(false)
     // the cluster-keyed self-join goes through the same skew guard as
     // a hot LSH band: clusters above `hotClusterThreshold` members
     // spread their quadratic pair work over `saltBuckets` reducers,
