@@ -695,9 +695,39 @@ object TextQueries {
         round(1.0 / (1.0 + exp(-logit)), 4) AS prob_pos
       FROM scored"""))
 
+  private val WsK = 20 // sample size per source
+
+  /** Weighted per-domain sampling (`operators.WeightedSample` —
+    * Efraimidis–Spirakis): 20 docs per source drawn without
+    * replacement with probability ∝ n_chars (length-weighted corpus
+    * subsampling, the fixed-size sibling of t12's budget gates).
+    * Deterministic: u comes from the portable md5 hash of doc_id, so
+    * the DuckDB oracle replays the exact selection — key = ln(u)/w
+    * rounded 6 dp, ranked desc with id ties.
+    */
+  val t18WeightedSample = Q(
+    "t18_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.WeightedSample
+        .samplePerGroup(Tables.documents(s, dir), "source", "doc_id", "n_chars", WsK)
+        .select($"source", $"rank", $"doc_id", $"samp_key")
+    },
+    Some(s"""WITH keyed AS (
+        SELECT source, doc_id,
+          round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)::DOUBLE
+                   / 1152921504606846976.0) / n_chars, 6) AS samp_key
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY samp_key DESC, doc_id ASC) AS rank
+        FROM keyed)
+      SELECT source, rank, doc_id, samp_key
+      FROM ranked WHERE rank <= $WsK"""))
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
-      t15ShardShuffle, t16BpeMerges, t17QualityClassifier)
+      t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample)
 }
