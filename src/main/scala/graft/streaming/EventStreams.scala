@@ -170,6 +170,35 @@ object EventStreams {
         graft.functions.MinKSketch.estimate(col("sketch")).as("est_distinct"))
   }
 
+  /** Per-hour weighted reservoir sample via the top-k-by-key UDAF
+    * (`TopKByKey` — the streaming form of t18's Efraimidis–Spirakis
+    * sample): each event keys ln(u)/w from the portable hash, the
+    * window keeps the k best (key, id) pairs — ≤ k tuples of state
+    * however many events arrive, idempotent under re-delivery
+    * (re-sent events carry the same deterministic key and dedupe).
+    * EventStreamsSpec pins stream == batch across splits AND a
+    * wholesale re-delivery, and that the emitted reservoir equals the
+    * window-function sample (`WeightedSample.samplePerGroup`) computed
+    * independently over the same hours.
+    */
+  def windowedWeightedSample(
+      events: DataFrame,
+      tsCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int = 10): DataFrame = {
+    val topk = udaf(graft.functions.TopKByKey(k))
+    events
+      .withWatermark(tsCol, "2 hours")
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(tsCol),
+        graft.operators.WeightedSample.sampleKey(col(idCol), col(weightCol)).as("samp_key"),
+        col(idCol).cast("long").as("id"))
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(topk(col("samp_key"), col("id")).as("sample"))
+      .select(col("window.start").as("hour_start"), col("sample"))
+  }
+
   /** Stream-stream inner join with an event-time interval condition
     * (click attribution: each click matches the same user's views in
     * the preceding `horizonMinutes`). Both sides carry watermarks, so

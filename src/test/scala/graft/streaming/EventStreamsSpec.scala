@@ -196,6 +196,55 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("windowed weighted reservoir: stream == batch == window-function sample") {
+    val batchEvents = Tables.events(spark, sfDir)
+      .select($"ts", $"event_id", $"value").cache()
+    val dir = Files.createTempDirectory("graft-res-in").toString
+    val splitTs = batchEvents
+      .agg(expr("percentile_approx(cast(ts AS double), 0.5D)")).head().getDouble(0)
+    val (lo, hi) = (batchEvents.filter($"ts".cast("double") < splitTs),
+      batchEvents.filter($"ts".cast("double") >= splitTs))
+    lo.write.mode("append").parquet(dir)
+
+    val streamIn = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = EventStreams.windowedWeightedSample(streamIn, "ts", "event_id", "value")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("res_out").start()
+    q.processAllAvailable()
+    // wholesale re-delivery: re-sent events carry the same
+    // deterministic sample key, so the reservoir must not move
+    lo.write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    hi.write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val maxTs = batchEvents.agg(max($"ts")).head().getTimestamp(0)
+    Seq((new Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000), 999999L, 1.0))
+      .toDF("ts", "event_id", "value").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = EventStreams.windowedWeightedSample(batchEvents, "ts", "event_id", "value")
+    val streamed = spark.table("res_out")
+    val realWindows = batch.select($"hour_start").collect().map(_.getTimestamp(0)).toSet
+    val streamReal = streamed.filter($"hour_start".isInCollection(realWindows))
+    assert(streamReal.count() == batch.count() && batch.count() > 0)
+    assert(streamReal.exceptAll(batch).count() == 0,
+      "stream reservoir != batch reservoir")
+
+    // independent cross-check: the UDAF reservoir must equal the
+    // window-function sample over the same hour grouping
+    val viaOperator = graft.operators.WeightedSample
+      .samplePerGroup(
+        batchEvents.withColumn("hour_start", date_trunc("hour", $"ts")),
+        "hour_start", "event_id", "value", k = 10)
+      .select($"hour_start", $"samp_key", $"event_id".cast("long").as("id"))
+    val viaUdaf = batch.select($"hour_start", explode($"sample").as("s"))
+      .select($"hour_start", $"s._1".as("samp_key"), $"s._2".as("id"))
+    assert(viaUdaf.count() == viaOperator.count())
+    assert(viaUdaf.exceptAll(viaOperator).count() == 0,
+      "UDAF reservoir disagrees with the window-function sample")
+  }
+
   test("stream-stream interval join (click attribution) == batch join") {
     val t0 = Timestamp.valueOf("2024-06-01 00:00:00").getTime
     def ts(min: Long): Timestamp = new Timestamp(t0 + min * 60000L)
