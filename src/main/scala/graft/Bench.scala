@@ -53,11 +53,13 @@ object Bench {
     def medianOf(q: graft.queries.Q): (Double, Int) = {
       val times = (1 to reps).flatMap { _ =>
         // Operators that persist intermediates (minhash signatures via
-        // the TextDedup memo, catalog-cached frames) would serve reps
-        // 2+ from cache — clear both so every rep measures the full
-        // query, not a cache read.
+        // the TextDedup memo, fitted ANN models via AnnIndex,
+        // catalog-cached frames) would serve reps 2+ from cache —
+        // clear all three so every rep measures the full query, not a
+        // cache read.
         spark.catalog.clearCache()
         graft.operators.TextDedup.clearSharedSignatures(spark)
+        graft.operators.AnnIndex.clear(spark)
         val t0 = System.nanoTime()
         // A failed rep is EXCLUDED from the median rather than recorded
         // as a sentinel — a -1.0 inside the sort would make a 2/3-pass

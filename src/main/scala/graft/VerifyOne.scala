@@ -1,13 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Single-query correctness dump: like `graft.Verify` but for one
-  * registry query — pairs with
-  * `tools/check.py <sf> <out> --skip-verify <name>` for a fast
+/** Subset correctness dump: like `graft.Verify` but for one or more
+  * (comma-separated) registry queries — pairs with
+  * `tools/check.py <sf> <out> --skip-verify <name...>` for a fast
   * cross-SF oracle check without rerunning the whole registry.
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val Array(name, sfDir, outDir) = args
+    val Array(names, sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,12 +17,15 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
-    val q = graft.queries.Registry.byName(name)
-    val sql = q.oracle.getOrElse(sys.error(
-      s"$name has no oracle SQL — only spec coverage; nothing to dump"))
-    q.run(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    val entries = names.split(",").map(_.trim).filter(_.nonEmpty).map { name =>
+      val q = graft.queries.Registry.byName(name)
+      val sql = q.oracle.getOrElse(sys.error(
+        s"$name has no oracle SQL — only spec coverage; nothing to dump"))
+      q.run(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      s"${Verify.jsonQuote(name)}: ${Verify.jsonQuote(sql)}"
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      s"{${Verify.jsonQuote(name)}: ${Verify.jsonQuote(sql)}}")
+      entries.mkString("{", ", ", "}"))
     spark.stop()
   }
 }

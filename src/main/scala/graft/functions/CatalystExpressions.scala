@@ -421,6 +421,51 @@ object PqExprImpl {
     best
   }
 
+  /** Cell id of the nearest coarse centroid by ROUNDED cosine with
+    * first-max tie-break — bit-identical to the declarative formula
+    * `array_position(sims, array_max(sims)) - 1` over
+    * `array(round(cosineSimilarity(vec, cent_i), 6), ...)`:
+    * per centroid the cosine is dotF(vec, c) / (√dotF(vec,vec) ·
+    * √dotF(c,c)) rounded HALF_UP to 6 dp; a zero-norm side yields
+    * NULL (try_divide), array_max skips NULLs, and the all-NULL row
+    * (zero vector) falls to cell 0. The declarative tree costs the
+    * optimizer + Janino k × dim literal subtrees per run and was
+    * measured INTERPRETED-slow at scale (r9: 500k rows × 16 centroids
+    * = 18 s of a 21 s query); this kernel is one codegen'd call.
+    */
+  def assignCell(vec: ArrayData, centroids: Array[Array[Float]]): Long = {
+    val n = vec.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      vv += x * x
+      i += 1
+    }
+    val normV = math.sqrt(vv)
+    var best = -1
+    var bestCos = 0.0
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      var cc = 0.0
+      var j = 0
+      while (j < c.length) { cc += c(j).toDouble * c(j).toDouble; j += 1 }
+      val den = normV * math.sqrt(cc)
+      if (den != 0.0) {
+        var xc = 0.0
+        val m = math.min(n, c.length)
+        var k = 0
+        while (k < m) { xc += vec.getFloat(k).toDouble * c(k).toDouble; k += 1 }
+        val cos = java.math.BigDecimal.valueOf(xc / den)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (best == -1 || cos > bestCos) { best = ci; bestCos = cos }
+      }
+      ci += 1
+    }
+    if (best == -1) 0L else best.toLong
+  }
+
   /** [[argminCode]] over the float32 residual (x − centroids(cell)):
     * each residual element rounds to binary32 BEFORE the double
     * accumulation, matching `(x - c)::FLOAT` in the SQL replay.
@@ -543,6 +588,39 @@ case class PqEncodeCode(
     copy(child = newChild)
 }
 
+/** Native coarse-quantizer assignment: vector → nearest centroid's
+  * cell id ([[PqExprImpl.assignCell]]). The centroid matrix rides as
+  * driver-side constructor state (a codegen reference object), not a
+  * Catalyst literal tree — the k × dim literal array the declarative
+  * form pays per run is exactly the tree-cost trap PqEncodeCode
+  * closed for PQ encode. Semantics pinned equal to the declarative
+  * form in IvfPqSpec.
+  */
+case class CoarseAssignCell(child: Expression, centroids: Array[Array[Float]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"coarse_assign_cell requires ARRAY<FLOAT> input, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "coarse_assign_cell"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqExprImpl.assignCell(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("coarseCentroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.PqExprImpl.assignCell($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CoarseAssignCell =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the native expressions. */
 object exprs {
   def rolling_hash(c: Column): Column =
@@ -565,6 +643,9 @@ object exprs {
 
   def ngram_rep_stats(c: Column, n: Int): Column =
     SparkShims.column(NgramRepStats(SparkShims.expression(c), n))
+
+  def coarse_assign_cell(c: Column, centroids: Array[Array[Float]]): Column =
+    SparkShims.column(CoarseAssignCell(SparkShims.expression(c), centroids))
 
   def pq_encode_code(c: Column, subStart: Int, subDim: Int, codes: Array[Array[Float]]): Column =
     SparkShims.column(PqEncodeCode(SparkShims.expression(c), subStart, subDim, codes))

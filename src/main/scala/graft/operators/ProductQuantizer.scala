@@ -51,6 +51,14 @@ object ProductQuantizer {
     * many Lloyd iterations PER SUBSPACE (reusing [[KMeans.fit]] on the
     * sliced frame) — the production path; refinement only moves
     * codewords, never changes the search plumbing.
+    *
+    * Memoized per (session, input identity, params) via [[AnnIndex]]:
+    * an ANN index is fit once and serves many queries, so the
+    * s02/s08/s09/s10/s11 family shares one fit per session instead of
+    * paying a driver round-trip (or a full Lloyd run) per query. The
+    * seed collect itself goes through [[AnnIndex.firstVectors]], so a
+    * composed IVF×PQ index whose coarse centroids are the same first-k
+    * vectors pays a single collect for both models.
     */
   def fitCodebook(
       df: DataFrame,
@@ -59,31 +67,30 @@ object ProductQuantizer {
       m: Int,
       k: Int,
       dim: Int,
-      refineIters: Int = 0): Codebook = {
-    require(dim % m == 0, s"dim $dim not divisible by m $m")
-    val subDim = dim / m
-    // a shorter vector would silently mis-slice in EITHER branch
-    // (slice() truncates, dot() folds over the shorter side, and the
-    // Lloyd branch's sub() would quietly train on truncated slices) —
-    // validate the k seed vectors before any codebook math
-    val seeds = df.orderBy(col(idCol).asc).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    seeds.find(_.length != dim).foreach(s =>
-      throw new IllegalArgumentException(
-        s"codebook seed has ${s.length} dims, expected $dim"))
-    if (refineIters == 0) {
-      Codebook(subDim,
-        Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim))))
-    } else {
-      val codes = Array.tabulate(m) { j =>
-        val sliced = df.select(col(idCol), sub(col(vecCol), j, subDim).as("__sub"))
-        KMeans.fit(sliced, "__sub", idCol, k, refineIters, computeWcss = false)
-          .centroids.map(_.map(_.toFloat))
+      refineIters: Int = 0): Codebook =
+    AnnIndex.memo(df, s"pqcb|$vecCol|$idCol|$m|$k|$dim|$refineIters") {
+      require(dim % m == 0, s"dim $dim not divisible by m $m")
+      val subDim = dim / m
+      // a shorter vector would silently mis-slice in EITHER branch
+      // (slice() truncates, dot() folds over the shorter side, and the
+      // Lloyd branch's sub() would quietly train on truncated slices) —
+      // validate the k seed vectors before any codebook math
+      val seeds = AnnIndex.firstVectors(df, vecCol, idCol, k).map(_._2)
+      seeds.find(_.length != dim).foreach(s =>
+        throw new IllegalArgumentException(
+          s"codebook seed has ${s.length} dims, expected $dim"))
+      if (refineIters == 0) {
+        Codebook(subDim,
+          Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim))))
+      } else {
+        val codes = Array.tabulate(m) { j =>
+          val sliced = df.select(col(idCol), sub(col(vecCol), j, subDim).as("__sub"))
+          KMeans.fit(sliced, "__sub", idCol, k, refineIters, computeWcss = false)
+            .centroids.map(_.map(_.toFloat))
+        }
+        Codebook(subDim, codes)
       }
-      Codebook(subDim, codes)
     }
-  }
 
   /** Append `code_0..code_{m-1}` (int): per subspace, the index of the
     * nearest codeword (rounded squared L2, first-min tie-break). One
@@ -136,8 +143,12 @@ object ProductQuantizer {
     * a class past what Janino compiles, which costs a doomed
     * multi-second compile attempt on EVERY run before the interpreted
     * fallback.
+    *
+    * This flat shape is the oracle's `dtab` CTE and the reference
+    * implementation for [[adcArrayTable]] (cross-checked cell-by-cell
+    * in ProductQuantizerSpec); the search paths join the array shape.
     */
-  def adcTable(queries: DataFrame, qIdCol: String, qVecCol: String, cb: Codebook): DataFrame = {
+  private[operators] def adcTable(queries: DataFrame, qIdCol: String, qVecCol: String, cb: Codebook): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol)).collect()
@@ -151,28 +162,34 @@ object ProductQuantizer {
     rows.toDF(qIdCol, "j", "code", "d")
   }
 
-  /** Shared ADC rank stage: `base` holds one row per (q_id, candidate)
-    * with the candidate's code_0..m-1; m broadcast lookups into the
-    * query-to-codeword table compose the distance in the same
-    * left-to-right order both engines use, then rank on (adc asc,
-    * id asc) with the query vector itself excluded on id collision.
+  /** Shared ADC rank stage: `dtabArr` holds ONE broadcastable row per
+    * query (or per (query, probed cell) for the residual path) whose
+    * `__darr(j)(i)` is the rounded subspace-j distance to codeword i.
+    * A single broadcast join attaches it to every candidate row and
+    * the distance composes as m `element_at` lookups summed
+    * left-to-right — the same double values and addition order as the
+    * r8 shape (m separate broadcast joins) and as the oracle's
+    * t0.d + t1.d + ..., but ONE join stage instead of m: at m = 16+
+    * production subspaces the old shape was m broadcast builds and m
+    * join stages per search. Rank on (adc asc, id asc); the query
+    * vector itself is excluded on id collision. Empty `keys` means
+    * `dtabArr` carries only per-query rows for an unrestricted scan —
+    * a crossJoin, the s08 full-ADC shape.
     */
   private def adcRank(
       base: DataFrame,
       idCol: String,
-      dtab: DataFrame,
+      dtabArr: DataFrame,
       m: Int,
       topK: Int,
-      extraKeys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = (0 until m).foldLeft(base) { (acc, j) =>
-      acc.join(
-        broadcast(dtab.filter(col("j") === j)
-          .select(col("q_id") +: extraKeys.map(col) :+
-            col("code").as(s"code_$j") :+ col("d").as(s"d_$j"): _*)),
-        Seq("q_id") ++ extraKeys :+ s"code_$j")
-    }
-    val adc = (1 until m).foldLeft(col("d_0"))((e, j) => e + col(s"d_$j"))
+    val joined =
+      if (keys.isEmpty) base.crossJoin(broadcast(dtabArr))
+      else base.join(broadcast(dtabArr), keys)
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("__darr"), j + 1), col(s"code_$j") + 1)
+    }.reduce(_ + _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col(idCol).asc)
     joined
       .filter(col(idCol) =!= col("q_id"))
@@ -180,6 +197,27 @@ object ProductQuantizer {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"), col("adc").as("adc_dist"))
+  }
+
+  /** [[adcTable]] reshaped for [[adcRank]]'s single join: one row per
+    * query, the full m × k distance grid as a nested array. Driver
+    * math identical to [[adcTable]]'s rows.
+    */
+  private[operators] def adcArrayTable(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      cb: Codebook): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    qs.toSeq.map { case (qid, vec) =>
+      qid -> (0 until cb.m).map { j =>
+        cb.codes(j).map(c =>
+          roundedSubDist(vec.slice(j * cb.subDim, (j + 1) * cb.subDim), c)).toSeq
+      }
+    }.toDF("q_id", "__darr")
   }
 
   /** Top-k ADC search → (q_id, rank, neighbor_id, adc_dist): every
@@ -197,12 +235,10 @@ object ProductQuantizer {
       qVecCol: String,
       cb: Codebook,
       topK: Int): DataFrame = {
-    val dtab = adcTable(queries, qIdCol, qVecCol, cb)
-      .withColumnRenamed(qIdCol, "q_id")
+    val dtabArr = adcArrayTable(queries, qIdCol, qVecCol, cb)
     val base = encoded
       .select(col(idCol) +: (0 until cb.m).map(j => col(s"code_$j")): _*)
-      .crossJoin(broadcast(queries.select(col(qIdCol).as("q_id"))))
-    adcRank(base, idCol, dtab, cb.m, topK)
+    adcRank(base, idCol, dtabArr, cb.m, topK)
   }
 
   /** IVF×PQ (the FAISS IVFPQ composition, Jégou et al. 2011): ADC
@@ -226,13 +262,14 @@ object ProductQuantizer {
       qVecCol: String,
       cb: Codebook,
       topK: Int): DataFrame = {
-    val dtab = adcTable(queries, qIdCol, qVecCol, cb)
-      .withColumnRenamed(qIdCol, "q_id")
+    // probe list × per-query distance grid pre-joined small-side, so
+    // the corpus scan pays ONE broadcast join keyed on the cell id —
+    // the shape partition pruning replaces at scale
+    val dtabArr = broadcast(probes.select(col("q_id"), col(cellCol)))
+      .join(adcArrayTable(queries, qIdCol, qVecCol, cb), Seq("q_id"))
     val base = encoded
       .select(col(idCol) +: col(cellCol) +: (0 until cb.m).map(j => col(s"code_$j")): _*)
-      .join(broadcast(probes.select(col("q_id"), col(cellCol))), Seq(cellCol))
-      .drop(cellCol)
-    adcRank(base, idCol, dtab, cb.m, topK)
+    adcRank(base, idCol, dtabArr, cb.m, topK, keys = Seq(cellCol))
   }
 
   /** Float32 residual of `vec` against its cell's centroid — the ONE
@@ -258,17 +295,32 @@ object ProductQuantizer {
       centroids: Array[Array[Float]],
       m: Int,
       k: Int,
-      dim: Int): Codebook = {
-    require(dim % m == 0, s"dim $dim not divisible by m $m")
-    val subDim = dim / m
-    val seeds = assigned.orderBy(col(idCol).asc).limit(k)
-      .select(col(vecCol), col(cellCol).cast("long")).collect()
-      .map(r => residualOf(r.getSeq[Float](0).toArray, centroids(r.getLong(1).toInt)))
-    seeds.find(_.length != dim).foreach(s =>
-      throw new IllegalArgumentException(
-        s"residual codebook seed has ${s.length} dims, expected $dim"))
-    Codebook(subDim,
-      Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim))))
+      dim: Int): Codebook =
+    AnnIndex.memo(assigned,
+      s"pqcbres|$vecCol|$cellCol|$idCol|$m|$k|$dim|${centsDigest(centroids)}") {
+      require(dim % m == 0, s"dim $dim not divisible by m $m")
+      val subDim = dim / m
+      val seeds = assigned.orderBy(col(idCol).asc).limit(k)
+        .select(col(vecCol), col(cellCol).cast("long")).collect()
+        .map(r => residualOf(r.getSeq[Float](0).toArray, centroids(r.getLong(1).toInt)))
+      seeds.find(_.length != dim).foreach(s =>
+        throw new IllegalArgumentException(
+          s"residual codebook seed has ${s.length} dims, expected $dim"))
+      Codebook(subDim,
+        Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim))))
+    }
+
+  /** Content digest of a centroid set — memo-key component so a
+    * residual codebook fit against different coarse centroids can't
+    * serve from the wrong cache entry.
+    */
+  private def centsDigest(centroids: Array[Array[Float]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    centroids.foreach { c =>
+      c.foreach { x => buf.clear(); buf.putFloat(x); md.update(buf.array()) }
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Append residual-PQ codes: per subspace, the nearest codeword to
@@ -290,9 +342,10 @@ object ProductQuantizer {
   /** Residual ADC table: one row per (query, PROBED CELL, subspace,
     * code) — the query's residual differs per cell, so each probed
     * cell gets its own lookup table. O(queries × nprobe × m × k),
-    * driver-computed like [[adcTable]].
+    * driver-computed like [[adcTable]]. Reference implementation for
+    * [[adcArrayTableResidual]] (cross-checked in ProductQuantizerSpec).
     */
-  def adcTableResidual(
+  private[operators] def adcTableResidual(
       queries: DataFrame,
       qIdCol: String,
       qVecCol: String,
@@ -316,6 +369,35 @@ object ProductQuantizer {
     rows.toDF("q_id", cellCol, "j", "code", "d")
   }
 
+  /** [[adcTableResidual]] reshaped for [[adcRank]]'s single join: one
+    * row per (query, probed cell) with that pair's m × k residual
+    * distance grid. Rows exist ONLY for probed pairs, so the inner
+    * join on the cell id IS the probe restriction — no separate
+    * probes join.
+    */
+  private[operators] def adcArrayTableResidual(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      probes: DataFrame,
+      cellCol: String,
+      centroids: Array[Array[Float]],
+      cb: Codebook): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(qIdCol).cast("long"), col(qVecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val ps = probes.select(col("q_id").cast("long"), col(cellCol).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    ps.toSeq.map { case (qid, cell) =>
+      val r = residualOf(qs(qid), centroids(cell.toInt))
+      (qid, cell, (0 until cb.m).map { j =>
+        cb.codes(j).map(c =>
+          roundedSubDist(r.slice(j * cb.subDim, (j + 1) * cb.subDim), c)).toSeq
+      })
+    }.toDF("q_id", cellCol, "__darr")
+  }
+
   /** Residual IVF×PQ search: [[adcSearchCells]] with per-(query, cell)
     * lookup tables — candidates join their cell's table, so distances
     * are against the query residual in that cell.
@@ -331,11 +413,11 @@ object ProductQuantizer {
       centroids: Array[Array[Float]],
       cb: Codebook,
       topK: Int): DataFrame = {
-    val dtab = adcTableResidual(queries, qIdCol, qVecCol, probes, cellCol, centroids, cb)
+    val dtabArr =
+      adcArrayTableResidual(queries, qIdCol, qVecCol, probes, cellCol, centroids, cb)
     val base = encoded
       .select(col(idCol) +: col(cellCol) +: (0 until cb.m).map(j => col(s"code_$j")): _*)
-      .join(broadcast(probes.select(col("q_id"), col(cellCol))), Seq(cellCol))
-    adcRank(base, idCol, dtab, cb.m, topK, extraKeys = Seq(cellCol))
+    adcRank(base, idCol, dtabArr, cb.m, topK, keys = Seq(cellCol))
   }
 
   /** Mean quantization distortion: avg over rows of Σ_j min-code

@@ -83,52 +83,12 @@ object TextDedup {
   private def evictStopped(): Unit =
     sigCache.keySet.foreach(s => if (s.sparkContext.isStopped) sigCache.remove(s))
 
-  /** Memo key: canonicalized analyzed plan plus per-leaf identity plus
-    * a digest of the concrete input files. The canonicalized tree's
-    * STRING distinguishes different transforms but elides what the
-    * leaves actually hold — a parquet relation prints without its path
-    * (two SFs of one table look identical) and a LocalRelation prints
-    * only its schema (two in-memory corpora look identical) — so scan
-    * root paths and local-data hashes are appended explicitly. The
-    * `inputFiles` digest invalidates the memo when the data BEHIND an
-    * unchanged plan changes (files appended/compacted under the same
-    * root path mid-session); parquet writers emit unique part names, so
-    * any rewrite changes the digest. Worst case an unrecognized leaf
-    * stringifies the same across distinct inputs is excluded by
-    * covering both leaf kinds the engine produces; an unstable
-    * stringification merely misses the memo and recomputes.
+  /** Memo key: input identity via [[PlanKey]] (canonicalized plan +
+    * leaf paths/content digests + input-files digest) plus the column
+    * choices that change what a signature frame means.
     */
-  private def planKey(docs: DataFrame, idCol: String, textCol: String): String = {
-    val plan = docs.queryExecution.analyzed
-    val leaves = plan.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation match {
-          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            f.location.rootPaths.mkString(",")
-          case r => r.toString
-        }
-      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        // full-content digest, not Seq.hashCode: a 32-bit hash collision
-        // between two same-schema in-memory corpora would silently serve
-        // stale signatures. UnsafeRow exposes its value bytes directly;
-        // other InternalRows render every field into the digest
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.update(loc.output.map(a => s"${a.name}:${a.dataType}").mkString(",")
-          .getBytes("UTF-8"))
-        loc.data.foreach {
-          case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
-            md.update(u.getBytes)
-          case r => md.update(r.toString.getBytes("UTF-8"))
-        }
-        s"local:${md.digest().map("%02x".format(_)).mkString}"
-    }
-    // driver-side file listing off the already-resolved FileIndex; at
-    // cluster scale this is metadata-sized (file names, not data)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    docs.inputFiles.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
-    val filesDigest = md.digest().map("%02x".format(_)).mkString
-    s"${plan.canonicalized}|${leaves.mkString(";")}|$filesDigest|$idCol|$textCol"
-  }
+  private def planKey(docs: DataFrame, idCol: String, textCol: String): String =
+    PlanKey.of(docs, idCol, textCol)
 
   /** Checkpointed [[minhashSignatures]], memoized per session + input.
     * localCheckpoint rather than persist(): a persisted DataFrame pins a

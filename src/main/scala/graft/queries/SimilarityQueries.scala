@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -65,16 +66,25 @@ object SimilarityQueries {
   private val NCENTROIDS = 16
   private val NPROBE = 4
 
-  /** Coarse-quantizer plumbing shared by s02 (IVF) and s10 (IVF×PQ):
-    * centroids = first NCENTROIDS vectors (deterministic, so the
-    * DuckDB oracle replays the identical cells), assignment = max
-    * rounded cosine with id tie-break, probes = each query's NPROBE
-    * nearest cells.
+  // Coarse-quantizer plumbing shared by s02 (IVF), s10 (IVF×PQ) and
+  // s11 (residual): centroids = first NCENTROIDS vectors
+  // (deterministic, so the DuckDB oracle replays the identical cells),
+  // assignment = max rounded cosine with id tie-break, probes = each
+  // query's NPROBE nearest cells.
+
+  /** The coarse centroids as a driver-side array indexed by cell id
+    * (dense first-N vec_ids, asserted) — shared by the zero-shuffle
+    * assignment, probe selection and the residual-PQ math (s11).
     */
-  private def coarseCents(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    import s.implicits._
-    Tables.embeddings(s, dir).filter($"vec_id" < NCENTROIDS)
-      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+  private def centroidArray(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Float]] = {
+    // AnnIndex memo: ONE collect per session serves coarse assignment,
+    // probe selection AND (via the same firstvecs key) the PQ codebook
+    // seeds — before r9 every query in the family re-collected it
+    val cents = graft.operators.AnnIndex
+      .firstVectors(Tables.embeddings(s, dir), "embedding", "vec_id", NCENTROIDS)
+    require(cents.map(_._1).toSeq == cents.indices.map(_.toLong),
+      "coarse cells must be the dense first-N vec_ids")
+    cents.map(_._2)
   }
 
   /** (vec_id, embedding, c_id): corpus vector → nearest coarse cell.
@@ -90,43 +100,89 @@ object SimilarityQueries {
     * c_id on ties), and an all-NULL row (zero vector) falls to cell 0
     * exactly like ORDER BY cos DESC NULLS LAST, c_id ASC.
     */
-  /** The coarse centroids as a driver-side array indexed by cell id
-    * (dense first-N vec_ids, asserted) — shared by the zero-shuffle
-    * assignment and the residual-PQ math (s11).
-    */
-  private def centroidArray(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Float]] = {
-    val cents = coarseCents(s, dir).orderBy(col("c_id").asc).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    require(cents.map(_._1).toSeq == cents.indices.map(_.toLong),
-      "coarse cells must be the dense first-N vec_ids")
-    cents.map(_._2)
-  }
-
   private def coarseAssign(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    val sims = array(centroidArray(s, dir).map { c =>
-      round(cosineSimilarity($"embedding", typedLit(c)), 6)
-    }: _*)
+    // ONE native kernel call per row (CoarseAssignCell) — the
+    // declarative k-cosine array tree below costs the optimizer +
+    // codegen k × dim literal subtrees per run and was measured
+    // interpreted-slow at 500k rows (r9: 18 s of s02's 21 s)
     Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id", $"embedding",
-        when(array_max(sims).isNull, lit(1L))
-          .otherwise(array_position(sims, array_max(sims)))
-          .minus(1).cast("long").as("c_id"))
+        graft.functions.exprs
+          .coarse_assign_cell($"embedding", centroidArray(s, dir)).as("c_id"))
   }
 
-  /** (q_id, q_emb, c_id): each query's NPROBE nearest cells. */
+  /** Declarative reference implementation of [[coarseAssign]]'s cell
+    * column (k rounded-cosine subtrees → array argmax) — kept for
+    * cross-checking the native kernel in IvfPqSpec.
+    */
+  private[queries] def coarseAssignExprCol(cents: Array[Array[Float]]): Column = {
+    val sims = array(cents.map { c =>
+      round(cosineSimilarity(col("embedding"), typedLit(c)), 6)
+    }: _*)
+    when(array_max(sims).isNull, lit(1L))
+      .otherwise(array_position(sims, array_max(sims)))
+      .minus(1).cast("long")
+  }
+
+  /** The dense first-NQ query vectors, via the same [[AnnIndex]]
+    * collect that serves centroids and codebook seeds.
+    */
+  private def queryVectors(s: org.apache.spark.sql.SparkSession, dir: String): Array[(Long, Array[Float])] = {
+    val qs = graft.operators.AnnIndex
+      .firstVectors(Tables.embeddings(s, dir), "embedding", "vec_id", NQ)
+    require(qs.map(_._1).toSeq == qs.indices.map(_.toLong),
+      "query batch must be the dense first-NQ vec_ids")
+    qs
+  }
+
+  /** `round(cosineSimilarity(a, b), 6)` replicated driver-side with
+    * bit-identical arithmetic (the ProductQuantizer.roundedSubDist
+    * pattern): the kernel's sequential float→double dot accumulation
+    * (`VectorExprImpl.dotF`), the same `‖a‖ * ‖b‖` denominator order,
+    * try_divide's NULL on zero norm, and Spark round's HALF_UP
+    * BigDecimal rounding.
+    */
+  private def roundedCosine(a: Array[Float], b: Array[Float]): Option[Double] = {
+    def dotF(x: Array[Float], y: Array[Float]): Double = {
+      val n = math.min(x.length, y.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    val den = math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b))
+    if (den == 0.0) None
+    else Some(java.math.BigDecimal.valueOf(dotF(a, b) / den)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
+  /** (q_id, q_emb, c_id): each query's NPROBE nearest cells. Probe
+    * selection is pure model math — NQ × NCENTROIDS rounded cosines —
+    * so it runs DRIVER-side (the KMeans-centroid pattern) instead of
+    * paying a crossJoin + window job per query; at scale the probe
+    * list is what prunes partitions, and it must exist on the driver
+    * anyway to plan the pruned scan. Ordering replicates the former
+    * window exactly: p_sim DESC NULLS LAST, c_id ASC, take NPROBE
+    * (a zero-norm query or centroid yields NULL cosine → sorts last,
+    * ties on rounded cosine break toward the lower cell id).
+    */
   private def coarseProbes(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    val q = Tables.embeddings(s, dir).filter($"vec_id" < NQ)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-    val wProbe = Window.partitionBy($"q_id").orderBy($"p_sim".desc, $"c_id".asc)
-    q.crossJoin(broadcast(coarseCents(s, dir)))
-      .select($"q_id", $"q_emb", $"c_id",
-        round(cosineSimilarity($"q_emb", $"c_emb"), 6).as("p_sim"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter($"prn" <= NPROBE)
-      .select($"q_id", $"q_emb", $"c_id")
+    val cents = centroidArray(s, dir)
+    queryVectors(s, dir).toSeq.flatMap { case (qid, q) =>
+      val ranked = cents.indices.map(i => (i.toLong, roundedCosine(q, cents(i))))
+        .sortWith { case ((id1, c1), (id2, c2)) =>
+          (c1, c2) match {
+            case (Some(a), Some(b)) => if (a != b) a > b else id1 < id2
+            case (Some(_), None) => true
+            case (None, Some(_)) => false
+            case (None, None) => id1 < id2
+          }
+        }
+      ranked.take(NPROBE).map { case (cid, _) => (qid, q, cid) }
+    }.toDF("q_id", "q_emb", "c_id")
   }
 
   /** IVF (inverted-file) ANN: coarse centroids = first NCENTROIDS
@@ -171,7 +227,7 @@ object SimilarityQueries {
         (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
          sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))), 6)"""
 
-  /** The coarse-quantizer CTE chain ([[coarseCents]]/[[coarseAssign]]/
+  /** The coarse-quantizer CTE chain ([[centroidArray]]/[[coarseAssign]]/
     * [[coarseProbes]] replayed in DuckDB) — shared by the s02 and s10
     * oracles. Ends with `assigned` (vec_id, embedding, c_id), `q`, and
     * `probes` (q_id, q_emb, c_id).

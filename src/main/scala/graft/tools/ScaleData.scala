@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   *    dimension tables (customer/nation/...) stay fixed — how a real
   *    warehouse grows. Group-key cardinality for q05 (suppkey × year)
   *    is unchanged; join fan-in for q03 scales with the facts.
+  *  - `embeddings`: each copy offsets vec_id — the CORPUS grows while
+  *    the model stays put: coarse centroids, PQ seeds and the query
+  *    batch are all "first-N vec_ids", which the offset keeps pinned
+  *    to copy 0, exactly how a production ANN index grows (more
+  *    vectors indexed against a fixed trained quantizer). Copies
+  *    share vector VALUES, so scaled search results stay well-defined
+  *    through the (distance, id) tie-break both engines use.
   *  - `documents`: each copy offsets doc_id AND prefixes every token
   *    with a copy tag (`§1§the §1§quick ...` — '§' is asserted absent
   *    from the source corpus, so no source token can alias a tagged
@@ -68,6 +75,11 @@ object ScaleData {
 
     val span = spark.read.parquet(s"$inDir/orders.parquet")
       .agg(max($"o_orderkey")).head().getLong(0) + 1
+    val embSpan = spark.read.parquet(s"$inDir/embeddings.parquet")
+      .agg(max($"vec_id")).head().getLong(0) + 1
+    replicate("embeddings") { (df, _) =>
+      df.withColumn("vec_id", $"vec_id" + $"__k" * lit(embSpan))
+    }
     val docSpan = spark.read.parquet(s"$inDir/documents.parquet")
       .agg(max($"doc_id")).head().getLong(0) + 1
 
@@ -96,7 +108,7 @@ object ScaleData {
               concat(lit(marker), $"__k".cast("string"), lit(marker), lit("$1")))))
     }
     for (t <- graft.core.Tables.names
-         if !Set("lineitem", "orders", "documents")(t)) {
+         if !Set("lineitem", "orders", "documents", "embeddings")(t)) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$inDir/$t.parquet"),
         java.nio.file.Paths.get(s"$outDir/$t.parquet"),

@@ -66,6 +66,52 @@ class ProductQuantizerSpec extends SparkSpec {
       s"doc 4 decodes to (0,0) => distance 0, rank 1: $four")
   }
 
+  test("array-shaped ADC table == flat reference, raw and residual") {
+    // the search paths join the nested-array shape (one broadcast
+    // join); the flat shape is the oracle's dtab CTE — every (q, j,
+    // code) cell must agree bit-for-bit or adcRank's element_at
+    // lookups silently drift from the replayed SQL
+    val q = vecs.filter($"vec_id" < 2)
+    val flat = ProductQuantizer.adcTable(q, "vec_id", "embedding", cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    val arr = ProductQuantizer.adcArrayTable(q, "vec_id", "embedding", cb)
+      .collect().flatMap { r =>
+        val darr = r.getSeq[Seq[Double]](1)
+        for (j <- darr.indices; i <- darr(j).indices)
+          yield (r.getLong(0), j, i) -> darr(j)(i)
+      }.toMap
+    assert(arr == flat, "raw ADC array table diverges from the flat reference")
+
+    val cents = Array(Array(0f, 0f, 10f, 10f), Array(4f, 4f, 20f, 20f))
+    val probes = Seq((0L, 0L), (0L, 1L), (1L, 1L)).toDF("q_id", "c_id")
+    val flatR = ProductQuantizer
+      .adcTableResidual(q, "vec_id", "embedding", probes, "c_id", cents, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    val arrR = ProductQuantizer
+      .adcArrayTableResidual(q, "vec_id", "embedding", probes, "c_id", cents, cb)
+      .collect().flatMap { r =>
+        val darr = r.getSeq[Seq[Double]](2)
+        for (j <- darr.indices; i <- darr(j).indices)
+          yield (r.getLong(0), r.getLong(1), j, i) -> darr(j)(i)
+      }.toMap
+    assert(arrR == flatR, "residual ADC array table diverges from the flat reference")
+  }
+
+  test("AnnIndex memo serves repeat fits and clears per session") {
+    AnnIndex.clear(spark)
+    val first = ProductQuantizer.fitCodebook(vecs, "embedding", "vec_id", m = 2, k = 2, dim = 4)
+    val again = ProductQuantizer.fitCodebook(vecs, "embedding", "vec_id", m = 2, k = 2, dim = 4)
+    assert(again eq first, "identical fit must serve from the session memo")
+    AnnIndex.clear(spark)
+    val fresh = ProductQuantizer.fitCodebook(vecs, "embedding", "vec_id", m = 2, k = 2, dim = 4)
+    assert(!(fresh eq first), "clear() must drop the memo (Bench relies on it per rep)")
+    assert(fresh.codes.map(_.map(_.toSeq).toSeq).toSeq ==
+      first.codes.map(_.map(_.toSeq).toSeq).toSeq, "refit must be deterministic")
+    // different params must not collide
+    val other = ProductQuantizer.fitCodebook(vecs, "embedding", "vec_id", m = 1, k = 2, dim = 4)
+    assert(other.m == 1 && fresh.m == 2)
+  }
+
   test("Lloyd refinement never increases distortion") {
     val raw = ProductQuantizer.distortion(vecs, "embedding", cb)
     val refined = ProductQuantizer

@@ -56,6 +56,25 @@ class IvfPqSpec extends SparkSpec {
   private lazy val s10 =
     Registry.byName("s10_ann_ivfpq").run(spark, sfDir)
 
+  test("native coarse-assign kernel == declarative argmax tree, all rows") {
+    // the queries run CoarseAssignCell (driver-side centroid state,
+    // one call per row); the declarative k-cosine array formula is
+    // the spec'd semantics — every row must agree, including rounded
+    // ties (lowest c_id) and the zero-vector NULL fallthrough
+    val cents = e.filter($"vec_id" < NC).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val zero = Seq((-1L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+    val withZero = e.select($"vec_id", $"embedding").unionByName(zero)
+    val both = withZero.select(
+      $"vec_id",
+      graft.functions.exprs.coarse_assign_cell($"embedding", cents).as("kernel"),
+      SimilarityQueries.coarseAssignExprCol(cents).as("declarative"))
+    assert(both.filter($"kernel" =!= $"declarative").count() === 0L,
+      "kernel and declarative coarse assignment diverge")
+    assert(both.filter($"vec_id" === -1L).head().getLong(1) === 0L,
+      "zero vector must fall to cell 0")
+  }
+
   test("every returned neighbor lies in one of its query's probed cells") {
     val out = s10.select($"q_id", $"neighbor_id")
     val inProbedCell = out
