@@ -389,7 +389,18 @@ object PqExprImpl {
     * sequentially over the shorter operand in float→double, c² sums
     * the FULL codeword, and rounding is Spark round's HALF_UP.
     */
-  def argminCode(vec: ArrayData, start: Int, subDim: Int, codes: Array[Array[Float]]): Int = {
+  def argminCode(
+      vec: ArrayData,
+      start: Int,
+      subDim: Int,
+      codes: Array[Array[Float]],
+      expectedDim: Int): Int = {
+    // a wrong-dimension vector would silently truncate in the slice
+    // (the r8 verdict's carried defect): fail loudly row-side instead
+    // — an int compare, free next to the codeword loop
+    if (vec.numElements() != expectedDim)
+      throw new IllegalArgumentException(
+        s"pq_encode_code: vector has ${vec.numElements()} dims, expected $expectedDim")
     val sliceLen = math.max(0, math.min(subDim, vec.numElements() - start))
     var xx = 0.0
     var i = 0
@@ -476,7 +487,11 @@ object PqExprImpl {
       centroids: Array[Array[Float]],
       subStart: Int,
       subDim: Int,
-      codes: Array[Array[Float]]): Int = {
+      codes: Array[Array[Float]],
+      expectedDim: Int): Int = {
+    if (vec.numElements() != expectedDim)
+      throw new IllegalArgumentException(
+        s"pq_encode_residual_code: vector has ${vec.numElements()} dims, expected $expectedDim")
     val cent = centroids(cell.toInt)
     val n = math.min(vec.numElements(), cent.length)
     val sliceLen = math.max(0, math.min(subDim, n - subStart))
@@ -523,7 +538,8 @@ case class PqEncodeResidualCode(
     centroids: Array[Array[Float]],
     subStart: Int,
     subDim: Int,
-    codes: Array[Array[Float]])
+    codes: Array[Array[Float]],
+    expectedDim: Int)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -537,13 +553,13 @@ case class PqEncodeResidualCode(
 
   override protected def nullSafeEval(v: Any, cell: Any): Any =
     PqExprImpl.argminResidualCode(v.asInstanceOf[ArrayData],
-      cell.asInstanceOf[Long], centroids, subStart, subDim, codes)
+      cell.asInstanceOf[Long], centroids, subStart, subDim, codes, expectedDim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centRef = ctx.addReferenceObj("pqCentroids", centroids, "float[][]")
     val codesRef = ctx.addReferenceObj("pqCodes", codes, "float[][]")
     defineCodeGen(ctx, ev, (v, c) =>
-      s"graft.functions.PqExprImpl.argminResidualCode($v, $c, $centRef, $subStart, $subDim, $codesRef)")
+      s"graft.functions.PqExprImpl.argminResidualCode($v, $c, $centRef, $subStart, $subDim, $codesRef, $expectedDim)")
   }
 
   override protected def withNewChildrenInternal(
@@ -563,7 +579,8 @@ case class PqEncodeCode(
     child: Expression,
     subStart: Int,
     subDim: Int,
-    codes: Array[Array[Float]])
+    codes: Array[Array[Float]],
+    expectedDim: Int)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -576,12 +593,12 @@ case class PqEncodeCode(
   override def prettyName: String = "pq_encode_code"
 
   override protected def nullSafeEval(v: Any): Any =
-    PqExprImpl.argminCode(v.asInstanceOf[ArrayData], subStart, subDim, codes)
+    PqExprImpl.argminCode(v.asInstanceOf[ArrayData], subStart, subDim, codes, expectedDim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCodes", codes, "float[][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.PqExprImpl.argminCode($c, $subStart, $subDim, $ref)")
+      s"graft.functions.PqExprImpl.argminCode($c, $subStart, $subDim, $ref, $expectedDim)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncodeCode =
@@ -647,12 +664,16 @@ object exprs {
   def coarse_assign_cell(c: Column, centroids: Array[Array[Float]]): Column =
     SparkShims.column(CoarseAssignCell(SparkShims.expression(c), centroids))
 
-  def pq_encode_code(c: Column, subStart: Int, subDim: Int, codes: Array[Array[Float]]): Column =
-    SparkShims.column(PqEncodeCode(SparkShims.expression(c), subStart, subDim, codes))
+  def pq_encode_code(
+      c: Column, subStart: Int, subDim: Int, codes: Array[Array[Float]],
+      expectedDim: Int): Column =
+    SparkShims.column(PqEncodeCode(SparkShims.expression(c), subStart, subDim, codes, expectedDim))
 
   def pq_encode_residual_code(
       vec: Column, cell: Column, centroids: Array[Array[Float]],
-      subStart: Int, subDim: Int, codes: Array[Array[Float]]): Column =
+      subStart: Int, subDim: Int, codes: Array[Array[Float]],
+      expectedDim: Int): Column =
     SparkShims.column(PqEncodeResidualCode(
-      SparkShims.expression(vec), SparkShims.expression(cell), centroids, subStart, subDim, codes))
+      SparkShims.expression(vec), SparkShims.expression(cell), centroids, subStart, subDim, codes,
+      expectedDim))
 }

@@ -84,7 +84,16 @@ object ProductQuantizer {
           Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim))))
       } else {
         val codes = Array.tabulate(m) { j =>
-          val sliced = df.select(col(idCol), sub(col(vecCol), j, subDim).as("__sub"))
+          // Lloyd trains on EVERY row, not just the validated seeds: a
+          // wrong-dimension non-seed vector would silently contribute a
+          // truncated slice, so the slice input fails loudly instead.
+          // The guard lives INSIDE the __sub projection (not a dropped
+          // assert column Catalyst could prune away).
+          val guarded = when(size(col(vecCol)) === dim, col(vecCol))
+            .otherwise(raise_error(concat(
+              lit("PQ vector has "), size(col(vecCol)).cast("string"),
+              lit(s" dims, expected $dim"))))
+          val sliced = df.select(col(idCol), sub(guarded, j, subDim).as("__sub"))
           KMeans.fit(sliced, "__sub", idCol, k, refineIters, computeWcss = false)
             .centroids.map(_.map(_.toFloat))
         }
@@ -102,7 +111,9 @@ object ProductQuantizer {
   def encode(df: DataFrame, vecCol: String, cb: Codebook): DataFrame =
     (0 until cb.m).foldLeft(df) { (acc, j) =>
       acc.withColumn(s"code_$j",
-        graft.functions.exprs.pq_encode_code(col(vecCol), j * cb.subDim, cb.subDim, cb.codes(j)))
+        graft.functions.exprs.pq_encode_code(
+          col(vecCol), j * cb.subDim, cb.subDim, cb.codes(j),
+          expectedDim = cb.subDim * cb.m))
     }
 
   /** Declarative reference implementation of [[encode]] (k subDist
@@ -336,7 +347,8 @@ object ProductQuantizer {
     (0 until cb.m).foldLeft(df) { (acc, j) =>
       acc.withColumn(s"code_$j",
         graft.functions.exprs.pq_encode_residual_code(
-          col(vecCol), col(cellCol).cast("long"), centroids, j * cb.subDim, cb.subDim, cb.codes(j)))
+          col(vecCol), col(cellCol).cast("long"), centroids, j * cb.subDim, cb.subDim, cb.codes(j),
+          expectedDim = cb.subDim * cb.m))
     }
 
   /** Residual ADC table: one row per (query, PROBED CELL, subspace,

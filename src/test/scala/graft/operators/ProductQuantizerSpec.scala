@@ -112,6 +112,38 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(other.m == 1 && fresh.m == 2)
   }
 
+  test("a wrong-dimension NON-seed vector fails loudly in fit and encode") {
+    // seeds (ids 0,1) are valid; the short vector hides past them —
+    // exactly the case the r8 seed-only validation missed (silent
+    // slice truncation in the Lloyd branch and both encode kernels)
+    val short3 = (vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1))) :+
+      (9L, Seq(1f, 2f))).toSeq.toDF("vec_id", "embedding")
+    AnnIndex.clear(spark)
+    val fitErr = intercept[Exception] {
+      ProductQuantizer.fitCodebook(short3, "embedding", "vec_id",
+        m = 2, k = 2, dim = 4, refineIters = 1)
+    }
+    assert(fitErr.getMessage != null &&
+      (fitErr.getMessage.contains("expected 4") ||
+        Option(fitErr.getCause).exists(_.getMessage.contains("expected 4"))),
+      s"Lloyd fit must name the dimension mismatch: ${fitErr.getMessage}")
+    val encErr = intercept[Exception] {
+      ProductQuantizer.encode(short3, "embedding", cb).collect()
+    }
+    assert(encErr.toString.contains("expected 4") ||
+      Option(encErr.getCause).exists(_.toString.contains("expected 4")),
+      s"encode must name the dimension mismatch: $encErr")
+    val cents = Array(Array(0f, 0f, 10f, 10f), Array(4f, 4f, 20f, 20f))
+    val shortAssigned = short3.withColumn("c_id",
+      org.apache.spark.sql.functions.lit(0L))
+    val resErr = intercept[Exception] {
+      ProductQuantizer.encodeResidual(shortAssigned, "embedding", "c_id", cents, cb).collect()
+    }
+    assert(resErr.toString.contains("expected 4") ||
+      Option(resErr.getCause).exists(_.toString.contains("expected 4")),
+      s"residual encode must name the dimension mismatch: $resErr")
+  }
+
   test("Lloyd refinement never increases distortion") {
     val raw = ProductQuantizer.distortion(vecs, "embedding", cb)
     val refined = ProductQuantizer
