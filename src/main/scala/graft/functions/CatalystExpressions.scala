@@ -605,6 +605,125 @@ case class PqEncodeCode(
     copy(child = newChild)
 }
 
+/** Static kernel for [[BpeSegmentWord]]. */
+object BpeExprImpl {
+
+  final val RankSep = " " // cannot occur in alphanumeric symbols
+
+  /** Build the (l+SEP+r) → rank lookup once, driver-side. */
+  def rankMap(merges: Array[Array[String]]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      // first (lowest) rank wins — merge tables cannot repeat a pair,
+      // but be deterministic if one ever did
+      m.putIfAbsent(merges(i)(0) + RankSep + merges(i)(1), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  /** Greedy rank-based BPE encode of one word: iteratively merge the
+    * lowest-rank adjacent pair, applying each rank as ONE
+    * left-to-right non-overlapping pass. Equivalent to applying the
+    * merge table in training order as chained literal `replace`s on
+    * the self-delimited string (BpeTrainer's r8 shape): a merge's
+    * output symbol postdates it, and a new adjacency always involves
+    * the new symbol, so applying later merges can never re-create an
+    * earlier merge's pair — rank order IS training order. The chained
+    * form sized its expression tree by the MODEL (one replace node
+    * per merge: a 30–50k-merge production vocab means a 50k-deep
+    * Catalyst tree, optimizer time O(tree) and a guaranteed Janino
+    * overflow into interpreted eval); here the merge table is
+    * driver-side state behind one codegen'd call, O(1) plan nodes at
+    * any vocab size. Words containing the '<'/'>' delimiters return
+    * unsegmented (the training-side contract); the character split
+    * mirrors Spark's `split(w, '')` — no trailing empty element
+    * (Java's String.split with limit 0), and the empty word splits to
+    * the single empty symbol, exactly like the delimited "<>" round
+    * trip.
+    */
+  def segmentWord(
+      word: UTF8String,
+      merges: Array[Array[String]],
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = word.toString
+    if (s.indexOf('<') >= 0 || s.indexOf('>') >= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](word))
+    var syms: Array[String] = s.split("")
+    var continue = true
+    while (continue && syms.length >= 2) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(syms(i) + RankSep + syms(i + 1))
+        if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val l = merges(bestRank)(0)
+        val r = merges(bestRank)(1)
+        val out = new Array[String](syms.length)
+        var n = 0
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out(n) = l + r
+            n += 1
+            j += 2
+          } else {
+            out(n) = syms(j)
+            n += 1
+            j += 1
+          }
+        }
+        syms = java.util.Arrays.copyOf(out, n)
+      }
+    }
+    val arr = new Array[Any](syms.length)
+    var k = 0
+    while (k < syms.length) {
+      arr(k) = UTF8String.fromString(syms(k))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** Native BPE segmentation: word → learned subword units, with the
+  * merge table as driver-side constructor state (codegen reference
+  * objects) — the `PqEncodeCode` pattern applied to segmentation, so
+  * the plan stays O(1) nodes however large the vocabulary. Semantics
+  * pinned equal to the chained-replace reference in BpeTrainerSpec.
+  */
+case class BpeSegmentWord(child: Expression, merges: Array[Array[String]])
+  extends UnaryExpression {
+
+  @transient private lazy val ranks = BpeExprImpl.rankMap(merges)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_segment_word requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segment_word"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeExprImpl.segmentWord(input.asInstanceOf[UTF8String], merges, ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[][]")
+    val rRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeExprImpl.segmentWord($c, $mRef, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentWord =
+    copy(child = newChild)
+}
+
 /** Native coarse-quantizer assignment: vector → nearest centroid's
   * cell id ([[PqExprImpl.assignCell]]). The centroid matrix rides as
   * driver-side constructor state (a codegen reference object), not a
@@ -660,6 +779,9 @@ object exprs {
 
   def ngram_rep_stats(c: Column, n: Int): Column =
     SparkShims.column(NgramRepStats(SparkShims.expression(c), n))
+
+  def bpe_segment_word(c: Column, merges: Array[Array[String]]): Column =
+    SparkShims.column(BpeSegmentWord(SparkShims.expression(c), merges))
 
   def coarse_assign_cell(c: Column, centroids: Array[Array[Float]]): Column =
     SparkShims.column(CoarseAssignCell(SparkShims.expression(c), centroids))

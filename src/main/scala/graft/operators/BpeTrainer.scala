@@ -140,7 +140,10 @@ object BpeTrainer {
             .orderBy(col("pf").desc, col("l").asc, col("r").asc)
             .limit(candPool).collect()
             .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
-          selectBatch(top, (numMerges - step + 1).toInt)
+          // a full pool means pairs below the cut exist unseen — the
+          // collision probe must then assume a hidden pair at pfMin
+          selectBatch(top, (numMerges - step + 1).toInt,
+            poolExhaustive = top.length < candPool)
             .map { case (l, r, pf, _) => (l, r, pf) }
         } else {
           pairCensus(cur)
@@ -172,11 +175,27 @@ object BpeTrainer {
     *     merging only destroys/creates adjacencies AT its application
     *     sites, so a fully disjoint pair's count and occurrences are
     *     untouched by the earlier merges in the batch, and
-    *  2. its count strictly beats every already-accepted merge's
-    *     `bound` — no pair any earlier merge can CREATE (including
-    *     cascades between accepted merges, whose seed triples are of
-    *     the bounded forms) could reach this count, so sequential
+    *  2. its count strictly beats the cap on any pair an earlier
+    *     accepted merge could CREATE or AUGMENT (below), so sequential
     *     training provably still picks this pair next.
+    *
+    * The cap has two regimes. A pair a merge CREATES always involves
+    * the merge's output symbol, and every creation site is an
+    * application site of that merge, so any single created pair counts
+    * at most the merge's `bound` — the creation cap is max over
+    * accepted bounds. But when an accepted merge's output string l+r
+    * ALREADY occurs as a symbol (reachable via a different split, e.g.
+    * 'a'+'bc' vs 'ab'+'c'), a PRE-EXISTING census pair (x, l+r) is
+    * AUGMENTED to its census pf plus created occurrences — which can
+    * overtake a later candidate whose pf only beats the bound (the r8
+    * order-equivalence hole). A collision is visible as a census pair
+    * involving the output symbol: its pf is read from the candidate
+    * pool, and when the pool is TRUNCATED (didn't cover the census) an
+    * unseen colliding pair may exist with pf up to the pool's minimum,
+    * so the floor `pfMin` stands in. Once any accepted output
+    * collides, the cap becomes (max colliding pf) + (SUM of accepted
+    * bounds): an augmented pair involving several outputs can absorb
+    * each of their creations, so bounds add in the worst case.
     *
     * The first candidate that fails either test ends the batch (a later
     * acceptance could not be proven to precede it; candidates past the
@@ -185,10 +204,14 @@ object BpeTrainer {
     */
   private[operators] def selectBatch(
       cand: Seq[(String, String, Long, Long)],
-      maxN: Int): Seq[(String, String, Long, Long)] = {
+      maxN: Int,
+      poolExhaustive: Boolean = true): Seq[(String, String, Long, Long)] = {
     val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
     val used = scala.collection.mutable.Set.empty[String]
-    var maxBound = Long.MinValue
+    val pfMin = if (cand.isEmpty) 0L else cand.iterator.map(_._3).min
+    var maxBound = Long.MinValue // cap on any single CREATED pair
+    var sumBounds = 0L // worst-case creations absorbed by one AUGMENTED pair
+    var maxAug = -1L // max census pf of a pair involving an accepted output; -1 = none
     val it = cand.iterator
     var open = true
     while (open && it.hasNext && accepted.size < maxN) {
@@ -197,13 +220,24 @@ object BpeTrainer {
       // existing symbol equal to l+r would gain new occurrences from
       // this merge, so its census count understates its sequential one
       val disjoint = !used(l) && !used(r) && !used(l + r)
-      val safe = accepted.isEmpty || (disjoint && pf > maxBound)
+      val cap = if (maxAug >= 0) maxAug + sumBounds else maxBound
+      val safe = accepted.isEmpty || (disjoint && pf > cap)
       if (safe) {
         accepted += c
         used += l
         used += r
-        used += (l + r)
+        val out = l + r
+        used += out
         maxBound = math.max(maxBound, bound)
+        sumBounds += bound
+        // collision probe: does any census pair involve the output?
+        val seen = cand.iterator.filter(p => p._1 == out || p._2 == out)
+          .map(_._3).foldLeft(-1L)(math.max)
+        val aug =
+          if (seen >= 0) seen // colliding pair visible in the pool
+          else if (!poolExhaustive) pfMin // may hide below the pool cut
+          else -1L // pool IS the census: provably no collision
+        maxAug = math.max(maxAug, aug)
       } else open = false
     }
     accepted.toSeq
@@ -216,15 +250,33 @@ object BpeTrainer {
     learnMerges(docs, textCol, numMerges).toDF()
   }
 
-  /** Segment a word column into the learned subword units: apply the
-    * merge list in training order (the standard BPE encode). Pure
-    * column expressions — one codegen'd projection however many
-    * merges are applied. Words containing the `<`/`>` delimiter
-    * characters would corrupt the self-delimited encoding and are
-    * emitted unsegmented (single-element array) — the same contract
-    * as training, which only learns over alphanumeric tokens.
+  /** Segment a word column into the learned subword units: the
+    * standard rank-based BPE encode, as ONE native kernel call
+    * carrying the merge table as driver-side state
+    * ([[graft.functions.BpeSegmentWord]], the `PqEncodeCode` pattern).
+    * The r8 shape chained one `replace` expression per merge, sizing
+    * the Catalyst tree by the MODEL — a 30–50k-merge production vocab
+    * meant a 50k-deep tree, optimizer time O(tree) and a guaranteed
+    * Janino overflow into interpreted eval; the kernel keeps the plan
+    * O(1) nodes at any vocab size. Words containing the `<`/`>`
+    * delimiter characters are emitted unsegmented (single-element
+    * array) — the same contract as training, which only learns over
+    * alphanumeric tokens. Pinned ≡ [[segmentChained]] in
+    * BpeTrainerSpec (fixture, real corpus, and a 1000-merge table).
     */
-  def segment(df: DataFrame, wordCol: String, merges: Seq[Merge]): DataFrame = {
+  def segment(df: DataFrame, wordCol: String, merges: Seq[Merge]): DataFrame =
+    df.withColumn("subwords",
+      graft.functions.exprs.bpe_segment_word(col(wordCol),
+        merges.map(m => Array(m.left_sym, m.right_sym)).toArray))
+
+  /** Declarative reference implementation of [[segment]] — the merge
+    * list applied in training order as chained literal replaces on
+    * the self-delimited string (exactly the training-side `replace`
+    * semantics the t16 oracle replays). Kept for cross-checking the
+    * kernel; unusable at production vocab size (see [[segment]]).
+    */
+  private[operators] def segmentChained(
+      df: DataFrame, wordCol: String, merges: Seq[Merge]): DataFrame = {
     val enc0: Column =
       concat(lit("<"), array_join(split(col(wordCol), ""), "><"), lit(">"))
     val encoded = merges.foldLeft(enc0) { (s, m) =>

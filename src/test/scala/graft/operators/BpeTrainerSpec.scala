@@ -80,6 +80,100 @@ class BpeTrainerSpec extends SparkSpec {
     assert(BpeTrainer.selectBatch(clear, maxN = 10) == clear)
   }
 
+  test("selectBatch closes when an accepted output collides with a census symbol") {
+    // accepted (a,bc) -> output "abc"; the census ALSO holds (q,abc):
+    // "abc" is already a symbol via a different split (e.g. 'ab'+'c'),
+    // so (q,abc) gets AUGMENTED by the merge — its sequential count
+    // can reach 5 + bound 4 = 9, and the next candidate's pf 8 cannot
+    // be proven to precede it (the r8 order-equivalence hole)
+    val coll = Seq(
+      ("a", "bc", 10L, 4L), ("x", "y", 8L, 0L), ("q", "abc", 5L, 0L))
+    assert(BpeTrainer.selectBatch(coll, maxN = 10) == coll.take(1))
+    // same shape, but the next candidate clears the augmented cap
+    // (5 + 4 = 9 < 10 -> wait, strictly: pf must exceed maxAug+sumBounds)
+    val clears = Seq(
+      ("a", "bc", 20L, 4L), ("x", "y", 10L, 0L), ("q", "abc", 5L, 0L))
+    assert(BpeTrainer.selectBatch(clears, maxN = 10) == clears.take(2))
+    // no colliding pair anywhere and the pool is the whole census:
+    // provably no augmentation, the creation bound alone gates
+    val free = Seq(("a", "bc", 10L, 4L), ("x", "y", 8L, 0L))
+    assert(BpeTrainer.selectBatch(free, maxN = 10) == free)
+  }
+
+  test("selectBatch assumes a hidden colliding pair when the pool is truncated") {
+    // pool cut at pf 8: an unseen (q,ab) with pf <= 8 may exist, so
+    // after accepting (a,b) (bound 3) the cap is 8 + 3 = 11 — pf 9
+    // cannot be proven next even though no visible pair collides
+    val cand = Seq(("a", "b", 20L, 3L), ("c", "d", 9L, 0L), ("e", "f", 8L, 0L))
+    assert(BpeTrainer.selectBatch(cand, maxN = 10, poolExhaustive = false) ==
+      cand.take(1))
+    // with the pool exhaustive the same candidates all batch
+    assert(BpeTrainer.selectBatch(cand, maxN = 10, poolExhaustive = true) ==
+      cand)
+    // far enough above the floor, truncated pools still batch
+    val high = Seq(("a", "b", 200L, 3L), ("c", "d", 100L, 0L), ("e", "f", 8L, 0L))
+    assert(BpeTrainer.selectBatch(high, maxN = 10, poolExhaustive = false) ==
+      high.take(2))
+  }
+
+  test("segment kernel == chained-replace reference, fixture and real corpus") {
+    val merges = BpeTrainer.learnMerges(corpus, "text", 6)
+    val words = Seq("lowest", "newest", "wider", "", "low<est", "a>b",
+      "widestest", "lowlow").toDF("w")
+    val kern = BpeTrainer.segment(words, "w", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val ref = BpeTrainer.segmentChained(words, "w", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(kern == ref, s"kernel $kern != chained $ref")
+
+    // real corpus: every distinct document word, under 60 real merges
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val realMerges = BpeTrainer.learnMerges(docs, "text", 60, batched = true)
+    val realWords = docs
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.wsTokens(
+          org.apache.spark.sql.functions.col("text"))).as("w"))
+      .distinct()
+    val k2 = BpeTrainer.segment(realWords, "w", realMerges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val r2 = BpeTrainer.segmentChained(realWords, "w", realMerges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(k2 == r2, "kernel and chained segmentation diverge on the real corpus")
+  }
+
+  test("segment plan stays O(1) nodes at a 1000-merge vocabulary") {
+    // synthetic 1000-merge table (the chained form would build a
+    // ~1000-deep replace tree here — optimizer O(tree), Janino at risk)
+    val merges = (1 to 1000).map { i =>
+      BpeTrainer.Merge(i.toLong, "a" * i, "b", i.toLong)
+    } :+ BpeTrainer.Merge(1001L, "l", "o", 1L)
+    // a parquet-backed frame, so the projection cannot constant-fold
+    // into a LocalTableScan and the codegen claim is actually tested
+    val docWords = graft.core.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.wsTokens(
+          org.apache.spark.sql.functions.col("text"))).as("w"))
+    val planSeg = BpeTrainer.segment(docWords, "w", merges)
+    val exprNodes = planSeg.queryExecution.optimizedPlan.expressions
+      .map(e => e.collect { case x => x }.size).sum
+    assert(exprNodes < 50,
+      s"segment plan must not scale with the merge table: $exprNodes expression nodes")
+    // the '*(n)' prefix is the WholeStageCodegen marker in the
+    // executed plan's simple string
+    assert(planSeg.queryExecution.executedPlan.toString
+      .matches("(?s).*\\*\\(\\d+\\) Project \\[w#\\d+, bpe_segment_word.*"),
+      "segment projection fell out of whole-stage codegen:\n" +
+        planSeg.queryExecution.executedPlan.toString)
+    assert(planSeg.limit(5).collect().nonEmpty, "1000-merge segment plan must execute")
+
+    val words = Seq("lo", "alob", "ab").toDF("w")
+    val seg = BpeTrainer.segment(words, "w", merges)
+    val out = seg.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("lo") == Seq("lo"))
+    assert(out("ab") == Seq("ab"))
+    assert(out("alob") == Seq("a", "lo", "b"))
+  }
+
   test("batched == sequential on the real corpus, at fewer jobs per merge") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val n = 60
