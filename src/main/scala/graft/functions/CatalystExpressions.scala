@@ -605,6 +605,80 @@ case class PqEncodeCode(
     copy(child = newChild)
 }
 
+/** Static kernel for [[NormalizeText]]. */
+object NormalizeExprImpl {
+
+  /** True for the characters the hygiene stage REMOVES: C0 controls
+    * except \t \n \r, DEL + C1 controls, zero-width/bidi formats
+    * (U+200B–U+200F), word joiner (U+2060), BOM/ZWNBSP (U+FEFF).
+    * Kept in sync with the oracle's character class
+    * `[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f\x{200b}-\x{200f}\x{2060}\x{feff}]`.
+    */
+  private def isStripped(cp: Int): Boolean =
+    cp <= 0x08 || cp == 0x0b || cp == 0x0c ||
+      (cp >= 0x0e && cp <= 0x1f) || (cp >= 0x7f && cp <= 0x9f) ||
+      (cp >= 0x200b && cp <= 0x200f) || cp == 0x2060 || cp == 0xfeff
+
+  /** True for the whitespace the stage COLLAPSES: ASCII \t \n \r and
+    * space, plus Unicode space separators (\p{Zs} — NBSP, EM SPACE…).
+    */
+  private def isCollapsible(cp: Int): Boolean =
+    cp == '\t' || cp == '\n' || cp == '\r' || cp == ' ' ||
+      Character.getType(cp) == Character.SPACE_SEPARATOR
+
+  /** The canonical text-hygiene normalization, ONE pass both engines
+    * replay exactly: (1) Unicode NFC (java.text.Normalizer ↔ DuckDB
+    * nfc_normalize), (2) strip control/zero-width characters
+    * ([[isStripped]]), (3) collapse runs of whitespace+Zs to a single
+    * ASCII space and trim the ends. Steps 2–3 stream over code points
+    * in one scan; the result is byte-identical to the oracle's
+    * regexp_replace → regexp_replace → trim chain.
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val t = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(t.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      if (isStripped(cp)) ()
+      else if (isCollapsible(cp)) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        sb.appendCodePoint(cp)
+        pendingSpace = false
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Native text-hygiene normalization (NFC + control strip + whitespace
+  * collapse) — the stage every production corpus pipeline runs FIRST,
+  * ahead of heuristic quality gates: t19's per-character loop is
+  * exactly where interpreted higher-order column functions die, so it
+  * is a codegen'd kernel like the other hot text paths.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"normalize_text requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeExprImpl.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeExprImpl.normalizeText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 /** Static kernel for [[BpeSegmentWord]]. */
 object BpeExprImpl {
 
@@ -779,6 +853,9 @@ object exprs {
 
   def ngram_rep_stats(c: Column, n: Int): Column =
     SparkShims.column(NgramRepStats(SparkShims.expression(c), n))
+
+  def normalize_text(c: Column): Column =
+    SparkShims.column(NormalizeText(SparkShims.expression(c)))
 
   def bpe_segment_word(c: Column, merges: Array[Array[String]]): Column =
     SparkShims.column(BpeSegmentWord(SparkShims.expression(c), merges))

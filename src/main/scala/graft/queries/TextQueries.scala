@@ -725,9 +725,48 @@ object TextQueries {
       SELECT source, rank, doc_id, samp_key
       FROM ranked WHERE rank <= $WsK"""))
 
+  /** Unicode/text-hygiene normalization — the stage a production
+    * corpus pipeline runs FIRST, ahead of every heuristic gate (t03 →
+    * t13 → t14 → t17): NFC composition, control/zero-width stripping,
+    * whitespace collapse + trim, as ONE codegen'd kernel call per
+    * document (`graft.functions.NormalizeText` — the per-character
+    * loop is exactly where interpreted higher-order functions die).
+    * Zero shuffles: a pure projection. The synthetic corpus is clean
+    * ASCII, so `changed` is all-false HERE — the oracle still replays
+    * the full nfc_normalize → strip → collapse chain byte-for-byte,
+    * and NormalizeTextSpec carries the planted-mess evidence
+    * (combining marks, zero-widths, NBSP, C0/C1 controls).
+    */
+  val t19Normalize = Q(
+    "t19_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val norm = graft.functions.exprs.normalize_text($"text")
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        norm.as("norm_text"),
+        (norm =!= $"text").as("changed"),
+        length(norm).as("n_chars_norm"))
+    },
+    Some(s"""SELECT doc_id,
+        $normSql AS norm_text,
+        $normSql <> text AS changed,
+        length($normSql) AS n_chars_norm
+      FROM documents"""))
+
+  /** The oracle side of [[t19Normalize]]'s transform — NFC, then the
+    * stripped-character class, then whitespace+Zs collapse and trim
+    * (kept in sync with `NormalizeExprImpl`).
+    */
+  private def normSql: String =
+    """trim(regexp_replace(regexp_replace(nfc_normalize(text),
+       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f\x{200b}-\x{200f}\x{2060}\x{feff}]', '', 'g'),
+       '[\t\n\r \p{Zs}]+', ' ', 'g'), ' ')"""
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
-      t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample)
+      t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample,
+      t19Normalize)
 }

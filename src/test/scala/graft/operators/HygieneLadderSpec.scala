@@ -6,7 +6,8 @@ import graft.SparkSpec
   * pretraining pipeline runs, chained through the operator APIs on a
   * planted corpus where every stage has exactly one victim —
   *
-  *   exactDedup → dropNearDuplicates → dropSpanDuplicated
+  *   normalize (t19, FIRST — so every later gate sees canonical text)
+  *     → exactDedup → dropNearDuplicates → dropSpanDuplicated
   *     → removeContaminatedBloom → dropRepetitive
   *     → QualityClassifier train/score gate → packDocuments
   *
@@ -43,7 +44,9 @@ class HygieneLadderSpec extends SparkSpec {
 
   private val corpus = Seq(
     1L -> baseA, // survives: cluster representative
-    2L -> baseA, // exact duplicate of 1
+    // exact duplicate of 1 — but ONLY once normalized: a BOM, a BEL
+    // control and a trailing space hide the duplication from raw dedup
+    2L -> s"\uFEFF$baseA\u0007 ",
     3L -> nearA, // near-duplicate of 1
     4L -> s"intro words then $benchText and trailing context here now", // contaminated
     5L -> "spam spam spam spam spam spam", // repetitive (intra-doc only)
@@ -70,7 +73,15 @@ class HygieneLadderSpec extends SparkSpec {
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("doc_id").collect().map(_.getLong(0)).toSet
 
-    val s1 = TextDedup.exactDedup(corpus, "doc_id", "text")
+    // stage 0 — normalization runs FIRST: doc 2 is doc 1 plus a BOM, a
+    // bell control and a trailing space; no dedup stage could see the
+    // duplication through the mojibake, every stage sees it after
+    val s0 = corpus.withColumn("text",
+      graft.functions.exprs.normalize_text($"text"))
+    assert(s0.filter($"doc_id" === 2L).head().getString(1) == baseA,
+      "normalization must make doc 2 byte-identical to doc 1")
+
+    val s1 = TextDedup.exactDedup(s0, "doc_id", "text")
     assert(ids(s1) == Set(1L, 3L, 4L, 5L, 6L, 7L, 8L), "exactDedup drops only the exact copy")
 
     val s2 = TextDedup.dropNearDuplicates(s1, "doc_id", "text")
