@@ -40,6 +40,12 @@ object KmvSketch {
     df.select(col(groupCol),
       graft.functions.exprs.token_hash60(col(valueCol).cast("string")).as("h"))
       .distinct()
+      // a NULL value hashes to NULL, and ascending sort puts NULLS
+      // FIRST — without this guard NULL rows would squat the smallest
+      // min-k slots and corrupt h_k while countDistinct (and the
+      // sketch contract) exclude NULLs (windowedDistinctSketch already
+      // guards the same way)
+      .filter(col("h").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }

@@ -85,12 +85,12 @@ object SemDedup {
     val assigned = KMeans.assign(unit, embCol, model.centroids)
       .select(col(idCol), col("cluster"))
     // norm computed in the same projection as the pair input: the pair
-    // stage then does ONE dot product per pair instead of three
-    // lazy checkpoint: the salted self-join evaluates this frame in
-    // five branches (hot-key census, semi, anti, probe, build) — the
-    // same many-readers shape TextDedup solves for LSH signatures;
-    // materialize once instead of re-running the join + repartition
-    // subtree per branch
+    // stage then does ONE dot product per pair instead of three.
+    // lazy checkpoint: the salted self-join reads this frame in three
+    // branches (the hot-key census plus the probe and build sides of
+    // the conditional-salt join) — the same many-readers shape
+    // TextDedup solves for LSH signatures; materialize once instead of
+    // re-running the join + repartition subtree per branch
     val e = vectors
       .join(assigned, Seq(idCol))
       .repartition(spark.sparkContext.defaultParallelism)

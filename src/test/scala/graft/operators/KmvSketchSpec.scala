@@ -23,6 +23,29 @@ class KmvSketchSpec extends SparkSpec {
     assert(whole == merged, s"union sketch $whole != merged sketches $merged")
   }
 
+  test("NULL values neither squat min-k slots nor move the estimate") {
+    // NULL hashes sort NULLS FIRST under ascending order — before the
+    // isNotNull guard they occupied the smallest sketch slots while
+    // countDistinct excluded them, so est_distinct diverged from the
+    // sketch contract on any group containing NULLs
+    val vals = (1L to 2000L).map(v => ("g", java.lang.Long.valueOf(v))) ++
+      Seq.fill(10)(("g", null.asInstanceOf[java.lang.Long]))
+    val withNulls = vals.toDF("g", "v")
+    val clean = (1L to 2000L).map(v => ("g", v)).toDF("g", "v")
+    val k = 32
+    val a = KmvSketch.minKHashes(withNulls, "g", "v", k)
+      .select($"h").collect().map(_.getLong(0)).toSeq.sorted
+    val b = KmvSketch.minKHashes(clean, "g", "v", k)
+      .select($"h").collect().map(_.getLong(0)).toSeq.sorted
+    assert(a == b, "NULL rows must not enter the sketch")
+    val est = KmvSketch.distinctEstimate(withNulls, "g", "v", k)
+      .head()
+    val estClean = KmvSketch.distinctEstimate(clean, "g", "v", k).head()
+    assert(est.getLong(1) == estClean.getLong(1) &&
+      est.getDouble(2) == estClean.getDouble(2),
+      s"estimate must ignore NULLs: $est vs $estClean")
+  }
+
   test("estimate lands near the truth; small groups fall back to exact") {
     val big = (1L to 2000L).map(v => ("big", v))
     val tiny = (1L to 5L).map(v => ("tiny", v))
