@@ -4,47 +4,46 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** KMV distinct-count sketch as a typed `Aggregator` — the UDAF form
-  * of `operators.KmvSketch` (q42), for streaming/incremental use: the
-  * state is the SET of the K smallest distinct hash values seen
-  * (≤ K longs), `merge` is union + re-take-min-K — commutative,
-  * associative, and idempotent on re-delivered hashes, so partial
-  * sketches fold across partitions and micro-batches in any order and
-  * the result is independent of where batch boundaries fall
-  * (EventStreamsSpec pins stream == batch). The input is the
-  * engine-portable `token_hash60` of the key, so an external engine
-  * can recompute the identical sketch and estimate.
+/** KMV min-k state as a typed `Aggregator`, parameterized by k — the
+  * partial-aggregate form of `operators.KmvSketch`: the state is the
+  * SET of the k smallest distinct hash values seen (≤ k longs),
+  * `merge` is union + re-take-min-k — commutative, associative, and
+  * idempotent on re-delivered hashes, so partial sketches fold across
+  * partitions and micro-batches in any order. Used by q42's batch
+  * estimator (map-side combine: the shuffle carries O(groups × k)
+  * longs instead of the distinct hash stream) and, as the fixed-K
+  * [[MinKSketch]] instance, by the streaming windowed sketch.
   */
-object MinKSketch extends Aggregator[Long, Array[Long], Seq[Long]] {
-  val K = 32
+class MinKAgg(val k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+  require(k >= 1, s"min-k sketch needs k >= 1, got $k")
 
   override def zero: Array[Long] = Array.emptyLongArray
 
-  /** Insert `h` keeping the buffer a sorted distinct min-K set. */
+  /** Insert `h` keeping the buffer a sorted distinct min-k set. */
   override def reduce(buf: Array[Long], h: Long): Array[Long] = {
     val pos = java.util.Arrays.binarySearch(buf, h)
     if (pos >= 0) buf // already present
-    else if (buf.length < K) {
+    else if (buf.length < k) {
       val ins = -pos - 1
       val out = new Array[Long](buf.length + 1)
       System.arraycopy(buf, 0, out, 0, ins)
       out(ins) = h
       System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
       out
-    } else if (h >= buf(K - 1)) buf // not among the K smallest
+    } else if (h >= buf(k - 1)) buf // not among the k smallest
     else {
       val ins = -pos - 1
-      val out = new Array[Long](K)
+      val out = new Array[Long](k)
       System.arraycopy(buf, 0, out, 0, ins)
       out(ins) = h
-      System.arraycopy(buf, ins, out, ins + 1, K - ins - 1)
+      System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
       out
     }
   }
 
-  /** Sorted-merge union, capped at K distinct values. */
+  /** Sorted-merge union, capped at k distinct values. */
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    val out = new Array[Long](math.min(a.length + b.length, K))
+    val out = new Array[Long](math.min(a.length + b.length, k))
     var i = 0
     var j = 0
     var n = 0
@@ -64,6 +63,15 @@ object MinKSketch extends Aggregator[Long, Array[Long], Seq[Long]] {
 
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
+/** The fixed-K (32) sketch instance for streaming/incremental use —
+  * the input is the engine-portable `token_hash60` of the key, so an
+  * external engine can recompute the identical sketch and estimate
+  * (EventStreamsSpec pins stream == batch).
+  */
+object MinKSketch extends MinKAgg(32) {
+  val K = 32
 
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._

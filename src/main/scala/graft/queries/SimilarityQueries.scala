@@ -840,7 +840,12 @@ object SimilarityQueries {
         FROM pairs)
       SELECT q_id, rank, vec_id AS neighbor_id, adc AS adc_dist
       FROM ranked WHERE rank <= $PqTopK"""
-    })
+    },
+    // headline since r9: the FAISS-default production ANN path (s10's
+    // by_residual sibling) — same scale-safe plan shape (one scan, one
+    // broadcast join of per-(query, cell) tables, WindowGroupLimit
+    // rank), so it belongs in the measured record
+    headline = true)
 
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
     s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
