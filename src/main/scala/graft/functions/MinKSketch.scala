@@ -19,8 +19,14 @@ class MinKAgg(val k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
 
   override def zero: Array[Long] = Array.emptyLongArray
 
-  /** Insert `h` keeping the buffer a sorted distinct min-k set. */
+  /** Insert `h` keeping the buffer a sorted distinct min-k set.
+    * Negative inputs are ignored: every portable hash here is
+    * non-negative (60-bit md5 prefixes), so −1 serves as the "skip
+    * this row" sentinel that lets one aggregation pass carry several
+    * conditionally-fed sketches (q43's side sketches).
+    */
   override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    if (h < 0) return buf
     val pos = java.util.Arrays.binarySearch(buf, h)
     if (pos >= 0) buf // already present
     else if (buf.length < k) {

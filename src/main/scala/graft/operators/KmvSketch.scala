@@ -58,6 +58,68 @@ object KmvSketch {
       .select(col(groupCol), col("h"), (col("__pos") + 1).cast("int").as("rn"))
   }
 
+  /** Distinct-count estimates for the UNION and INTERSECTION of two
+    * sub-multisets from their min-k sketches alone (Beyer et al. 2007,
+    * "On synopses for distinct-value estimation under multiset
+    * operations") — the property that makes KMV the sketch for corpus
+    * OVERLAP questions ("how much vocabulary do two crawls share")
+    * without ever co-locating the corpora:
+    *
+    *  - the k smallest of sketchA ∪ sketchB IS the union's sketch
+    *    (the monoid merge KmvSketchSpec pins), so est_union follows
+    *    from the standard estimator; and
+    *  - for every hash h in the union sketch, membership in side X is
+    *    decidable from X's SKETCH alone (h ≤ the union's k-th min ≤
+    *    X's k-th min, so h ∈ X ⟺ h ∈ sketchX): ρ = |union-sketch ∩
+    *    sketchA ∩ sketchB| / |union-sketch| estimates Jaccard, and
+    *    est_inter = ρ · est_union.
+    *
+    * `sideCol` must be 0 (side A) or 1 (side B). One corpus pass →
+    * one shuffle on the hash (dedup + side flags) → a single global
+    * aggregate carrying both side sketches at once (the MinKAgg −1
+    * skip sentinel), O(k) state. Unsaturated sketches degrade to the
+    * EXACT set algebra (the sketches are the value sets), so small
+    * inputs return exact answers — same fallback as
+    * [[distinctEstimate]]. All arithmetic is deterministic and
+    * replayed exactly by the q43 oracle.
+    */
+  def setOpsEstimate(
+      df: DataFrame,
+      sideCol: String,
+      valueCol: String,
+      k: Int = DefaultK): DataFrame = {
+    val mk = udaf(new graft.functions.MinKAgg(k))
+    val perHash = df.select(col(sideCol).cast("long").as("__side"),
+        graft.functions.exprs.token_hash60(col(valueCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("h"))
+      .agg(max(when(col("__side") === 0, 1).otherwise(0)).as("inA"),
+        max(when(col("__side") === 1, 1).otherwise(0)).as("inB"))
+    val row = perHash.agg(
+      count(lit(1)).as("exact_union"),
+      sum((col("inA") * col("inB")).cast("long")).as("exact_inter"),
+      mk(when(col("inA") === 1, col("h")).otherwise(lit(-1L))).as("__sk_a"),
+      mk(when(col("inB") === 1, col("h")).otherwise(lit(-1L))).as("__sk_b"))
+    row
+      .withColumn("__sku",
+        slice(array_sort(array_distinct(concat(col("__sk_a"), col("__sk_b")))), 1, k))
+      .withColumn("__szu", size(col("__sku")))
+      .withColumn("est_union",
+        when(col("__szu") < k, col("__szu").cast("double"))
+          .otherwise(round(coalesce(
+            try_divide(lit((k - 1).toDouble) * lit(1L << 60), element_at(col("__sku"), k)),
+            col("__szu").cast("double")), 4)))
+      .withColumn("__rho",
+        size(array_intersect(array_intersect(col("__sku"), col("__sk_a")), col("__sk_b"))))
+      .withColumn("est_inter",
+        round(try_divide(col("__rho").cast("double") * col("est_union"),
+          col("__szu").cast("double")), 4))
+      .withColumn("est_jaccard",
+        round(try_divide(col("__rho").cast("double"), col("__szu").cast("double")), 4))
+      .select(col("exact_union"), col("est_union"), col("exact_inter"),
+        col("est_inter"), col("est_jaccard"))
+  }
+
   /** Per-group distinct-count estimate, self-audited against the exact
     * count: → (groupCol, exact_distinct, est_distinct, rel_err).
     * Groups with fewer than k distinct values fall back to the exact

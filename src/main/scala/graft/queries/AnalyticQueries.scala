@@ -493,9 +493,66 @@ object AnalyticQueries {
         round(abs(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_err
       FROM sel"""))
 
+  private val SetK = 256 // set-op sketch size (rel err ~ 1/sqrt(k) ≈ 6%)
+  private val SetN = 3 // shingle width for the vocabulary universe
+
+  /** KMV multiset operations (`KmvSketch.setOpsEstimate`, Beyer et
+    * al. 2007): union / intersection / Jaccard estimates for the
+    * 3-gram shingle vocabularies of two corpus halves (doc_id
+    * parity), from their min-k sketches alone — the corpus-overlap
+    * question ("how much text do two crawls share") answered without
+    * co-locating the corpora. One corpus pass, one hash-keyed
+    * shuffle, O(k) final state; the estimator arithmetic is exact on
+    * both engines, so the oracle hash-matches the ESTIMATES, and the
+    * exact union/intersection ride along as the self-audit (~16k ∪,
+    * ~4k ∩ at sf0.01 against k = 256).
+    */
+  val q43KmvSetOps = Q(
+    "q43_kmv_setops",
+    (s, dir) => {
+      import s.implicits._
+      val halves = Tables.documents(s, dir)
+        .select(($"doc_id" % 2).as("side"),
+          explode(DedupQueries.shingles($"text", SetN)).as("sh"))
+      graft.operators.KmvSketch.setOpsEstimate(halves, "side", "sh", SetK)
+    },
+    Some(s"""WITH sh3 AS (
+        SELECT doc_id % 2 AS side, unnest(${DedupQueries.shinglesSql(SetN)}) AS sh
+        FROM documents),
+      h0 AS (
+        SELECT DISTINCT side,
+          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM sh3),
+      ph AS (
+        SELECT h, max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ina,
+          max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS inb
+        FROM h0 GROUP BY h),
+      ska AS (SELECT h FROM ph WHERE ina = 1 ORDER BY h ASC LIMIT $SetK),
+      skb AS (SELECT h FROM ph WHERE inb = 1 ORDER BY h ASC LIMIT $SetK),
+      sku AS (
+        SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        ORDER BY h ASC LIMIT $SetK),
+      m AS (SELECT
+        (SELECT count(*) FROM ph) AS exact_union,
+        (SELECT count(*) FROM ph WHERE ina = 1 AND inb = 1) AS exact_inter,
+        (SELECT count(*) FROM sku) AS szu,
+        (SELECT max(h) FROM sku) AS hk,
+        (SELECT count(*) FROM sku
+          WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)) AS rho),
+      sel AS (SELECT *,
+        CASE WHEN szu < $SetK THEN szu::DOUBLE
+          ELSE round(COALESCE(${SetK - 1}.0 * ${1L << 60} / hk, szu::DOUBLE), 4)
+          END AS est_union
+        FROM m)
+      SELECT CAST(exact_union AS BIGINT) AS exact_union, est_union,
+        CAST(exact_inter AS BIGINT) AS exact_inter,
+        round(rho::DOUBLE * est_union / szu, 4) AS est_inter,
+        round(rho::DOUBLE / szu, 4) AS est_jaccard
+      FROM sel"""))
+
   val all: Seq[Q] = Seq(
     q27SemiAnti, q28Subqueries, q29ArrayAgg, q30Regex, q31Unpivot,
     q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube, q36Datetime,
     q37StratifiedSample, q38WelfordUdaf, q39GroupingSets, q40RollingRange,
-    q41CountMin, q42KmvDistinct)
+    q41CountMin, q42KmvDistinct, q43KmvSetOps)
 }

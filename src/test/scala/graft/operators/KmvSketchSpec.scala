@@ -60,6 +60,36 @@ class KmvSketchSpec extends SparkSpec {
     assert(out("tiny") == ((5L, 5.0, 0.0)), s"""tiny group: ${out("tiny")}""")
   }
 
+  test("set-ops: unsaturated sketches give EXACT union/intersection/Jaccard") {
+    // |A| = 40, |B| = 40, |A∩B| = 20, |A∪B| = 60 — all under k = 64,
+    // so the sketches ARE the value sets and every estimate is exact
+    val rows = ((1L to 40L).map(v => (0L, v)) ++ (21L to 60L).map(v => (1L, v)))
+      .toDF("side", "v")
+    val r = KmvSketch.setOpsEstimate(rows, "side", "v", k = 64).head()
+    assert(r.getLong(0) == 60L, s"exact_union: $r")
+    assert(r.getDouble(1) == 60.0, s"est_union must be exact unsaturated: $r")
+    assert(r.getLong(2) == 20L, s"exact_inter: $r")
+    assert(r.getDouble(3) == 20.0, s"est_inter must be exact unsaturated: $r")
+    assert(r.getDouble(4) == math.round(20.0 / 60.0 * 10000) / 10000.0, s"est_jaccard: $r")
+  }
+
+  test("set-ops: saturated estimates land near the truth") {
+    // |A∪B| = 6000, |A∩B| = 2000 against k = 256: rel err ~ 1/sqrt(k)
+    val rows = ((1L to 4000L).map(v => (0L, v)) ++ (2001L to 6000L).map(v => (1L, v)))
+      .toDF("side", "v")
+    val r = KmvSketch.setOpsEstimate(rows, "side", "v", k = 256).head()
+    assert(r.getLong(0) == 6000L && r.getLong(2) == 2000L, s"exact sides: $r")
+    val (estU, estI) = (r.getDouble(1), r.getDouble(3))
+    assert(math.abs(estU - 6000) / 6000.0 < 0.25, s"est_union off: $estU")
+    assert(math.abs(estI - 2000) / 2000.0 < 0.35, s"est_inter off: $estI")
+  }
+
+  test("MinKAgg ignores the negative skip sentinel") {
+    val agg = new graft.functions.MinKAgg(4)
+    val s = Seq(5L, -1L, 3L, -1L, 9L).foldLeft(agg.zero)(agg.reduce)
+    assert(s.toSeq == Seq(3L, 5L, 9L), s"sentinel leaked into the sketch: ${s.toSeq}")
+  }
+
   test("q42 on the real table: estimates within 3 sigma per group") {
     val rows = KmvSketch
       .distinctEstimate(Tables.lineitem(spark, sfDir), "l_returnflag", "l_orderkey", 32)
