@@ -763,10 +763,68 @@ object TextQueries {
        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f\x{200b}-\x{200f}\x{2060}\x{feff}]', '', 'g'),
        '[\t\n\r \p{Zs}]+', ' ', 'g'), ' ')"""
 
+  private val DsirB = graft.operators.Dsir.DefaultBuckets
+  private val DsirTopK = 50
+
+  /** DSIR-style importance-weighted data selection (`operators.Dsir`,
+    * Xie et al. 2023): hashed-bigram unigram models of a TARGET
+    * domain (sources src0/src1) and the raw corpus; every document
+    * weighted by its log importance ratio; top-50 selected
+    * deterministically (weight desc, id ties). `from_target` audits
+    * how much of the selection really comes from the target domain.
+    * Model-sized state throughout (4096 hashed buckets, broadcast);
+    * the 6 dp-per-term / 4 dp-per-doc rounding makes the weights
+    * engine-portable, so the oracle replays the full selection.
+    */
+  val t20Dsir = Q(
+    "t20_dsir_select",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val weighted = graft.operators.Dsir.importanceWeights(
+        docs.withColumn("is_tgt", $"source".isin("src0", "src1")),
+        "doc_id", "text", "is_tgt", DsirB)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"log_ratio".desc, $"doc_id".asc)
+      weighted
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= DsirTopK)
+        .join(docs.select($"doc_id", $"source".isin("src0", "src1").as("from_target")),
+          Seq("doc_id"))
+        .select($"doc_id", $"n_feats", $"log_ratio", $"rank", $"from_target")
+    },
+    Some(s"""WITH sh2 AS (
+        SELECT doc_id, source, unnest(${DedupQueries.shinglesSql(2)}) AS sh
+        FROM documents),
+      feats AS (
+        SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % $DsirB AS f
+        FROM sh2 WHERE len(string_split(sh, ' ')) = 2),
+      raw AS (SELECT f, count(*) AS nr FROM feats GROUP BY f),
+      tgtc AS (SELECT f, count(*) AS nt FROM feats WHERE tgt GROUP BY f),
+      tot AS (SELECT count(*) AS r_tot,
+        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_tot FROM feats),
+      lr AS (
+        SELECT raw.f,
+          round(ln((COALESCE(nt, 0) + 1) / (t_tot + $DsirB))
+              - ln((nr + 1) / (r_tot + $DsirB)), 6) AS lrv
+        FROM raw LEFT JOIN tgtc ON raw.f = tgtc.f, tot),
+      sc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+          round(sum(lrv), 4) AS log_ratio
+        FROM feats JOIN lr ON feats.f = lr.f GROUP BY doc_id),
+      rk AS (
+        SELECT *, row_number() OVER (ORDER BY log_ratio DESC, doc_id ASC) AS rank
+        FROM sc)
+      SELECT r.doc_id, n_feats, log_ratio, rank,
+        (d.source IN ('src0', 'src1')) AS from_target
+      FROM rk r JOIN documents d ON d.doc_id = r.doc_id
+      WHERE rank <= $DsirTopK"""))
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
       t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample,
-      t19Normalize)
+      t19Normalize, t20Dsir)
 }
