@@ -60,18 +60,25 @@ object Dsir {
       isTargetCol: String,
       buckets: Int = DefaultBuckets): DataFrame = {
     val feats = features(docs, idCol, textCol, isTargetCol, buckets)
-    val raw = feats.groupBy(col("__f")).agg(count(lit(1)).as("__nr"))
-    val tgt = feats.filter(col("__tgt")).groupBy(col("__f")).agg(count(lit(1)).as("__nt"))
-    val totals = feats.agg(
-      count(lit(1)).as("__R"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__T"))
+    // BOTH censuses in one corpus pass; the totals then derive from
+    // the model-sized census itself, so model fitting costs exactly
+    // one scan (scoring below is the second and last)
+    // lazy checkpoint: totals AND the LR table read the census — a
+    // model-sized frame (≤ buckets rows) — so materialize the census
+    // pass once instead of re-scanning the corpus per consumer (the
+    // SemDedup many-readers pattern)
+    val census = feats.groupBy(col("__f")).agg(
+      count(lit(1)).as("__nr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__nt"))
+      .localCheckpoint(false)
+    val totals = census.agg(sum(col("__nr")).as("__R"), sum(col("__nt")).as("__T"))
     // every bucket the corpus uses, with its 6 dp log ratio — bounded
     // by `buckets` rows, so the join back is a broadcast
-    val lr = raw.join(tgt, Seq("__f"), "left")
+    val lr = census
       .crossJoin(broadcast(totals))
       .select(col("__f"),
         round(
-          log((coalesce(col("__nt"), lit(0L)) + lit(1L)) / (col("__T") + lit(buckets.toLong))) -
+          log((col("__nt") + lit(1L)) / (col("__T") + lit(buckets.toLong))) -
             log((col("__nr") + lit(1L)) / (col("__R") + lit(buckets.toLong))),
           6).as("__lr"))
     feats

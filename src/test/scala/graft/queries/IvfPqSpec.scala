@@ -56,6 +56,45 @@ class IvfPqSpec extends SparkSpec {
   private lazy val s10 =
     Registry.byName("s10_ann_ivfpq").run(spark, sfDir)
 
+  test("cell-partitioned codes: probe list prunes partitions at the scan") {
+    // the s10 scale story made concrete: write the encoded corpus with
+    // the coarse cell as a PARTITION COLUMN, and a probe-restricted
+    // read touches only the probed cells' files — partition pruning,
+    // not a post-scan filter
+    val cents = e.filter($"vec_id" < NC).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val cb = ProductQuantizer.fitCodebook(e, "embedding", "vec_id", M, K, dim = 64)
+    val enc = ProductQuantizer.encode(
+      e.select($"vec_id", $"embedding",
+        graft.functions.exprs.coarse_assign_cell($"embedding", cents).as("c_id")),
+      "embedding", cb)
+      .select($"vec_id", $"c_id", $"code_0", $"code_1", $"code_2", $"code_3")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-cells").toString
+    enc.write.mode("overwrite").partitionBy("c_id").parquet(dir)
+
+    val probed = Seq(2L, 5L, 11L)
+    val expect = enc.filter($"c_id".isin(probed: _*)).count()
+    assert(expect > 0, "probed cells must hold rows for the test to mean anything")
+
+    // the pruned scan declares the partition filter...
+    val back = spark.read.parquet(dir).filter($"c_id".isin(probed: _*))
+    val planStr = back.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("c_id"),
+      s"scan must push the cell restriction as a partition filter:\n$planStr")
+
+    // ...and provably never touches unprobed cells: corrupt an
+    // unprobed partition's file — the pruned read still answers, the
+    // full scan chokes on it
+    val victim = new java.io.File(s"$dir/c_id=1").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.write(victim.toPath, "not a parquet file".getBytes)
+    assert(back.count() === expect,
+      "partition-pruned read must not touch (now corrupt) unprobed cells")
+    intercept[Exception] {
+      spark.read.parquet(dir).count()
+    }
+  }
+
   test("native coarse-assign kernel == declarative argmax tree, all rows") {
     // the queries run CoarseAssignCell (driver-side centroid state,
     // one call per row); the declarative k-cosine array formula is
