@@ -478,8 +478,76 @@ object DedupQueries {
       SELECT doc_id, source, n_chars FROM documents
       WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)"""))
 
+  /** Relative edit-distance threshold for d11 (pairs within 2% edits
+    * of the longer document). Interpolated into the oracle SQL, so the
+    * two sides cannot drift.
+    */
+  private val EditTau = 0.02
+
+  /** d11: fuzzy dedup — exact EDIT-DISTANCE verification over d03's
+    * LSH candidate pairs (candidate-then-verify, the only shape edit
+    * distance survives at corpus scale: the DP is O(n·m) per pair, so
+    * it must never see more than the near-linear candidate set).
+    * Complements d02: Jaccard is order-insensitive bag-of-shingles
+    * similarity; edit distance catches character-level mutation
+    * (OCR noise, template fills) the shingle view smears.
+    *
+    * Two provable prunes keep the per-pair cost banded:
+    *  1. `||a|-|b|| <= cap` BEFORE the DP — the length difference is a
+    *     lower bound on edit distance, so the filter is a free column
+    *     comparison that can never drop a qualifying pair.
+    *  2. `levenshtein(a, b, cap)` — Spark's thresholded variant bails
+    *     out of the DP once the banded diagonal exceeds `cap`
+    *     (Ukkonen-style cutoff), returning -1. `cap` is derived from
+    *     ONE driver-side scalar (the corpus max length, the X10
+    *     pattern): any pair with rounded rel-distance <= EditTau has
+    *     lev <= EditTau·maxlen(pair) + rounding slack < cap, so the
+    *     cutoff only ever removes pairs the final filter rejects
+    *     anyway (FuzzyDedupSpec pins capped ≡ uncapped).
+    * The -1 sentinel rows are dropped by `lev >= 0` (without it a
+    * bailed-out pair's negative rel_dist would pass the <= filter).
+    *
+    * Reference: the dedup ladder over documents (SURVEY §2 A10
+    * generalized); Levenshtein 1966; Ukkonen 1985 banded cutoff.
+    */
+  val d11FuzzyDedup = Q(
+    "d11_fuzzy_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val cand = graft.operators.TextDedup
+        .minhashCandidates(docs, "doc_id", "text")
+        .select($"doc_a", $"doc_b")
+      val gmax = docs.agg(max(length($"text"))).head.getInt(0)
+      val cap = math.ceil(EditTau * gmax).toInt + 1
+      val texts = docs.select($"doc_id", $"text", length($"text").as("len"))
+      cand
+        .join(texts.select($"doc_id".as("doc_a"), $"text".as("text_a"),
+          $"len".as("len_a")), "doc_a")
+        .join(texts.select($"doc_id".as("doc_b"), $"text".as("text_b"),
+          $"len".as("len_b")), "doc_b")
+        .filter(abs($"len_a" - $"len_b") <= cap)
+        .select($"doc_a", $"doc_b",
+          levenshtein($"text_a", $"text_b", cap).cast("long").as("lev"),
+          greatest($"len_a", $"len_b").as("maxlen"))
+        .select($"doc_a", $"doc_b", $"lev",
+          round($"lev" / $"maxlen", 4).as("rel_dist"))
+        .filter($"lev" >= 0 && $"rel_dist" <= EditTau)
+    },
+    Some(s"""WITH $lshCandSql
+      SELECT c.doc_a, c.doc_b,
+        CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+          / greatest(length(a.text), length(b.text)), 4) AS rel_dist
+      FROM cand c
+      JOIN documents a ON a.doc_id = c.doc_a
+      JOIN documents b ON b.doc_id = c.doc_b
+      WHERE round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+          / greatest(length(a.text), length(b.text)), 4) <= $EditTau"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
       d05EmbeddingNearDup, d06DedupClusters, d07LshRecall, d08Decontaminate,
-      d09SpanDedup, d10DecontaminateBloom)
+      d09SpanDedup, d10DecontaminateBloom, d11FuzzyDedup)
 }
