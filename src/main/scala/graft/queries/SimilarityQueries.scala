@@ -847,7 +847,100 @@ object SimilarityQueries {
     // rank), so it belongs in the measured record
     headline = true)
 
+  /** s12: BM25 top-k lexical retrieval — the inverted-index shape that
+    * sits beside embedding ANN in every retrieval / RAG data pipeline
+    * (Robertson & Zaragoza 2009; Lucene's BM25 with the +1 idf that
+    * keeps saturated terms non-negative). Query set = every corpus doc
+    * with doc_id % 97 == 0, self-matches excluded, top-10 per query.
+    *
+    * Scale shape: the posting-list side (term → doc tf) stays
+    * partitioned by term and NEVER moves to the driver; corpus stats
+    * cross the driver as TWO scalars (doc count, total token count —
+    * the X10 pattern); the query-term table is tiny and explicitly
+    * `broadcast()`, so scoring is one shuffle-free map-side join over
+    * the posting lists plus one partial-aggregating groupBy on
+    * (query_id, doc_id). Top-10 via row_number + filter, which Spark
+    * pre-truncates with WindowGroupLimit before the final sort. At
+    * 100 TB the posting lists are the big side and stopword terms are
+    * the skew — AQE's skew-join split handles them; block-max WAND
+    * pruning is the next rung and is deliberately out of scope.
+    *
+    * Determinism contract (CLAUDE.md): every FP op before the sum is
+    * written in the same left-associative order on both sides over
+    * exact integers, so each rounds identically; the per-term
+    * contribution is then quantized to integer MICRO-units, making the
+    * per-(query, doc) sum a bigint — exact and summation-order-free
+    * (a 4-dp round of a double sum still flipped one boundary row at
+    * sf0.001). One final division + 4 dp round; ranking orders on the
+    * ROUNDED score with a doc_id tie-break.
+    */
+  val s12Bm25 = Q(
+    "s12_bm25_topk",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.wsTokens
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select($"doc_id", explode(wsTokens($"text")).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      // ONE stats job, two scalars to the driver: N docs, total tokens
+      val st = docs.agg(
+        count(lit(1)).as("n"),
+        sum(size(wsTokens($"text"))).as("s")).head()
+      val n = st.getLong(0)
+      val sTok = st.getLong(1)
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val qt = toks.filter($"doc_id" % 97 === 0)
+        .select($"doc_id".as("query_id"), $"term").distinct()
+      val idf = log(lit(1.0) + (lit(n) - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+      val tff = ($"tf" * lit(2.2)) /
+        ($"tf" + lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl" * lit(n)) / lit(sTok)))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"score".desc, $"doc_id".asc)
+      tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .join(broadcast(qt), "term")
+        .filter($"doc_id" =!= $"query_id")
+        .select($"query_id", $"doc_id",
+          round(idf * tff * lit(1000000.0), 0).cast("long").as("c"))
+        .groupBy($"query_id", $"doc_id")
+        .agg(round(sum($"c") / lit(1000000.0), 4).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"rank", $"doc_id", $"score")
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, unnest(${graft.functions.TextFunctions.wsTokensSql}) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT count(*) FROM toks) AS s),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      qt AS (SELECT DISTINCT doc_id AS query_id, term FROM toks
+             WHERE doc_id % 97 = 0),
+      contrib AS (
+        SELECT q.query_id, t.doc_id,
+          CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) *
+            ((t.tf * 2.2) /
+             (t.tf + 1.2 * (0.25 + (0.75 * l.dl * st.n) / st.s)))
+            * 1000000.0, 0) AS BIGINT) AS c
+        FROM tf t
+        JOIN dl l USING (doc_id)
+        JOIN dfreq d USING (term)
+        JOIN qt q USING (term), stats st
+        WHERE t.doc_id <> q.query_id),
+      scored AS (
+        SELECT query_id, doc_id, round(sum(c) / 1000000.0, 4) AS score
+        FROM contrib GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10"""),
+    headline = true)
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
     s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
-    s11IvfPqResidual)
+    s11IvfPqResidual, s12Bm25)
 }
