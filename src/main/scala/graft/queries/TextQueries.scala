@@ -821,10 +821,24 @@ object TextQueries {
       FROM rk r JOIN documents d ON d.doc_id = r.doc_id
       WHERE rank <= $DsirTopK"""))
 
+  /** t21: TextRank keyword salience — PageRank over the token
+    * co-occurrence graph (see `operators.TextRank` for the full design
+    * and determinism notes). One corpus pass for the edge census; ten
+    * integer-micro PageRank rounds on the vocab-sized graph; the
+    * DuckDB oracle replays the iteration bit-for-bit via an unrolled
+    * CTE chain.
+    */
+  val t21TextRank = Q(
+    "t21_textrank",
+    (s, dir) => graft.operators.TextRank.ranks(
+      Tables.documents(s, dir), "text"),
+    Some(s"WITH ${graft.operators.TextRank.ranksSql(DedupQueries.shinglesSql(2))}"),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
       t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample,
-      t19Normalize, t20Dsir)
+      t19Normalize, t20Dsir, t21TextRank)
 }
