@@ -17,15 +17,32 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
-    val entries = names.split(",").map(_.trim).filter(_.nonEmpty).map { name =>
+    val fresh = names.split(",").map(_.trim).filter(_.nonEmpty).map { name =>
       val q = graft.queries.Registry.byName(name)
       val sql = q.oracle.getOrElse(sys.error(
         s"$name has no oracle SQL — only spec coverage; nothing to dump"))
       q.run(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      s"${Verify.jsonQuote(name)}: ${Verify.jsonQuote(sql)}"
+      name -> sql
     }
+    // Merge with any oracle_sql.json already in outDir: sequential
+    // single-query runs into one dir (the documented cross-SF workflow)
+    // must accumulate entries, not clobber each other — otherwise only
+    // the LAST query survives and check.py KeyErrors on the rest.
+    val prior: Seq[(String, String)] = {
+      val f = new java.io.File(s"$outDir/oracle_sql.json")
+      if (!f.isFile) Seq.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val it = node.fieldNames()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(k => k -> node.get(k).asText()).toSeq
+      }
+    }
+    val freshNames = fresh.map(_._1).toSet
+    val merged = prior.filterNot(e => freshNames(e._1)) ++ fresh
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      entries.mkString("{", ", ", "}"))
+      merged.map { case (n, s) => s"${Verify.jsonQuote(n)}: ${Verify.jsonQuote(s)}" }
+        .mkString("{", ", ", "}"))
     spark.stop()
   }
 }

@@ -82,4 +82,36 @@ object TextFunctions {
   /** English stopwords used by the quality score. */
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "is", "in", "it", "that")
+
+  /** Composite heuristic quality score (t03's formula), rounded 4 dp:
+    * 0 for degenerate (<5-token) docs, else
+    * 1 − |stopword_ratio − 0.4| − punct_ratio. Shared by t03 and the
+    * d12 canonical-selection query so the two cannot drift; the ≥5
+    * token guard also guarantees the divisors are nonzero, so the
+    * score is never NULL.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(text)
+    val nToks = size(toks).cast("double")
+    val stopHits = tokensInSet(toks, stopwords).cast("double")
+    val punct = length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double")
+    round(
+      when(nToks < 5, 0.0).otherwise(
+        lit(1.0) - abs(stopHits / nToks - lit(0.4)) - punct / length(text)),
+      4)
+  }
+
+  /** DuckDB rendering of the same score (for oracle SQL); the stopword
+    * list is interpolated from [[stopwords]] so it can't drift either.
+    */
+  val qualityScoreSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(",")
+    s"""round(CASE WHEN len($wsTokensSql) < 5 THEN 0.0
+          ELSE 1.0
+            - abs(len(list_filter($wsTokensSql,
+                t -> t IN ($stopList)))
+              * 1.0 / len($wsTokensSql) - 0.4)
+            - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)
+          END, 4)"""
+  }
 }

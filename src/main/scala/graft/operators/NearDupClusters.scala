@@ -120,4 +120,53 @@ object NearDupClusters {
       .select(col("doc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Dedup by cluster keeping each cluster's BEST member, not an
+    * arbitrary one — the canonical-selection policy production
+    * pipelines run after near-dup clustering (drop every duplicate
+    * copy except the highest-quality one). Ranking is deterministic:
+    * `scoreCol` descending (NULLS LAST), id ascending on ties — so
+    * with a constant score this degrades exactly to
+    * [[keepRepresentatives]] (min id), which NearDupClustersSpec pins.
+    *
+    * Scale shape: every frame derived from the pair graph (components,
+    * ranked members, losers, winner metadata) is bounded by the LSH
+    * candidate set — near-linear in the corpus and broadcastable — so
+    * the corpus-sized `docs` is touched by exactly ONE anti-join (drop
+    * losers) plus one left join (attach cluster metadata). No
+    * corpus-wide window, no corpus shuffle: partitioning the whole
+    * corpus by `comp` would shuffle 100 TB to rank the <1% of rows
+    * that are clustered.
+    *
+    * @param docs must carry `idCol` and `scoreCol`
+    * @return surviving docs (original schema) + `comp` (cluster
+    *   representative id = min member id; own id for singletons) +
+    *   `cluster_size` (1 for singletons)
+    */
+  def keepBest(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "score",
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val clustered = docs.select(col(idCol), col(scoreCol))
+      .join(comps.withColumnRenamed("doc_id", idCol), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    val ranked = clustered.withColumn("rn", row_number().over(w))
+    val losers = ranked.filter(col("rn") > 1).select(col(idCol))
+    val sizes = comps.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val winners = ranked.filter(col("rn") === 1)
+      .select(col(idCol), col("comp"))
+      .join(sizes, Seq("comp"))
+      .select(col(idCol), col("comp"), col("cluster_size"))
+    docs.join(losers, Seq(idCol), "left_anti")
+      .join(winners, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+  }
 }

@@ -546,8 +546,70 @@ object DedupQueries {
           / greatest(length(a.text), length(b.text)), 4) <= $EditTau"""),
     headline = true)
 
+  /** d12: canonical selection — the dedup RESOLUTION stage that runs
+    * after clustering: within every near-dup cluster (d06's connected
+    * components over the d03 candidate graph), keep only the
+    * HIGHEST-QUALITY member (t03's composite score, ranked on the
+    * 4 dp-ROUNDED value with a doc_id tie-break per CLAUDE.md), drop
+    * the rest; singletons survive untouched. This is the policy real
+    * corpus pipelines apply (keep the best copy, not an arbitrary
+    * one) — d06 labels clusters, d12 resolves them.
+    *
+    * Spark side is `NearDupClusters.keepBest`: the corpus is touched
+    * by one anti-join + one metadata left join; everything else is
+    * bounded by the candidate graph. Oracle replays the recursive-CTE
+    * transitive closure (d06's), the shared quality formula
+    * (`TextFunctions.qualityScoreSql` — same string t03 interpolates),
+    * and the same deterministic window rank.
+    *
+    * Reference: the dedup ladder over documents (SURVEY §2 A10 + W1
+    * composed); cluster-representative selection per Lee et al. 2021.
+    */
+  val d12CanonicalKeep = Q(
+    "d12_canonical_keep",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select($"doc_id", qualityScore($"text").as("quality_score"))
+      val pairs = graft.operators.TextDedup
+        .minhashCandidates(docs, "doc_id", "text")
+        .filter($"est_sim" >= 0.5)
+        .select($"doc_a", $"doc_b")
+      graft.operators.NearDupClusters
+        .keepBest(scored, pairs, idCol = "doc_id", scoreCol = "quality_score")
+        .select($"doc_id", $"comp", $"quality_score", $"cluster_size")
+    },
+    Some {
+      val d03Sql = d03MinhashLsh.oracle.get
+      s"""WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ($d03Sql) WHERE est_sim >= 0.5),
+        und AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        lab AS (
+          SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
+            $qualityScoreSql AS quality_score
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        sz AS (SELECT comp, count(*) AS cluster_size FROM lab GROUP BY comp),
+        rk AS (
+          SELECT doc_id, comp, quality_score,
+            row_number() OVER (
+              PARTITION BY comp
+              ORDER BY quality_score DESC NULLS LAST, doc_id ASC) AS rn
+          FROM lab)
+      SELECT r.doc_id, r.comp, r.quality_score,
+        CAST(s.cluster_size AS BIGINT) AS cluster_size
+      FROM rk r JOIN sz s ON s.comp = r.comp WHERE r.rn = 1"""
+    })
+
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
       d05EmbeddingNearDup, d06DedupClusters, d07LshRecall, d08Decontaminate,
-      d09SpanDedup, d10DecontaminateBloom, d11FuzzyDedup)
+      d09SpanDedup, d10DecontaminateBloom, d11FuzzyDedup, d12CanonicalKeep)
 }

@@ -73,10 +73,8 @@ object TextQueries {
         round(try_divide(length($"text").cast("double"), nToks), 4).as("mean_token_span"),
         round(try_divide(stopHits, nToks), 4).as("stopword_ratio"),
         round(try_divide(punct, length($"text")), 4).as("punct_ratio"),
-        round(
-          when(nToks < 5, 0.0).otherwise(
-            lit(1.0) - abs(stopHits / nToks - lit(0.4)) - punct / length($"text")),
-          4).as("quality_score"))
+        // shared with d12's canonical selection (TextFunctions)
+        qualityScore($"text").as("quality_score"))
     },
     Some(s"""SELECT doc_id,
         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens,
@@ -85,13 +83,7 @@ object TextQueries {
               t -> t IN ('the','a','an','of','and','to','is','in','it','that')))
           / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 4) AS stopword_ratio,
         round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
-        round(CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) < 5 THEN 0.0
-          ELSE 1.0
-            - abs(len(list_filter(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
-                t -> t IN ('the','a','an','of','and','to','is','in','it','that')))
-              * 1.0 / len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) - 0.4)
-            - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)
-          END, 4) AS quality_score
+        $qualityScoreSql AS quality_score
       FROM documents"""))
 
   /** Language ID via per-language marker-word scores with a

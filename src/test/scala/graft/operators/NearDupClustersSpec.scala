@@ -56,4 +56,39 @@ class NearDupClustersSpec extends SparkSpec {
     assert(NearDupClusters.connectedComponents(empty).count() == 0)
     assert(NearDupClusters.keepRepresentatives(docs, empty).count() == 3)
   }
+
+  test("keepBest keeps the highest-scored member per cluster; singletons survive") {
+    // clusters {1,2,3} (best = 2), {5,6} (best = 6); 4 is a singleton
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),
+      (4L, 0.1),
+      (5L, 0.3), (6L, 0.7)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = NearDupClusters.keepBest(docs, pairs, scoreCol = "score")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // (doc_id, comp, cluster_size): winners carry their cluster's min-id
+    // label and true size; the singleton labels itself with size 1
+    assert(kept == Seq((2L, 1L, 3L), (4L, 4L, 1L), (6L, 5L, 2L)))
+  }
+
+  test("keepBest with a constant score degrades to keepRepresentatives (min-id tie-break)") {
+    val docs = (1L to 6L).map(i => (i, 1.0)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val best = NearDupClusters.keepBest(docs, pairs, scoreCol = "score")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val reps = NearDupClusters
+      .keepRepresentatives((1L to 6L).map(i => (i, 1.0)).toDF("doc_id", "score"), pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(best == reps && best == Seq(1L, 4L, 5L))
+  }
+
+  test("keepBest ranks NULL scores last") {
+    val docs = Seq(
+      (1L, Some(0.2)), (2L, None), (3L, Some(0.4))).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = NearDupClusters.keepBest(docs, pairs, scoreCol = "score")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L)) // 0.4 beats 0.2 beats NULL
+  }
 }

@@ -216,9 +216,12 @@ class PlanShapeSpec extends SparkSpec {
     // per-doc scores × the 1-row broadcast bias/total frames
     // s10: the 8-row query set × 16-row centroid probe stage (s02's
     // pattern; corpus-side assignment is a zero-shuffle argmax)
+    // t20: the 4096-row LR table × the 1-row (R, T) totals aggregate —
+    // the single-corpus-pass DSIR fit attaches both census totals as
+    // one broadcast scalar row (X10 pattern), never corpus × corpus
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin",
       "s08_pq_adc", "s09_pq_recall", "s10_ann_ivfpq", "s11_ann_ivfpq_residual",
-      "t17_quality_classifier")
+      "t17_quality_classifier", "t20_dsir_select")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
