@@ -159,15 +159,11 @@ object ShingleImpl {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** Word n-gram shingles in one pass: tokenize on `\s+` runs (same
-    * set as Java regex \s over the trimmed string), then emit
-    * space-joined n-grams; short docs yield the whole token string as
-    * one shingle. Byte-compatible with the declarative
-    * trim/split/slice/array_join composition it replaces.
+  /** Non-empty `\s+`-separated tokens (same character set as Java
+    * regex \s): the one tokenizer shared by every kernel in this file,
+    * behavior-identical to `TextFunctions.wsTokens`.
     */
-  def wordShingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val s = text.toString
-    // tokenize
+  private[functions] def tokenize(s: String): scala.collection.mutable.ArrayBuffer[String] = {
     val toks = new scala.collection.mutable.ArrayBuffer[String](64)
     var i = 0
     val len = s.length
@@ -181,6 +177,17 @@ object ShingleImpl {
         if (i == len) i += 1
       } else i += 1
     }
+    toks
+  }
+
+  /** Word n-gram shingles in one pass: tokenize on `\s+` runs (same
+    * set as Java regex \s over the trimmed string), then emit
+    * space-joined n-grams; short docs yield the whole token string as
+    * one shingle. Byte-compatible with the declarative
+    * trim/split/slice/array_join composition it replaces.
+    */
+  def wordShingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = tokenize(text.toString)
     val m = toks.length
     val out =
       if (m < n) Array[Any](UTF8String.fromString(toks.mkString(" ")))
@@ -230,6 +237,38 @@ object ShingleImpl {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array[Any](maxC, dup, total.toLong))
+  }
+
+  /** Per-document term-frequency posting list in one local pass:
+    * struct(dl = token count, freqs = [(term, tf)] in first-occurrence
+    * order). Exists so inverted-index construction (BM25 / TF-IDF) is
+    * a zero-shuffle projection: the (doc, term) → tf census is
+    * row-local, so the corpus-wide explode + groupBy shuffle the
+    * declarative plan pays — the single largest exchange of a lexical
+    * index build at 100 TB — never happens. Tokenizer and counts are
+    * behavior-identical to the `wsTokens`-explode-groupBy composition.
+    */
+  def termFreqs(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(text.toString)
+    // LinkedHashMap: deterministic first-occurrence output order
+    val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val freqs = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      freqs(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      toks.length.toLong,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(freqs)))
   }
 }
 
@@ -281,6 +320,41 @@ case class NgramRepStats(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): NgramRepStats =
     copy(child = newChild)
+}
+
+/** Per-document posting-list kernel: string → struct<dl: long,
+  * freqs: array<struct<term: string, tf: long>>> (see
+  * [[ShingleImpl.termFreqs]]). One codegen'd static call per document
+  * replaces the explode + corpus-wide (doc, term) groupBy — term
+  * frequencies never leave their row.
+  */
+case class TermFreqs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"term_freqs requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = TermFreqs.schema
+  override def prettyName: String = "term_freqs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleImpl.termFreqs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleImpl.termFreqs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TermFreqs =
+    copy(child = newChild)
+}
+
+object TermFreqs {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("freqs", ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
 }
 
 /** Membership-count kernel: how many tokens of an array are in a fixed
@@ -853,6 +927,8 @@ object exprs {
 
   def ngram_rep_stats(c: Column, n: Int): Column =
     SparkShims.column(NgramRepStats(SparkShims.expression(c), n))
+  def term_freqs(c: Column): Column =
+    SparkShims.column(TermFreqs(SparkShims.expression(c)))
 
   def normalize_text(c: Column): Column =
     SparkShims.column(NormalizeText(SparkShims.expression(c)))

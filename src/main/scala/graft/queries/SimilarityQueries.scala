@@ -853,17 +853,29 @@ object SimilarityQueries {
     * keeps saturated terms non-negative). Query set = every corpus doc
     * with doc_id % 97 == 0, self-matches excluded, top-10 per query.
     *
-    * Scale shape: the posting-list side (term → doc tf) stays
-    * partitioned by term and NEVER moves to the driver; corpus stats
-    * cross the driver as TWO scalars (doc count, total token count —
-    * the X10 pattern); the query-term table is tiny and explicitly
-    * `broadcast()`, so scoring is one shuffle-free map-side join over
-    * the posting lists plus one partial-aggregating groupBy on
-    * (query_id, doc_id). Top-10 via row_number + filter, which Spark
-    * pre-truncates with WindowGroupLimit before the final sort. At
-    * 100 TB the posting lists are the big side and stopword terms are
-    * the skew — AQE's skew-join split handles them; block-max WAND
-    * pruning is the next rung and is deliberately out of scope.
+    * Scale shape: posting-list construction is ZERO-shuffle — the
+    * native `term_freqs` kernel (one codegen'd call per document)
+    * emits each doc's (term, tf) census and length row-locally, so
+    * the corpus-wide explode + (doc, term) groupBy exchange — the
+    * single largest shuffle of a lexical index build at 100 TB —
+    * never happens. Corpus stats (doc count, total token count) ride
+    * as a 1-row broadcast frame (t20's X10 pattern) rather than eager
+    * driver scalars, so the whole query is ONE action and AQE runs
+    * the stats census, the query branch, and the df census as
+    * concurrent leaf stages; the query-term table and the
+    * query-vocabulary-restricted df census are tiny and explicitly
+    * `broadcast()`, so scoring is two shuffle-free map-side joins
+    * over the posting lists plus one partial-aggregating groupBy on
+    * (query_id, doc_id) restricted to query-matched postings — the
+    * plan's only corpus-scale exchange. (A served production index
+    * would persist/write the compact posting lists once; here each
+    * branch recomputes the cheap kernel scan instead — at one query
+    * batch per corpus read, materialization costs more than it saves.)
+    * Top-10 via row_number + filter, which Spark pre-truncates with
+    * WindowGroupLimit before the final sort. At 100 TB the posting
+    * lists are the big side and stopword terms are the skew — AQE's
+    * skew-join split handles them; block-max WAND pruning is the next
+    * rung and is deliberately out of scope.
     *
     * Determinism contract (CLAUDE.md): every FP op before the sum is
     * written in the same left-associative order on both sides over
@@ -871,40 +883,74 @@ object SimilarityQueries {
     * contribution is then quantized to integer MICRO-units, making the
     * per-(query, doc) sum a bigint — exact and summation-order-free
     * (a 4-dp round of a double sum still flipped one boundary row at
-    * sf0.001). One final division + 4 dp round; ranking orders on the
-    * ROUNDED score with a doc_id tie-break.
+    * sf0.001). The 4-dp HALF_UP round then happens in INTEGER
+    * arithmetic ((sum + 50) div 100 on the 6-dp micros) — rounding
+    * the double quotient instead hit a half boundary at sf1, where
+    * Spark's BigDecimal round and DuckDB's multiply-then-round
+    * disagree — followed by one exact integer/1e4 division; ranking
+    * orders on that score with a doc_id tie-break.
     */
   val s12Bm25 = Q(
     "s12_bm25_topk",
     (s, dir) => {
       import s.implicits._
-      import graft.functions.TextFunctions.wsTokens
+      import graft.functions.exprs
       val docs = Tables.documents(s, dir)
-      val toks = docs.select($"doc_id", explode(wsTokens($"text")).as("term"))
-      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-      // ONE stats job, two scalars to the driver: N docs, total tokens
-      val st = docs.agg(
-        count(lit(1)).as("n"),
-        sum(size(wsTokens($"text"))).as("s")).head()
-      val n = st.getLong(0)
-      val sTok = st.getLong(1)
-      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val qt = toks.filter($"doc_id" % 97 === 0)
-        .select($"doc_id".as("query_id"), $"term").distinct()
-      val idf = log(lit(1.0) + (lit(n) - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+      // Posting-list build: ZERO shuffle. `term_freqs` computes each
+      // doc's (term, tf) census and length inside its own row (one
+      // codegen'd kernel call per doc); the projection + explode that
+      // follow never exchange anything. The kernel struct is aliased
+      // ONCE (`p`) so CollapseProject cannot duplicate the non-cheap
+      // call into per-field copies.
+      val tf = docs
+        .select($"doc_id", exprs.term_freqs($"text").as("p"))
+        .select($"doc_id", $"p.dl".as("dl"), explode($"p.freqs").as("f"))
+        .select($"doc_id", $"dl", $"f.term".as("term"), $"f.tf".as("tf"))
+      // Corpus stats (N docs, total tokens) as a 1-row frame attached
+      // by broadcast cross-join (t20's X10 pattern) instead of eager
+      // driver scalars: the whole query is then ONE action — no
+      // count()/head() barrier jobs — and AQE runs the stats census,
+      // the query branch, and the df census as CONCURRENT leaf stages
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(exprs.term_freqs($"text").getField("dl")).as("s_tok"))
+      // The query-term table comes from the FILTERED raw docs, not
+      // from the corpus-wide cache: the 1-in-97 filter reaches the
+      // scan, so this branch is corpus/97-sized work; kernel freqs are
+      // per-doc unique, so no distinct is needed
+      val qt = docs.filter($"doc_id" % 97 === 0)
+        .select($"doc_id".as("query_id"),
+          explode(exprs.term_freqs($"text").getField("freqs")).as("f"))
+        .select($"query_id", $"f.term".as("term"))
+      // df census restricted to terms some query contains — identical
+      // values for every term that can contribute, and the restriction
+      // makes the census query-vocabulary-sized, hence BROADCASTABLE:
+      // the scoring join then never shuffles the posting lists by term
+      val dfreq = tf
+        .join(broadcast(qt.select($"term").distinct()), Seq("term"))
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      // Same left-associative FP order as the oracle, with n_docs and
+      // s_tok as 1-row broadcast columns in place of driver literals
+      val idf = log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
       val tff = ($"tf" * lit(2.2)) /
-        ($"tf" + lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl" * lit(n)) / lit(sTok)))
+        ($"tf" + lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl" * $"n_docs") / $"s_tok"))
       val w = Window.partitionBy($"query_id")
         .orderBy($"score".desc, $"doc_id".asc)
-      tf.join(dl, "doc_id")
-        .join(dfreq, "term")
+      tf.join(broadcast(dfreq), "term")
         .join(broadcast(qt), "term")
+        .crossJoin(broadcast(stats))
         .filter($"doc_id" =!= $"query_id")
         .select($"query_id", $"doc_id",
           round(idf * tff * lit(1000000.0), 0).cast("long").as("c"))
         .groupBy($"query_id", $"doc_id")
-        .agg(round(sum($"c") / lit(1000000.0), 4).as("score"))
+        .agg(sum($"c").as("sum_c"))
+        // 4-dp HALF_UP entirely in bigint arithmetic ((x+50) div 100
+        // on 6-dp micros), then ONE exact-integer/1e4 division: at sf1
+        // a micro-sum ending in ...50 hit the half boundary, where
+        // Spark's BigDecimal round and DuckDB's multiply-then-round
+        // disagree by 1 ulp — integer rounding has no such boundary
+        .select($"query_id", $"doc_id",
+          (expr("(sum_c + 50) div 100") / lit(10000.0)).as("score"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 10)
         .select($"query_id", $"rank", $"doc_id", $"score")
@@ -931,7 +977,8 @@ object SimilarityQueries {
         JOIN qt q USING (term), stats st
         WHERE t.doc_id <> q.query_id),
       scored AS (
-        SELECT query_id, doc_id, round(sum(c) / 1000000.0, 4) AS score
+        SELECT query_id, doc_id,
+          (CAST((sum(c) + 50) // 100 AS BIGINT)) / 10000.0 AS score
         FROM contrib GROUP BY 1, 2),
       ranked AS (
         SELECT *, row_number() OVER (

@@ -107,6 +107,43 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(h == 648541476951500027L)
   }
 
+  test("TermFreqs native kernel == wsTokens explode+groupBy on real documents") {
+    val docs = Tables.documents(spark, sfDir)
+    // declarative reference census
+    val ref = docs
+      .select($"doc_id", explode(TextFunctions.wsTokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val kern = docs
+      .select($"doc_id", exprs.term_freqs($"text").as("p"))
+      .select($"doc_id", explode($"p.freqs").as("f"))
+      .select($"doc_id", $"f.term".as("term"), $"f.tf".as("tf"))
+    assert(ref.exceptAll(kern).isEmpty && kern.exceptAll(ref).isEmpty)
+    // dl == token count for every doc
+    val dlBad = docs
+      .select(TextFunctions.tokenCount($"text").cast("long").as("want"),
+        exprs.term_freqs($"text").getField("dl").as("got"))
+      .filter($"want" =!= $"got").count()
+    assert(dlBad == 0)
+  }
+
+  test("TermFreqs edge cases: empty, whitespace-only, repeats, mixed whitespace") {
+    val rows = Seq("", "  \t\n ", "a a b a", " x\ty \nx ")
+      .toDF("text")
+      .select(exprs.term_freqs($"text").as("p"))
+      .select($"p.dl", $"p.freqs")
+      .collect()
+    assert(rows(0).getLong(0) == 0L && rows(0).getSeq[Any](1).isEmpty)
+    assert(rows(1).getLong(0) == 0L && rows(1).getSeq[Any](1).isEmpty)
+    val freqs2 = rows(2).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows(2).getLong(0) == 4L)
+    // first-occurrence order is deterministic
+    assert(freqs2 == Seq("a" -> 3L, "b" -> 1L))
+    val freqs3 = rows(3).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows(3).getLong(0) == 3L && freqs3 == Seq("x" -> 2L, "y" -> 1L))
+  }
+
   test("expressions survive interpreted mode (codegen fallback parity)") {
     withCodegenOff {
       val got = Seq("ab").toDF("t").select(exprs.rolling_hash($"t")).head().getLong(0)
