@@ -896,13 +896,24 @@ object SimilarityQueries {
       import s.implicits._
       import graft.functions.exprs
       val docs = Tables.documents(s, dir)
-      // Posting-list build: ZERO shuffle. `term_freqs` computes each
-      // doc's (term, tf) census and length inside its own row (one
-      // codegen'd kernel call per doc); the projection + explode that
-      // follow never exchange anything. The kernel struct is aliased
-      // ONCE (`p`) so CollapseProject cannot duplicate the non-cheap
-      // call into per-field copies.
-      val tf = docs
+      // Spread the corpus across all cores FIRST: the scoring stage
+      // (broadcast joins + partial agg over every query-matched
+      // posting — hundreds of millions of rows at sf10) is map-side
+      // on whatever partitioning the scan gives, and a single-file
+      // local corpus gives 1-2 partitions — measured as the whole
+      // query running ~1.5 cores wide at sf1/sf10. On a real cluster
+      // the scan is thousands of splits and this exchange is ~free
+      // relative to the scoring work it parallelizes; `stats` reads
+      // the SAME exchange (reuse), so the corpus bytes move once.
+      val spread = docs.repartition(s.sparkContext.defaultParallelism)
+      // Posting-list build: the one corpus exchange above, then zero
+      // further shuffle. `term_freqs` computes each doc's (term, tf)
+      // census and length inside its own row (one codegen'd kernel
+      // call per doc); the projection + explode that follow never
+      // exchange anything. The kernel struct is aliased ONCE (`p`) so
+      // CollapseProject cannot duplicate the non-cheap call into
+      // per-field copies.
+      val tf = spread
         .select($"doc_id", exprs.term_freqs($"text").as("p"))
         .select($"doc_id", $"p.dl".as("dl"), explode($"p.freqs").as("f"))
         .select($"doc_id", $"dl", $"f.term".as("term"), $"f.tf".as("tf"))
@@ -911,7 +922,7 @@ object SimilarityQueries {
       // driver scalars: the whole query is then ONE action — no
       // count()/head() barrier jobs — and AQE runs the stats census,
       // the query branch, and the df census as CONCURRENT leaf stages
-      val stats = docs.agg(
+      val stats = spread.agg(
         count(lit(1)).as("n_docs"),
         sum(exprs.term_freqs($"text").getField("dl")).as("s_tok"))
       // The query-term table comes from the FILTERED raw docs, not
@@ -940,8 +951,15 @@ object SimilarityQueries {
         .join(broadcast(qt), "term")
         .crossJoin(broadcast(stats))
         .filter($"doc_id" =!= $"query_id")
+        // floor(x + 0.5), NOT round(x, 0): contributions are strictly
+        // positive so it is the same half-up, but Spark's Round on
+        // DOUBLE allocates a java.math.BigDecimal PER ROW — measured
+        // 27 s of a 42 s sf1 run on this 46M-row frame — while floor
+        // is a single codegen'd Math.floor. Both engines evaluate the
+        // identical IEEE ops in the same order, so the quantized
+        // micros are bit-equal by construction.
         .select($"query_id", $"doc_id",
-          round(idf * tff * lit(1000000.0), 0).cast("long").as("c"))
+          floor(idf * tff * lit(1000000.0) + lit(0.5)).cast("long").as("c"))
         .groupBy($"query_id", $"doc_id")
         .agg(sum($"c").as("sum_c"))
         // 4-dp HALF_UP entirely in bigint arithmetic ((x+50) div 100
@@ -967,10 +985,10 @@ object SimilarityQueries {
              WHERE doc_id % 97 = 0),
       contrib AS (
         SELECT q.query_id, t.doc_id,
-          CAST(round(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) *
+          CAST(floor(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5)) *
             ((t.tf * 2.2) /
              (t.tf + 1.2 * (0.25 + (0.75 * l.dl * st.n) / st.s)))
-            * 1000000.0, 0) AS BIGINT) AS c
+            * 1000000.0 + 0.5) AS BIGINT) AS c
         FROM tf t
         JOIN dl l USING (doc_id)
         JOIN dfreq d USING (term)
@@ -987,7 +1005,86 @@ object SimilarityQueries {
       SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10"""),
     headline = true)
 
+  /** s13: SQ8 asymmetric-distance top-k — the search rung that s03's
+    * scalar quantization feeds (FAISS `IndexScalarQuantizer(QT_8bit)`
+    * shape). The corpus is compressed 4× to per-vector max-abs int8
+    * codes; queries stay float32; the score is the asymmetric inner
+    * product scale × dot(codes, q), i.e. the reconstruction's dot
+    * with NO decode step — the codes-as-integer-floats ride straight
+    * through the same [[graft.functions.DotProductF]] kernel the
+    * exact queries use. Completes the quantization ladder: s03
+    * measures the encode error, s13 searches the codes, s08/s10/s11
+    * are the product-quantized rungs.
+    *
+    * Scale shape: encode is ONE codegen'd kernel call per vector in
+    * the corpus scan (zero shuffle, no BigDecimal — see
+    * [[graft.functions.VectorExprImpl.sq8Encode]]); the NQ query
+    * vectors broadcast; scoring is a map-side broadcast nested-loop
+    * over the scan, and top-10 per query goes through the
+    * row_number → filter shape Spark pre-truncates with
+    * WindowGroupLimit. At 100 TB the codes are what you'd PERSIST —
+    * the scan reads 1/4 the bytes of the float corpus — and the
+    * only exchange is the model-sized top-k combine.
+    *
+    * Determinism contract (CLAUDE.md): code_j = floor(x_j/scale + .5)
+    * and micro-score = floor(scale × dot × 1e6 + .5) are the same
+    * IEEE ops in the same order on both engines (dot is the
+    * sequential left fold both kernels implement), so scores are
+    * bit-equal; ranking orders on the quantized micros with a vec_id
+    * tie-break. Zero vectors (scale = 0) are filtered on BOTH sides.
+    */
+  val s13Sq8Adc = Q(
+    "s13_sq8_adc",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.exprs
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      // kernel struct aliased ONCE so CollapseProject can't duplicate
+      // the encode into per-field copies
+      val codes = e
+        .select($"vec_id", exprs.sq8_encode($"embedding").as("enc"))
+        .select($"vec_id", $"enc.scale".as("scale"), $"enc.codes".as("codes"))
+        .filter($"scale" > 0.0)
+      val scored = codes
+        .repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          floor($"scale" * exprs.dot_f($"codes", $"q_emb") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("micro"))
+      val w = Window.partitionBy($"q_id").orderBy($"micro".desc, $"vec_id".asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id".as("neighbor_id"),
+          ($"micro" / lit(1000000.0)).as("adc_score"))
+    },
+    Some(s"""WITH enc AS (
+        SELECT vec_id,
+          list_aggregate(list_transform(embedding::DOUBLE[], v -> abs(v)), 'max') / 127.0 AS scale,
+          embedding::DOUBLE[] AS e
+        FROM embeddings),
+      codes AS (
+        SELECT vec_id, scale,
+          list_transform(e, v -> floor(v / scale + 0.5)) AS c
+        FROM enc WHERE scale > 0),
+      q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+            FROM embeddings WHERE vec_id < $NQ),
+      pairs AS (
+        SELECT q.q_id, c.vec_id,
+          CAST(floor(c.scale * list_dot_product(c.c, q.q_emb) * 1000000.0 + 0.5) AS BIGINT) AS micro
+        FROM codes c, q WHERE c.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, micro,
+          row_number() OVER (
+            PARTITION BY q_id ORDER BY micro DESC, vec_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, rank, vec_id AS neighbor_id, micro / 1000000.0 AS adc_score
+      FROM ranked WHERE rank <= $K"""),
+    headline = true)
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
     s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
-    s11IvfPqResidual, s12Bm25)
+    s11IvfPqResidual, s12Bm25, s13Sq8Adc)
 }
