@@ -422,6 +422,39 @@ object VectorExprImpl {
   }
 
   def normF(a: ArrayData): Double = math.sqrt(dotF(a, a))
+
+  /** Max-abs symmetric int8 quantization of one `array<float>` vector
+    * in a single local pass: scale = max|x|/127 (double), code_j =
+    * floor(x_j/scale + 0.5) stored as float (|code| <= 127, exactly
+    * representable). floor(x + 0.5), NOT round: both engines then
+    * evaluate the identical IEEE ops — DuckDB `floor(v/scale + 0.5)`
+    * replays it bit-for-bit — where Spark's Round would pay a
+    * java.math.BigDecimal per ELEMENT on the corpus-scan hot path
+    * (measured 27 s on a 46M-row frame for one round per ROW). A zero
+    * vector yields scale = 0 with all-zero codes; searches filter
+    * scale > 0 (cosine is undefined there anyway).
+    */
+  def sq8Encode(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val codes = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      codes(i) =
+        if (scale == 0.0) 0.0f
+        else math.floor(a.getFloat(i).toDouble / scale + 0.5).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)))
+  }
 }
 
 /** Dot product of two array<float> columns in double precision
@@ -450,6 +483,42 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductF =
     copy(left = newLeft, right = newRight)
+}
+
+/** Max-abs symmetric int8 quantization as a codegen'd kernel:
+  * `array<float>` → struct<scale: double, codes: array<float>> (see
+  * [[VectorExprImpl.sq8Encode]]). One static call per vector keeps the
+  * corpus encode zero-shuffle and BigDecimal-free; codes ride as
+  * integer-valued floats so [[DotProductF]] scores them against raw
+  * float queries unchanged (asymmetric distance).
+  */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sq8_encode requires ARRAY<FLOAT> input, got ${t.sql}")
+  }
+  override def dataType: DataType = Sq8Encode.schema
+  override def prettyName: String = "sq8_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorExprImpl.sq8Encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExprImpl.sq8Encode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+object Sq8Encode {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    StructField("scale", org.apache.spark.sql.types.DoubleType, nullable = false),
+    StructField("codes", ArrayType(org.apache.spark.sql.types.FloatType,
+      containsNull = false), nullable = false)))
 }
 
 /** Static kernel for [[PqEncodeCode]]. */
@@ -929,6 +998,8 @@ object exprs {
     SparkShims.column(NgramRepStats(SparkShims.expression(c), n))
   def term_freqs(c: Column): Column =
     SparkShims.column(TermFreqs(SparkShims.expression(c)))
+  def sq8_encode(c: Column): Column =
+    SparkShims.column(Sq8Encode(SparkShims.expression(c)))
 
   def normalize_text(c: Column): Column =
     SparkShims.column(NormalizeText(SparkShims.expression(c)))

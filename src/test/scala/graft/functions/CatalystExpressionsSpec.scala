@@ -144,6 +144,34 @@ class CatalystExpressionsSpec extends SparkSpec {
     assert(rows(3).getLong(0) == 3L && freqs3 == Seq("x" -> 2L, "y" -> 1L))
   }
 
+  test("Sq8Encode kernel == declarative max-abs/127 floor quantization on real embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+    val x = transform($"embedding", v => v.cast("double"))
+    val scale = aggregate(x, lit(0.0), (acc, v) => greatest(acc, abs(v))) / lit(127.0)
+    val ref = e.select(
+      $"vec_id", scale.as("scale"),
+      transform(x, v => floor(v / scale + lit(0.5)).cast("float")).as("codes"))
+    val kern = e.select(
+      $"vec_id", exprs.sq8_encode($"embedding").as("enc"))
+      .select($"vec_id", $"enc.scale".as("scale"), $"enc.codes".as("codes"))
+    val joined = ref.join(kern.withColumnRenamed("scale", "kscale")
+      .withColumnRenamed("codes", "kcodes"), "vec_id")
+    assert(joined.filter($"scale" =!= $"kscale").count() == 0)
+    assert(joined.filter($"codes" =!= $"kcodes").count() == 0)
+    // every code within int8 range
+    val outOfRange = kern
+      .select(explode($"codes").as("c")).filter(abs($"c") > 127).count()
+    assert(outOfRange == 0)
+  }
+
+  test("Sq8Encode zero vector: scale 0, all-zero codes") {
+    val row = Seq(Array(0.0f, 0.0f, 0.0f)).toDF("v")
+      .select(exprs.sq8_encode($"v").as("enc"))
+      .select($"enc.scale", $"enc.codes").head()
+    assert(row.getDouble(0) == 0.0)
+    assert(row.getSeq[Float](1).forall(_ == 0.0f))
+  }
+
   test("expressions survive interpreted mode (codegen fallback parity)") {
     withCodegenOff {
       val got = Seq("ab").toDF("t").select(exprs.rolling_hash($"t")).head().getLong(0)

@@ -221,9 +221,12 @@ class PlanShapeSpec extends SparkSpec {
     // one broadcast scalar row (X10 pattern), never corpus × corpus
     // s12: the matched postings × the 1-row (n_docs, s_tok) corpus
     // stats aggregate — same X10 broadcast-scalar attach as t20
+    // s13: broadcast queries × the compressed-code corpus scan — the
+    // same intentional broadcast nested-loop as s01's brute force
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin",
       "s08_pq_adc", "s09_pq_recall", "s10_ann_ivfpq", "s11_ann_ivfpq_residual",
-      "t17_quality_classifier", "t20_dsir_select", "s12_bm25_topk")
+      "t17_quality_classifier", "t20_dsir_select", "s12_bm25_topk",
+      "s13_sq8_adc")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
