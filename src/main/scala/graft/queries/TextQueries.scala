@@ -827,10 +827,75 @@ object TextQueries {
     Some(s"WITH ${graft.operators.TextRank.ranksSql(DedupQueries.shinglesSql(2))}"),
     headline = true)
 
+  /** t22: leakage-safe train/val/test split — q26's deterministic
+    * hash split with the bucket taken on the near-dup CLUSTER id, not
+    * the document id. Splitting by document leaks: a near-duplicate
+    * pair straddling train and test inflates eval (the GPT-3 paper's
+    * contamination appendix is this exact failure). Assigning whole
+    * d06 components keeps every near-dup family on ONE side by
+    * construction — the guarantee is structural, not statistical —
+    * while singletons (the vast majority) still spread 80/10/10 by
+    * their own id hash (cluster_id = the component's min doc id =
+    * their own id).
+    *
+    * Scale shape: the cluster labels come from the salted LSH chain
+    * (d03/d06's machinery — banded signatures, skew-salted band join,
+    * checkpointed min-label propagation), whose frame is bounded by
+    * docs-in-candidate-pairs, typically ≪ corpus; the corpus is then
+    * touched by exactly ONE left join on doc_id to attach labels and
+    * one codegen'd hash projection. At 100 TB that join's corpus side
+    * shuffles once on doc_id (or rides bucketed storage for free) and
+    * the comps side is usually broadcast-sized.
+    *
+    * Determinism contract: the bucket is the engine-portable
+    * md5-prefix hash (q26's convention) of CAST(cluster_id AS STRING);
+    * ranking-free, so no tie-break subtleties.
+    */
+  val t22LeakageSplit = Q(
+    "t22_leakage_split",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.operators.TextDedup
+        .minhashCandidates(docs, "doc_id", "text")
+        .filter($"est_sim" >= 0.5)
+        .select($"doc_a", $"doc_b")
+      val comps = graft.operators.NearDupClusters.connectedComponents(pairs)
+      val bucket = pmod(
+        graft.functions.exprs.token_hash60($"cluster_id".cast("string")), lit(100L))
+      docs.join(comps, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"))
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    },
+    Some {
+      val d03Sql = DedupQueries.d03MinhashLsh.oracle.get
+      s"""WITH RECURSIVE lshpairs AS (
+        SELECT doc_a, doc_b FROM ($d03Sql) WHERE est_sim >= 0.5),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM lshpairs
+        UNION SELECT doc_b, doc_a FROM lshpairs),
+      reach AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      comps AS (
+        SELECT a AS doc_id, least(a, min(b)) AS comp
+        FROM reach GROUP BY a)
+      SELECT d.doc_id,
+        coalesce(c.comp, d.doc_id) AS cluster_id,
+        CASE
+          WHEN CAST(('0x' || substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+          WHEN CAST(('0x' || substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+          ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comps c USING (doc_id)"""
+    },
+    headline = true)
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
       t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample,
-      t19Normalize, t20Dsir, t21TextRank)
+      t19Normalize, t20Dsir, t21TextRank, t22LeakageSplit)
 }
