@@ -933,45 +933,13 @@ object SimilarityQueries {
         .select($"doc_id".as("query_id"),
           explode(exprs.term_freqs($"text").getField("freqs")).as("f"))
         .select($"query_id", $"f.term".as("term"))
-      // df census restricted to terms some query contains — identical
-      // values for every term that can contribute, and the restriction
-      // makes the census query-vocabulary-sized, hence BROADCASTABLE:
-      // the scoring join then never shuffles the posting lists by term
-      val dfreq = tf
-        .join(broadcast(qt.select($"term").distinct()), Seq("term"))
-        .groupBy($"term").agg(count(lit(1)).as("df"))
-      // Same left-associative FP order as the oracle, with n_docs and
-      // s_tok as 1-row broadcast columns in place of driver literals
-      val idf = log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
-      val tff = ($"tf" * lit(2.2)) /
-        ($"tf" + lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl" * $"n_docs") / $"s_tok"))
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"score".desc, $"doc_id".asc)
-      tf.join(broadcast(dfreq), "term")
-        .join(broadcast(qt), "term")
-        .crossJoin(broadcast(stats))
-        .filter($"doc_id" =!= $"query_id")
-        // floor(x + 0.5), NOT round(x, 0): contributions are strictly
-        // positive so it is the same half-up, but Spark's Round on
-        // DOUBLE allocates a java.math.BigDecimal PER ROW — measured
-        // 27 s of a 42 s sf1 run on this 46M-row frame — while floor
-        // is a single codegen'd Math.floor. Both engines evaluate the
-        // identical IEEE ops in the same order, so the quantized
-        // micros are bit-equal by construction.
-        .select($"query_id", $"doc_id",
-          floor(idf * tff * lit(1000000.0) + lit(0.5)).cast("long").as("c"))
-        .groupBy($"query_id", $"doc_id")
-        .agg(sum($"c").as("sum_c"))
-        // 4-dp HALF_UP entirely in bigint arithmetic ((x+50) div 100
-        // on 6-dp micros), then ONE exact-integer/1e4 division: at sf1
-        // a micro-sum ending in ...50 hit the half boundary, where
-        // Spark's BigDecimal round and DuckDB's multiply-then-round
-        // disagree by 1 ulp — integer rounding has no such boundary
-        .select($"query_id", $"doc_id",
-          (expr("(sum_c + 50) div 100") / lit(10000.0)).as("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 10)
-        .select($"query_id", $"rank", $"doc_id", $"score")
+      // Scoring (df census restricted to query vocabulary hence
+      // broadcastable, integer-micro contributions via floor — no
+      // per-row BigDecimal, bigint sums, integer 4-dp half-up,
+      // rounded-score ranking) lives in operators.Bm25.scoreTopK,
+      // SHARED with the incremental index so stream ≡ batch is a
+      // property of index contents, not of two scorers agreeing.
+      graft.operators.Bm25.scoreTopK(tf, qt, stats, k = 10)
     },
     Some(s"""WITH toks AS (
         SELECT doc_id, unnest(${graft.functions.TextFunctions.wsTokensSql}) AS term
