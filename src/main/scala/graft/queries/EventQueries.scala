@@ -103,5 +103,82 @@ object EventQueries {
       FROM sess GROUP BY user_id, session_id"""),
     headline = true)
 
-  val all: Seq[Q] = Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize)
+  /** q44: conversion funnel — ordered sequential-pattern matching per
+    * user (view → click → purchase, each stage strictly AFTER the
+    * previous one's first occurrence), reported as daily entry
+    * cohorts with stage counts and rounded conversion rates. The
+    * event-analytics operator the windowed/sessionized family was
+    * missing: q19 bounds sessions by gaps, q40 aggregates over time
+    * frames, but nothing ordered stages causally until now.
+    *
+    * Scale shape: ONE corpus-scale exchange. All three stage
+    * timestamps are whole-partition window aggregates over the SAME
+    * partitionBy(user_id) — Spark plans the three consecutive Window
+    * operators over a single hash exchange (verified: Exchange → Sort
+    * → Window ×3 with no re-shuffle), the chained dependency (t2
+    * scans rows after t1, t3 after t2) stays inside the partition,
+    * and the per-user reduce reuses the partitioning with no further
+    * exchange. The only other exchange is the cohort-count-sized
+    * rollup. At 100 TB this is the funnel shape that works: no events
+    * self-join (the naive 3-way join shuffles the fact table three
+    * times), state bounded per user.
+    *
+    * Determinism: stage times are MIN timestamps (exact), rates are
+    * try_divide + 4-dp round on both engines, counts CAST to BIGINT
+    * in the oracle (HUGEINT rule).
+    */
+  val q44Funnel = Q(
+    "q44_funnel",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+      val staged = Tables.events(s, dir)
+        .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("t2", min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+        .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+      val perUser = staged
+        .groupBy($"user_id")
+        .agg(min($"t1").as("t1"), min($"t2").as("t2"), min($"t3").as("t3"))
+        .filter($"t1".isNotNull)
+      perUser
+        .groupBy(to_date($"t1").as("cohort_day"))
+        .agg(
+          count(lit(1)).as("n_entered"),
+          sum($"t2".isNotNull.cast("long")).as("n_clicked"),
+          sum($"t3".isNotNull.cast("long")).as("n_purchased"))
+        .select($"cohort_day".cast("string").as("cohort_day"),
+          $"n_entered", $"n_clicked", $"n_purchased",
+          round(try_divide($"n_clicked", $"n_entered"), 4).as("click_rate"),
+          round(try_divide($"n_purchased", $"n_entered"), 4).as("purchase_rate"))
+    },
+    Some("""WITH staged AS (
+        SELECT user_id, ts, event_type,
+          min(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS t1
+        FROM events),
+      staged2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+            OVER (PARTITION BY user_id) AS t2
+        FROM staged),
+      staged3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+            OVER (PARTITION BY user_id) AS t3
+        FROM staged2),
+      per_user AS (
+        SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        FROM staged3 GROUP BY user_id
+        HAVING min(t1) IS NOT NULL)
+      SELECT CAST(CAST(t1 AS DATE) AS VARCHAR) AS cohort_day,
+        CAST(count(*) AS BIGINT) AS n_entered,
+        CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+        round(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+          / CAST(count(*) AS DOUBLE), 4) AS click_rate,
+        round(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+          / CAST(count(*) AS DOUBLE), 4) AS purchase_rate
+      FROM per_user GROUP BY 1"""),
+    headline = true)
+
+  val all: Seq[Q] = Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel)
 }
