@@ -228,6 +228,137 @@ object EventStreams {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Typed event for the streaming funnel. */
+  final case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** One user's finalized funnel (t2/t3 null when the stage was never
+    * causally reached).
+    */
+  final case class FunnelRow(
+      user_id: Long,
+      t1: java.sql.Timestamp,
+      t2: Option[java.sql.Timestamp],
+      t3: Option[java.sql.Timestamp])
+
+  /** Candidate state for one user. `v` = min view ms (MaxValue until a
+    * view arrives); `clicks`/`purchases` are ASC-sorted candidate
+    * lists pruned by the dominance rule below; `lastMs` drives the
+    * emission timeout.
+    */
+  final case class FunnelState(
+      v: Long, clicks: List[Long], purchases: List[Long], lastMs: Long)
+
+  /** Streaming conversion funnel — q44's per-user stage computation
+    * (first view, first click strictly after it, first purchase
+    * strictly after that) as watermark-bounded keyed state, emitting
+    * each user's finalized funnel once event time passes their last
+    * activity plus the idle horizon. Exactness under out-of-order
+    * (in-watermark) arrival is the hard part: a late-arriving EARLIER
+    * view lowers t1, which can retroactively make an already-seen
+    * click the new t2 — so discarded candidates must never be ones a
+    * lower t1 could resurrect.
+    *
+    * Dominance pruning keeps state small AND exact: t1 only ever
+    * DECREASES, so a click is a live candidate iff ts <= current t1's
+    * min-view (it becomes eligible if t1 drops below it) or it is the
+    * single smallest click above it (the current t2 answer and an
+    * upper bound on the final one); every later click is dominated and
+    * dropped. Purchases prune identically against the current t2.
+    * State per user is therefore O(stage-events preceding the first
+    * qualifying earlier-stage hit) — typically a handful; worst case
+    * (clicks forever, view never arrives) grows with the user's
+    * clicks until the idle timeout evicts — the honest bound, stated
+    * rather than hidden.
+    *
+    * `idleTimeoutMinutes` is the ATTRIBUTION WINDOW: a user idle that
+    * long (event time) has their funnel finalized and emitted, and a
+    * later return starts a fresh funnel — the production semantics
+    * for conversion attribution. Stream == the batch q44 stage
+    * computation therefore holds exactly when the window exceeds the
+    * corpus's max intra-user gap (one funnel per user);
+    * FunnelStreamSpec pins that equivalence across micro-batch
+    * splits, including the resurrection case.
+    */
+  def streamingFunnel(
+      events: Dataset[FunnelEv],
+      idleTimeoutMinutes: Int = 120): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val idleMs = idleTimeoutMinutes * 60000L
+
+    // state times are epoch MICROS: Timestamp.getTime truncates to
+    // milliseconds, and the events table carries microsecond
+    // precision — ms-truncated state would mis-order events inside
+    // the same millisecond and emit stage times the batch computation
+    // (full precision) disagrees with
+    def microsOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos((((us / 1000L) % 1000L) * 1000000L + (us % 1000L) * 1000L).toInt)
+      t
+    }
+
+    def firstAfter(xs: List[Long], t: Long): Option[Long] = xs.find(_ > t)
+
+    def prune(s: FunnelState): FunnelState = {
+      val clicks = s.clicks.filter(_ <= s.v) ++ firstAfter(s.clicks, s.v)
+      val t2 = firstAfter(clicks, s.v).getOrElse(Long.MaxValue)
+      val purchases = s.purchases.filter(_ <= t2) ++ firstAfter(s.purchases, t2)
+      s.copy(clicks = clicks, purchases = purchases)
+    }
+
+    def finalize(userId: Long, s: FunnelState): Option[FunnelRow] =
+      if (s.v == Long.MaxValue) None
+      else {
+        val t2 = firstAfter(s.clicks, s.v)
+        val t3 = t2.flatMap(t => firstAfter(s.purchases, t))
+        Some(FunnelRow(userId, tsOf(s.v), t2.map(tsOf), t3.map(tsOf)))
+      }
+
+    def flush(
+        userId: Long,
+        evs: Iterator[FunnelEv],
+        state: GroupState[FunnelState]): Iterator[FunnelRow] =
+      if (state.hasTimedOut) {
+        val out = state.getOption.flatMap(s => finalize(userId, s))
+        state.remove()
+        out.iterator
+      } else {
+        var emitted = List.empty[FunnelRow]
+        var s = state.getOption.getOrElse(
+          FunnelState(Long.MaxValue, Nil, Nil, Long.MinValue))
+        // sorted so the in-batch gap check below sees event-time order
+        // (the stage minima themselves are order-independent)
+        evs.toSeq.sortBy(e => microsOf(e.ts)).foreach { e =>
+          val t = microsOf(e.ts) // stage lists in micros (full precision)
+          // the attribution window must not depend on where micro-batch
+          // boundaries fall: a gap larger than the window INSIDE a
+          // batch finalizes the open funnel exactly as a timeout would
+          if (s.lastMs != Long.MinValue && e.ts.getTime - s.lastMs > idleMs) {
+            emitted = emitted ++ finalize(userId, s)
+            s = FunnelState(Long.MaxValue, Nil, Nil, Long.MinValue)
+          }
+          s = e.event_type match {
+            case "view" => s.copy(v = math.min(s.v, t))
+            case "click" => s.copy(clicks = (t :: s.clicks).distinct.sorted)
+            case "purchase" => s.copy(purchases = (t :: s.purchases).distinct.sorted)
+            case _ => s
+          }
+          s = s.copy(lastMs = math.max(s.lastMs, e.ts.getTime)) // timeout clock in ms
+        }
+        s = prune(s)
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + idleMs)
+        emitted.iterator
+      }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
+  }
+
   /** Convenience: run a streaming query over a parquet directory into
     * an in-memory table and block until all available data is
     * processed (local smoke harness for the streaming paths).
