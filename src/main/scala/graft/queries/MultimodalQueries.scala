@@ -211,5 +211,48 @@ object MultimodalQueries {
           END AS brand
       FROM media"""))
 
-  val all: Seq[Q] = Seq(m01Multimodal, m02HeaderParse)
+  /** m03: exact multimodal dedup — d01's content-hash census applied
+    * to binary payloads, closing the loop between the media table and
+    * the dedup ladder (a crawled media corpus is rife with exact
+    * re-uploads). The corpus under test plants its own duplicates
+    * deterministically: the fixture unioned with a re-keyed copy of
+    * its even-id rows, so even-id payloads form 2-copy groups and
+    * odd-id payloads stay singletons — both code paths exercised, both
+    * engines constructing the identical corpus.
+    *
+    * Scale shape: the ONLY thing shuffled is (16-byte digest, id) —
+    * the payload dies at the scan projection, exactly like d01's
+    * content hash; canonical keep = min id per group (d12's resolution
+    * policy reduced to exact groups). The digest is md5 over the
+    * payload's hex — engine-portable (CLAUDE.md hash rule; DuckDB 1.0
+    * md5 takes VARCHAR, and hex(BLOB) already matches Spark's
+    * uppercase hex on the m02 path).
+    */
+  val m03MediaDedup = Q(
+    "m03_media_dedup",
+    (s, dir) => {
+      import s.implicits._
+      ensureFixture(s)
+      val base = s.read.parquet(FixturePath).select($"media_id", $"payload")
+      val corpus = base.unionByName(
+        base.filter($"media_id" % 2 === 0)
+          .select(($"media_id" + NMedia).as("media_id"), $"payload"))
+      corpus
+        .select($"media_id", md5(hex($"payload")).as("content_md5"))
+        .groupBy($"content_md5")
+        .agg(count(lit(1)).as("n_copies"), min($"media_id").as("keep_id"))
+    },
+    Some(s"""WITH base AS (
+        SELECT media_id, payload FROM '$FixturePath/*.parquet'),
+      corpus AS (
+        SELECT media_id, payload FROM base
+        UNION ALL
+        SELECT media_id + $NMedia AS media_id, payload FROM base
+        WHERE media_id % 2 = 0)
+      SELECT md5(hex(payload)) AS content_md5,
+        CAST(count(*) AS BIGINT) AS n_copies,
+        min(media_id) AS keep_id
+      FROM corpus GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(m01Multimodal, m02HeaderParse, m03MediaDedup)
 }
