@@ -180,5 +180,49 @@ object EventQueries {
       FROM per_user GROUP BY 1"""),
     headline = true)
 
-  val all: Seq[Q] = Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel)
+  /** q45: retention cohorts — q44's sibling and the other half of the
+    * standard event-analytics pair: users grouped by first-seen day,
+    * counted by how many distinct days-since-cohort they return on.
+    * Output is the classic retention matrix (cohort_day × day_offset →
+    * n_users, offset 0 = the cohort size row).
+    *
+    * Scale shape: ONE corpus-scale exchange. The explicit
+    * repartition on user_id is a partitioning every later stage can
+    * reuse: the (user, day) distinct's ClusteredDistribution(user,
+    * day) is satisfied by hashpartitioning(user) (same-key rows are
+    * co-located), the per-user first-day window MIN needs exactly
+    * user_id, and the matrix rollup is cohorts × offsets sized. No
+    * self-join of the fact table (the textbook formulation joins
+    * events to itself on user; at 100 TB that's two shuffles of the
+    * big side for zero information the window min doesn't carry).
+    */
+  val q45Retention = Q(
+    "q45_retention",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+      Tables.events(s, dir)
+        .select($"user_id", to_date($"ts").as("day"))
+        .repartition($"user_id")
+        .distinct()
+        .withColumn("first_day", min($"day").over(w))
+        .groupBy($"first_day".cast("string").as("cohort_day"),
+          // 64-bit: DuckDB's date_diff is BIGINT (CLAUDE.md int rule)
+          datediff($"day", $"first_day").cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      firsts AS (
+        SELECT *, min(day) OVER (PARTITION BY user_id) AS first_day
+        FROM act)
+      SELECT CAST(first_day AS VARCHAR) AS cohort_day,
+        date_diff('day', first_day, day) AS day_offset,
+        CAST(count(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY 1, 2"""),
+    headline = true)
+
+  val all: Seq[Q] =
+    Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention)
 }
