@@ -105,18 +105,6 @@ object Bench {
     val results = timed.map { case (k, v, _) =>
       (k, reruns.get(k).map { case (a, b) => math.min(a, b) }.getOrElse(v))
     }
-    val qJson = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    // total = sum of successful medians; failed queries are reported in
-    // failed_reps (and as -1.0 in queries), not subtracted from total
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = {
-      val failed = timed.filter(_._3 > 0)
-      if (failed.isEmpty) ""
-      else failed.map { case (k, _, n) => "\"" + k + "\":" + n }
-        .mkString(""","failed_reps":{""", ",", "}")
-    }
 
     // Perf anchor: the reference publishes no wall-times (BASELINE.md),
     // so the "within 2x of baseline" gate is measured against DuckDB
@@ -137,27 +125,63 @@ object Bench {
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
         .map(k => k -> node.get(k).asDouble()).toMap
     } catch { case _: Throwable => Map.empty }
-    val extra = {
+    // The driver records only the LAST 2000 chars of stdout and parses
+    // the `{"metric"` line out of that window (BENCH_r08 parsed; r09,
+    // whose line grew past the window with three per-query maps, came
+    // back `parsed:null` and its official numbers were lost). So the
+    // stdout line carries ONLY the contract fields — everything else
+    // (oracle anchors, ratios, rerun evidence, loadavg) goes to
+    // BENCH_DETAIL.json, written BEFORE the line so nothing trails it.
+    val detail = {
       val matched = results.filter { case (k, v) =>
         v > 0 && oracleTimes.getOrElse(k, 0.0) > 0 }
-      if (matched.isEmpty) ""
-      else {
+      val parts = Seq.newBuilder[String]
+      if (matched.nonEmpty) {
         val oj = matched.map { case (k, _) =>
           "\"" + k + "\":" + oracleTimes(k) }.mkString("{", ",", "}")
         val rj = matched.map { case (k, v) =>
           "\"" + k + "\":" + f"${v / oracleTimes(k)}%.2f" }.mkString("{", ",", "}")
-        s""","oracle_sec":$oj,"spark_over_duckdb":$rj"""
+        parts += s""""oracle_sec":$oj,"spark_over_duckdb":$rj"""
       }
+      if (reruns.nonEmpty)
+        parts += reruns.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
+          "\"" + k + "\":{\"first\":" + f"$a%.3f" + ",\"rerun\":" + f"$b%.3f" + "}"
+        }.mkString(""""rerun":{""", ",", "}")
+      parts += f""""load1_start":$load1Start%.2f,"load1_end":${load1()}%.2f"""
+      parts.result().mkString("{", ",", "}")
     }
-    val rerunJson =
-      if (reruns.isEmpty) ""
-      else reruns.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
-        "\"" + k + "\":{\"first\":" + f"$a%.3f" + ",\"rerun\":" + f"$b%.3f" + "}"
-      }.mkString(""","rerun":{""", ",", "}")
-    val loadJson = f""","load1_start":$load1Start%.2f,"load1_end":${load1()}%.2f"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"$extra$failedJson$rerunJson$loadJson}""")
+    try {
+      val w = new java.io.PrintWriter(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () } // detail is best-effort, the line is the record
+    println(benchLine(results, timed.map(t => (t._1, t._3)), sfDir))
     spark.stop()
+  }
+
+  /** The ONE stdout record line. Contract fields only
+    * (metric/value/unit/queries/sf + failed_reps when nonempty): the
+    * driver parses this from a 2000-char stdout tail that also holds
+    * sbt's `[success]` footer, so BenchDefenseSpec pins the line under
+    * 1900 chars for a registry-sized query set.
+    */
+  def benchLine(
+      results: Seq[(String, Double)],
+      failedReps: Seq[(String, Int)],
+      sfDir: String): String = {
+    val qJson = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    // total = sum of successful medians; failed queries are reported in
+    // failed_reps (and as -1.0 in queries), not subtracted from total
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = {
+      val failed = failedReps.filter(_._2 > 0)
+      if (failed.isEmpty) ""
+      else failed.map { case (k, n) => "\"" + k + "\":" + n }
+        .mkString(""","failed_reps":{""", ",", "}")
+    }
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"$failedJson}"""
   }
 
   // ---- ambient-load self-defense plumbing (pinned by BenchDefenseSpec) ----

@@ -91,6 +91,25 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(prev("q01_pricing_summary") == 0.5)
   }
 
+  test("stdout line fits the driver's 2000-char tail window for the full headline set") {
+    // The r9 record came back parsed:null because the line (with three
+    // per-query detail maps inlined) outgrew the tail capture. The line
+    // must stay under 1900 chars — the window also holds sbt's
+    // `[success]` footer — for the CURRENT headline registry, worst-case
+    // formatting (4-digit seconds, every query in failed_reps).
+    val names = graft.queries.Registry.headline.map(_.name)
+    val results = names.map(n => n -> 9999.999)
+    val failed = names.map(n => n -> 3)
+    val line = Bench.benchLine(results, failed, "/root/testdata/sf0.1")
+    assert(line.length < 1900,
+      s"bench line ${line.length} chars — would overflow the driver tail window; " +
+        "move fields to BENCH_DETAIL.json or trim the headline set")
+    assert(line.startsWith("{\"metric\":\"total\""))
+    // and it must be the parseable record the defense reads back
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.path("queries").size() == names.size)
+  }
+
   test("planted 4x outlier above the 0.5s floor triggers the rerun") {
     val prev = Map("s01_ann_bruteforce" -> 0.356)
     assert(Bench.needsRerun("s01_ann_bruteforce", 4 * 0.356, prev))
