@@ -500,10 +500,15 @@ object DedupQueries {
     *     out of the DP once the banded diagonal exceeds `cap`
     *     (Ukkonen-style cutoff), returning -1. `cap` is derived from
     *     ONE driver-side scalar (the corpus max length, the X10
-    *     pattern): any pair with rounded rel-distance <= EditTau has
-    *     lev <= EditTau·maxlen(pair) + rounding slack < cap, so the
-    *     cutoff only ever removes pairs the final filter rejects
-    *     anyway (FuzzyDedupSpec pins capped ≡ uncapped).
+    *     pattern) and the TRUE acceptance bound: 4-dp HALF_UP rounding
+    *     accepts any pair with lev/maxlen < EditTau + 0.00005, so a
+    *     qualifying lev can reach (EditTau + 0.00005)·maxlen and the
+    *     cap must clear that, not just EditTau·maxlen — with the bare
+    *     EditTau bound the +1 slack is exhausted once maxlen exceeds
+    *     1/0.00005 = 20k chars and long qualifying pairs get silently
+    *     bailed out (r9 ADVICE). FuzzyDedupSpec pins capped ≡ uncapped
+    *     on the real corpus AND a planted 45k-char boundary pair whose
+    *     lev lands between the naive and the true cap.
     * The -1 sentinel rows are dropped by `lev >= 0` (without it a
     * bailed-out pair's negative rel_dist would pass the <= filter).
     *
@@ -519,7 +524,9 @@ object DedupQueries {
         .minhashCandidates(docs, "doc_id", "text")
         .select($"doc_a", $"doc_b")
       val gmax = docs.agg(max(length($"text"))).head.getInt(0)
-      val cap = math.ceil(EditTau * gmax).toInt + 1
+      // True acceptance bound incl. 4-dp HALF_UP slack (see Scaladoc):
+      // a qualifying lev can reach (EditTau + 0.00005)·maxlen.
+      val cap = math.ceil((EditTau + 0.5e-4) * gmax).toInt + 1
       val texts = docs.select($"doc_id", $"text", length($"text").as("len"))
       cand
         .join(texts.select($"doc_id".as("doc_a"), $"text".as("text_a"),

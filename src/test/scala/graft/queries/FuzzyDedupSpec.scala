@@ -86,4 +86,40 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(!kept.exists(p => p._2 == 5L || p._1 == 5L),
       s"the half-length doc must be rejected, kept=$kept")
   }
+
+  test("45k-char boundary pair survives the cap (r9 ADVICE: rounding slack > +1)") {
+    // 4-dp HALF_UP acceptance admits lev up to (tau + 0.00005)·maxlen,
+    // so past maxlen = 20k chars the naive cap ceil(tau·gmax)+1 no
+    // longer covers every qualifying pair. Plant a pair in that gap:
+    // maxlen = 44999, naive cap = ceil(899.98)+1 = 901, qualifying max
+    // lev = floor below 0.02005·44999 = 902.23 → 902. A lev-902 pair
+    // must be KEPT; under the naive cap the banded DP bails to -1 and
+    // the pair is silently dropped.
+    //
+    // lev is exact by construction: a contiguous equal-length block
+    // substitution with a disjoint alphabet ('Z' never appears in the
+    // base) has edit distance exactly the block length — the matched
+    // prefix/suffix pin the alignment and no character inside the
+    // block can match.
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxy0123456789" // no 'z'/'Z'
+    val base = Seq.fill(9000)(
+      Seq.fill(4)(alpha(rnd.nextInt(alpha.length))).mkString).mkString(" ")
+    assert(base.length == 44999)
+    def blockSub(start: Int, n: Int): String =
+      base.substring(0, start) + "Z" * n + base.substring(start + n)
+    val justUnder = blockSub(1000, 902)  // rel 0.02004 → rounds to tau, KEPT
+    val justOver = blockSub(20000, 910)  // rel 0.02022 → over tau, dropped
+    val docs = Seq(1L -> base, 2L -> justUnder, 3L -> justOver)
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy_long").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = collectPairs(DedupQueries.d11FuzzyDedup.run(spark, dir))
+    val byPair = out.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 2L)).contains(902L),
+      s"the lev-902 boundary pair must survive with its exact distance, got=$out")
+    assert(!byPair.contains((1L, 3L)) && !byPair.contains((2L, 3L)),
+      s"over-tau long pairs must be rejected, got=$out")
+  }
 }
