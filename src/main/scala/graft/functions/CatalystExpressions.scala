@@ -825,7 +825,7 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 /** Static kernel for [[BpeSegmentWord]]. */
 object BpeExprImpl {
 
-  final val RankSep = " " // cannot occur in alphanumeric symbols
+  final val RankSep = "\u0000" // cannot occur in alphanumeric symbols
 
   /** Build the (l+SEP+r) → rank lookup once, driver-side. */
   def rankMap(merges: Array[Array[String]]): java.util.HashMap[String, Integer] = {
@@ -840,14 +840,43 @@ object BpeExprImpl {
     m
   }
 
+  /** (earlierRank, laterRank) pairs where the earlier merge's operand
+    * string equals the later merge's OUTPUT string — the precondition
+    * for [[segmentWord]] to diverge from the chained training-order
+    * form (see its Scaladoc). Empty for any table a sequential trainer
+    * can emit, since a trainable merge's operands are outputs of
+    * strictly earlier merges (or single chars).
+    */
+  def operandOutputCollisions(merges: Array[Array[String]]): Seq[(Int, Int)] = {
+    // earliest rank that uses each multi-char operand string
+    val firstUse = new java.util.HashMap[String, Integer]()
+    for (q <- merges.indices; operand <- merges(q) if operand.length > 1)
+      firstUse.putIfAbsent(operand, q)
+    merges.indices.flatMap { r =>
+      val out = merges(r)(0) + merges(r)(1)
+      Option(firstUse.get(out)).collect { case q if q < r => (q.intValue(), r) }
+    }
+  }
+
   /** Greedy rank-based BPE encode of one word: iteratively merge the
     * lowest-rank adjacent pair, applying each rank as ONE
-    * left-to-right non-overlapping pass. Equivalent to applying the
-    * merge table in training order as chained literal `replace`s on
-    * the self-delimited string (BpeTrainer's r8 shape): a merge's
-    * output symbol postdates it, and a new adjacency always involves
-    * the new symbol, so applying later merges can never re-create an
-    * earlier merge's pair — rank order IS training order. The chained
+    * left-to-right non-overlapping pass (the canonical Sennrich-style
+    * encoder). Equivalent to applying the merge table in training
+    * order as chained literal `replace`s on the self-delimited string
+    * (BpeTrainer's r8 shape) PROVIDED the table is collision-free
+    * ([[operandOutputCollisions]] empty): then a merge's output symbol
+    * postdates every merge that consumes it, a new adjacency always
+    * involves the new symbol, and applying later merges can never
+    * re-create an earlier merge's pair — rank order IS training order.
+    * If an EARLIER merge's operand string equals a LATER merge's
+    * output (reachable when two merges produce the same string via
+    * different splits, e.g. 'ab'+'c' and 'a'+'bc' both yielding
+    * 'abc'), the later merge re-creates the earlier pair and this
+    * kernel re-applies the earlier rank on its next scan while the
+    * chained form (one pass per merge, in order) does not —
+    * BpeTrainerSpec pins the divergence on such a vocabulary, and pins
+    * that BpeTrainer's own tables are collision-free (a trained
+    * table's operands are outputs of STRICTLY earlier merges). The chained
     * form sized its expression tree by the MODEL (one replace node
     * per merge: a 30–50k-merge production vocab means a 50k-deep
     * Catalyst tree, optimizer time O(tree) and a guaranteed Janino

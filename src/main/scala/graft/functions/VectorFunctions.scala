@@ -26,6 +26,41 @@ object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     try_divide(dot(a, b), l2Norm(a) * l2Norm(b))
 
+  /** `round(cosineSimilarity(a, b), 6)` replicated DRIVER-side with
+    * bit-identical arithmetic (the ProductQuantizer.roundedSubDist
+    * pattern): the kernel's sequential float→double dot accumulation,
+    * the same `‖a‖ * ‖b‖` denominator order, try_divide's NULL on zero
+    * norm (None here), and Spark round's HALF_UP BigDecimal rounding.
+    * The ONE copy shared by the s02/s10 coarse-probe planners and
+    * incremental ANN maintenance — their search ≡ one-shot contracts
+    * rest on both sides ranking with identical math (r9 ADVICE).
+    */
+  def roundedCosine(a: Array[Float], b: Array[Float]): Option[Double] = {
+    def dotF(x: Array[Float], y: Array[Float]): Double = {
+      val n = math.min(x.length, y.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    val den = math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b))
+    if (den == 0.0) None
+    else Some(java.math.BigDecimal.valueOf(dotF(a, b) / den)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
+  /** Probe-ranking order over (cellId, roundedCosine) candidates:
+    * similarity DESC, NULLS (zero-norm) LAST, cell id ASC on ties —
+    * the driver-side replica of `p_sim DESC NULLS LAST, c_id ASC`.
+    */
+  def probeBefore(x: (Long, Option[Double]), y: (Long, Option[Double])): Boolean =
+    (x._2, y._2) match {
+      case (Some(a), Some(b)) => if (a != b) a > b else x._1 < y._1
+      case (Some(_), None) => true
+      case (None, Some(_)) => false
+      case (None, None) => x._1 < y._1
+    }
+
   /** Reference implementation via built-in higher-order functions —
     * kept for cross-checking the native kernel in tests.
     */

@@ -165,33 +165,12 @@ object IncrementalAnn {
       .flatMap { r =>
         val (qid, q) = (r.getLong(0), r.getSeq[Float](1).toArray)
         model.centroids.indices
-          .map(i => (i.toLong, roundedCosine(q, model.centroids(i))))
-          .sortWith { case ((id1, c1), (id2, c2)) =>
-            (c1, c2) match {
-              case (Some(a), Some(b)) => if (a != b) a > b else id1 < id2
-              case (Some(_), None) => true
-              case (None, Some(_)) => false
-              case (None, None) => id1 < id2
-            }
-          }
+          .map(i => (i.toLong, graft.functions.VectorFunctions.roundedCosine(q, model.centroids(i))))
+          .sortWith(graft.functions.VectorFunctions.probeBefore)
           .take(nprobe).map { case (cid, _) => (qid, cid) }
       }.toDF("q_id", "c_id")
     ProductQuantizer.adcSearchCells(
       codes, idCol, "c_id", probes, queries, qIdCol, qVecCol, model.cb, topK)
   }
 
-  /** The family's rounded-cosine (6 dp HALF_UP, None on zero norm). */
-  private def roundedCosine(a: Array[Float], b: Array[Float]): Option[Double] = {
-    def dotF(x: Array[Float], y: Array[Float]): Double = {
-      val n = math.min(x.length, y.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
-      s
-    }
-    val den = math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b))
-    if (den == 0.0) None
-    else Some(java.math.BigDecimal.valueOf(dotF(a, b) / den)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
-  }
 }

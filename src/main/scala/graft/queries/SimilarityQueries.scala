@@ -137,26 +137,9 @@ object SimilarityQueries {
     qs
   }
 
-  /** `round(cosineSimilarity(a, b), 6)` replicated driver-side with
-    * bit-identical arithmetic (the ProductQuantizer.roundedSubDist
-    * pattern): the kernel's sequential float→double dot accumulation
-    * (`VectorExprImpl.dotF`), the same `‖a‖ * ‖b‖` denominator order,
-    * try_divide's NULL on zero norm, and Spark round's HALF_UP
-    * BigDecimal rounding.
-    */
-  private def roundedCosine(a: Array[Float], b: Array[Float]): Option[Double] = {
-    def dotF(x: Array[Float], y: Array[Float]): Double = {
-      val n = math.min(x.length, y.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
-      s
-    }
-    val den = math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b))
-    if (den == 0.0) None
-    else Some(java.math.BigDecimal.valueOf(dotF(a, b) / den)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
-  }
+  /** Shared driver-side rounded cosine (see VectorFunctions.roundedCosine). */
+  private def roundedCosine(a: Array[Float], b: Array[Float]): Option[Double] =
+    graft.functions.VectorFunctions.roundedCosine(a, b)
 
   /** (q_id, q_emb, c_id): each query's NPROBE nearest cells. Probe
     * selection is pure model math — NQ × NCENTROIDS rounded cosines —
@@ -173,14 +156,7 @@ object SimilarityQueries {
     val cents = centroidArray(s, dir)
     queryVectors(s, dir).toSeq.flatMap { case (qid, q) =>
       val ranked = cents.indices.map(i => (i.toLong, roundedCosine(q, cents(i))))
-        .sortWith { case ((id1, c1), (id2, c2)) =>
-          (c1, c2) match {
-            case (Some(a), Some(b)) => if (a != b) a > b else id1 < id2
-            case (Some(_), None) => true
-            case (None, Some(_)) => false
-            case (None, None) => id1 < id2
-          }
-        }
+        .sortWith(graft.functions.VectorFunctions.probeBefore)
       ranked.take(NPROBE).map { case (cid, _) => (qid, q, cid) }
     }.toDF("q_id", "q_emb", "c_id")
   }

@@ -89,8 +89,8 @@ class BpeTrainerSpec extends SparkSpec {
     val coll = Seq(
       ("a", "bc", 10L, 4L), ("x", "y", 8L, 0L), ("q", "abc", 5L, 0L))
     assert(BpeTrainer.selectBatch(coll, maxN = 10) == coll.take(1))
-    // same shape, but the next candidate clears the augmented cap
-    // (5 + 4 = 9 < 10 -> wait, strictly: pf must exceed maxAug+sumBounds)
+    // same shape, but the next candidate clears the augmented cap:
+    // its pf 10 strictly exceeds maxAug 5 + sumBounds 4 = 9, so it batches
     val clears = Seq(
       ("a", "bc", 20L, 4L), ("x", "y", 10L, 0L), ("q", "abc", 5L, 0L))
     assert(BpeTrainer.selectBatch(clears, maxN = 10) == clears.take(2))
@@ -139,6 +139,38 @@ class BpeTrainerSpec extends SparkSpec {
     val r2 = BpeTrainer.segmentChained(realWords, "w", realMerges)
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(k2 == r2, "kernel and chained segmentation diverge on the real corpus")
+  }
+
+  test("kernel == chained only holds collision-free; the colliding vocab diverges as documented") {
+    // r9 ADVICE: if an EARLIER merge's operand equals a LATER merge's
+    // output string, the later merge re-creates the earlier pair; the
+    // greedy kernel re-applies the earlier rank on its next scan while
+    // the chained form (one pass per merge, in training order) cannot
+    // revisit it. Adversarial table: rank 0 consumes "abc", which only
+    // becomes producible via ranks 1+2.
+    val colliding = Seq(
+      BpeTrainer.Merge(0, "abc", "d", 0),
+      BpeTrainer.Merge(1, "a", "b", 0),
+      BpeTrainer.Merge(2, "ab", "c", 0))
+    val mergeArr = colliding.map(m => Array(m.left_sym, m.right_sym)).toArray
+    assert(graft.functions.BpeExprImpl.operandOutputCollisions(mergeArr) == Seq((0, 2)),
+      "the detector must flag rank 0's operand as rank 2's output")
+
+    val word = Seq("abcd").toDF("w")
+    val kern = BpeTrainer.segment(word, "w", colliding)
+      .collect().map(r => r.getSeq[String](1)).head
+    val chained = BpeTrainer.segmentChained(word, "w", colliding)
+      .collect().map(r => r.getSeq[String](1)).head
+    assert(kern == Seq("abcd"),
+      s"kernel is canonical greedy-rank BPE: rank 0 fires once ranks 1+2 build 'abc', got $kern")
+    assert(chained == Seq("abc", "d"),
+      s"chained passed rank 0 before 'abc' existed and cannot revisit it, got $chained")
+
+    // ...and tables a sequential trainer emits are collision-free, so
+    // the kernel == chained pin on trained tables is justified, not lucky
+    val trained = BpeTrainer.learnMerges(corpus, "text", 6)
+      .map(m => Array(m.left_sym, m.right_sym)).toArray
+    assert(graft.functions.BpeExprImpl.operandOutputCollisions(trained).isEmpty)
   }
 
   test("segment plan stays O(1) nodes at a 1000-merge vocabulary") {
