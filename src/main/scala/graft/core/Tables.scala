@@ -31,15 +31,22 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
-  /** `events.ts` is nanosecond-precision parquet (TESTDATA.md), which
-    * Spark's reader rejects outright ([PARQUET_TYPE_ILLEGAL]) — and with
-    * multiple footers the rejection surfaces as an aborted schema-merge
-    * job, not a driver-side exception, so probing is both noisy and
-    * fragile. Instead always read with nanosAsLong=true: a NANOS column
-    * arrives as a raw LongType (which we convert to the engine-wide
-    * microsecond TimestampType), while an ordinary MICROS/MILLIS column
-    * still arrives as TimestampType (the flag only affects NANOS) and is
-    * returned untouched.
+  /** `events.ts` has shipped in two physical types across testdata
+    * generations, so this loader normalizes BOTH to the engine-wide
+    * TimestampType (micros, session-tz):
+    *
+    *  - nanosecond-precision INT64, which Spark's reader rejects
+    *    outright ([PARQUET_TYPE_ILLEGAL]) — and with multiple footers
+    *    the rejection surfaces as an aborted schema-merge job, not a
+    *    driver-side exception, so probing is noisy and fragile. Always
+    *    reading with nanosAsLong=true makes a NANOS column arrive as a
+    *    raw LongType we convert explicitly.
+    *  - micros with isAdjustedToUTC=false (a pandas naive timestamp),
+    *    which Spark 4 infers as TIMESTAMP_NTZ. NTZ breaks streaming
+    *    watermarks ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]) and numeric
+    *    casts, so it is cast to TimestampType — under the engine's
+    *    fixed UTC session timezone the wall-clock values are unchanged,
+    *    matching DuckDB's naive TIMESTAMP reading of the same file.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,6 +54,10 @@ object Tables {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

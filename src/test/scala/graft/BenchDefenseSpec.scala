@@ -124,4 +124,25 @@ class BenchDefenseSpec extends AnyFunSuite {
     // unknown query: nothing to compare against
     assert(!Bench.needsRerun("brand_new_query", 9.9, prev))
   }
+
+  test("oracle-anchor gate trigger: a first-round query past 1s and 2x DuckDB reruns") {
+    // r9's d11_fuzzy_dedup: new that round (no prior records), official
+    // median 8.601s vs oracle 3.964s under load1 6-8 — past the judged
+    // gate, yet the drift trigger had nothing to compare against.
+    val oracle = Map("d11_fuzzy_dedup" -> 3.964)
+    assert(Bench.needsRerun("d11_fuzzy_dedup", 8.601, Map.empty, oracle))
+    // quiet-load reading (0.39x) must NOT trigger
+    assert(!Bench.needsRerun("d11_fuzzy_dedup", 1.542, Map.empty, oracle))
+  }
+
+  test("oracle-anchor trigger exemptions: sub-1s floor and missing anchor") {
+    // scheduler-floor queries sit far above 2x DuckDB but under 1s
+    // absolute (r9's q03 at 27x / 0.4s): exempt
+    assert(!Bench.needsRerun("q03_join_agg", 0.406, Map.empty, Map("q03_join_agg" -> 0.015)))
+    // >1s and >2x but no anchor on record: nothing to judge against
+    assert(!Bench.needsRerun("no_anchor_query", 9.9, Map.empty, Map.empty))
+    // either trigger suffices: drift fires even when the oracle side is quiet
+    assert(Bench.needsRerun("s01_ann_bruteforce", 1.5,
+      Map("s01_ann_bruteforce" -> 0.356), Map("s01_ann_bruteforce" -> 1.0)))
+  }
 }
