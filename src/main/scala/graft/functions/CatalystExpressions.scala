@@ -270,6 +270,44 @@ object ShingleImpl {
       toks.length.toLong,
       new org.apache.spark.sql.catalyst.util.GenericArrayData(freqs)))
   }
+
+  /** Token-position scrub in one local pass: drop the tokens whose
+    * 0-based position appears in `positions`, re-join the survivors
+    * with single spaces, and report struct(n_tok, n_removed,
+    * kept_text). Positions outside [0, n_tok) are ignored (a
+    * short-doc whole-text span claims `spanLen` slots of which only
+    * n_tok exist) — n_removed counts only tokens that actually
+    * existed and were dropped, so callers never need to clamp the
+    * covered-position ranges they feed in. Exists so exact-substring
+    * scrubbing (t23) rewrites corpus text row-locally: the
+    * interpreted filter/transform/array_join alternative runs
+    * per-token per-row on the corpus hot path.
+    */
+  def scrubTokens(
+      text: UTF8String,
+      positions: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(text.toString)
+    val drop = new java.util.HashSet[Long](positions.numElements() * 2)
+    var i = 0
+    while (i < positions.numElements()) {
+      drop.add(positions.getLong(i))
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var removed = 0L
+    var j = 0
+    while (j < toks.length) {
+      if (drop.contains(j.toLong)) removed += 1L
+      else {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(toks(j))
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      toks.length.toLong, removed, UTF8String.fromString(sb.toString)))
+  }
 }
 
 /** Word n-gram shingling as a native codegen'd expression — the
@@ -345,6 +383,45 @@ case class TermFreqs(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): TermFreqs =
     copy(child = newChild)
+}
+
+/** Token-position scrub as a native codegen'd kernel:
+  * (text STRING, positions ARRAY<BIGINT>) → struct<n_tok, n_removed,
+  * kept_text> (see [[ShingleImpl.scrubTokens]]). The rewrite half of
+  * exact-substring dedup: upstream stages decide WHICH token
+  * positions are duplicated spans; this drops them and re-joins the
+  * survivors in one local pass per document.
+  */
+case class ScrubTokens(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"scrub_tokens requires (STRING, ARRAY<BIGINT>) inputs, got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = ScrubTokens.schema
+  override def prettyName: String = "scrub_tokens"
+
+  override protected def nullSafeEval(t: Any, p: Any): Any =
+    ShingleImpl.scrubTokens(
+      t.asInstanceOf[UTF8String],
+      p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"graft.functions.ShingleImpl.scrubTokens($t, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScrubTokens =
+    copy(left = newLeft, right = newRight)
+}
+
+object ScrubTokens {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  val schema: StructType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("kept_text", StringType, nullable = false)))
 }
 
 object TermFreqs {
@@ -1027,6 +1104,8 @@ object exprs {
     SparkShims.column(NgramRepStats(SparkShims.expression(c), n))
   def term_freqs(c: Column): Column =
     SparkShims.column(TermFreqs(SparkShims.expression(c)))
+  def scrub_tokens(text: Column, positions: Column): Column =
+    SparkShims.column(ScrubTokens(SparkShims.expression(text), SparkShims.expression(positions)))
   def sq8_encode(c: Column): Column =
     SparkShims.column(Sq8Encode(SparkShims.expression(c)))
 

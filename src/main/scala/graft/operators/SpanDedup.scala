@@ -50,6 +50,68 @@ object SpanDedup {
         round(try_divide(col("n_dup_spans"), col("n_spans")), 4).as("dup_frac"))
   }
 
+  /** Exact-substring SCRUB — the rewrite face of this operator family
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better": remove the duplicated text itself, not the
+    * documents carrying it). Every occurrence of a span whose hash
+    * appears in ≥ 2 distinct documents has its token positions
+    * dropped; the surviving tokens re-join with single spaces. Output
+    * is one row per input document: (id, n_tok, n_removed,
+    * kept_text) — kept_text is whitespace-normalized by construction
+    * (all docs are rebuilt from their token streams, so scrubbed and
+    * untouched documents come back in the same canonical form).
+    *
+    * Scale shape: the span frame (id, pos, hash) is built by one
+    * codegen'd shingle kernel pass and localCheckpointed (census and
+    * join-back both consume it); the census shuffles (hash, count)
+    * pairs only; covered positions explode ONLY duplicated spans
+    * (k rows each) and aggregate to one sorted positions array per
+    * affected document — bounded by the duplicated text volume, not
+    * the corpus; the rewrite itself is one [[graft.functions
+    * .ScrubTokens]] kernel call per document on a doc-id-partitioned
+    * left join. No stage carries document text besides the two
+    * corpus scans (span build + rewrite).
+    *
+    * Positions past a short doc's token count (its whole-text span
+    * claims `n` slots) are ignored by the kernel, so no clamping
+    * stage is needed and n_removed counts real tokens only.
+    */
+  def scrubSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val id = col(idCol)
+    // (id, pos, h): every span occurrence WITH its start position —
+    // unlike spanStats this must keep positions, so the census
+    // distinct runs on a projection instead of the frame itself
+    val spans = docs
+      .select(id, posexplode(TextDedup.shingles(col(textCol), n)).as(Seq("pos", "sh")))
+      .select(id, col("pos"), graft.functions.exprs.token_hash60(col("sh")).as("h"))
+      .localCheckpoint(true)
+    val dupHashes = spans.select(id, col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    // covered token positions per doc, sorted for deterministic arrays
+    val covered = spans
+      .join(dupHashes, Seq("h"))
+      .select(id, explode(sequence(col("pos").cast("long"),
+        col("pos").cast("long") + lit(n - 1).cast("long"))).as("cp"))
+      .distinct()
+      .groupBy(id)
+      .agg(sort_array(collect_set(col("cp"))).as("cps"))
+    docs
+      .join(covered, Seq(idCol), "left")
+      .select(id, graft.functions.exprs.scrub_tokens(
+        col(textCol),
+        coalesce(col("cps"), typedLit(Array.empty[Long]))).as("sc"))
+      .select(id, col("sc.n_tok").as("n_tok"),
+        col("sc.n_removed").as("n_removed"),
+        col("sc.kept_text").as("kept_text"))
+  }
+
   /** Keep only documents whose duplicated-span fraction is at most
     * `maxDupFrac` (Gopher-style hygiene budget: a doc that is mostly
     * text seen elsewhere in the corpus is dropped wholesale).

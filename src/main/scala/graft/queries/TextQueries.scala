@@ -892,10 +892,66 @@ object TextQueries {
     },
     headline = true)
 
+  /** t23: exact-substring scrub — remove cross-document duplicated
+    * spans from the TEXT, not the corpus (Lee et al. 2021's ExactSubstr:
+    * dedup the repeated passages themselves; d09 is the doc-budget
+    * face of the same census, this is the rewrite face). Every
+    * occurrence of a 5-token span seen in ≥ 2 distinct documents has
+    * its token positions dropped; survivors re-join with single
+    * spaces; all docs come back whitespace-canonicalized.
+    *
+    * Scale shape (see `SpanDedup.scrubSpans`): one shingle-kernel
+    * corpus pass → checkpointed (id, pos, hash) span frame; a
+    * (hash, count) census shuffle; covered-position explode bounded
+    * by duplicated text volume; one doc-id join + one codegen'd
+    * `scrub_tokens` kernel call per doc for the rewrite. The oracle
+    * replays span positions, the census, coverage and the ordered
+    * re-join byte-for-byte (string_agg ORDER BY position).
+    */
+  val t23SpanScrub = Q(
+    "t23_span_scrub",
+    (s, dir) =>
+      graft.operators.SpanDedup.scrubSpans(
+        Tables.documents(s, dir), "doc_id", "text", n = 5),
+    Some("""WITH base AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        FROM documents),
+      sp0 AS (
+        SELECT doc_id, toks,
+          unnest(range(0, greatest(1, len(toks) - 4))) AS pos
+        FROM base),
+      sp AS (
+        SELECT doc_id, pos,
+          CAST(('0x' || substr(md5(array_to_string(toks[pos+1:pos+5], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM sp0),
+      census AS (
+        SELECT h, count(*) AS nd
+        FROM (SELECT DISTINCT doc_id, h FROM sp) GROUP BY h),
+      cov AS (SELECT DISTINCT doc_id, cp FROM (
+        SELECT s.doc_id, unnest(range(s.pos, s.pos + 5)) AS cp
+        FROM sp s JOIN census c USING (h) WHERE c.nd >= 2)),
+      tok0 AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM base),
+      tokpos AS (SELECT doc_id, pos, toks[pos+1] AS tok FROM tok0),
+      kept AS (
+        SELECT t.doc_id,
+          CAST(count(*) AS BIGINT) AS n_tok,
+          CAST(sum(CASE WHEN cv.cp IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+          coalesce(string_agg(tok, ' ' ORDER BY t.pos) FILTER (WHERE cv.cp IS NULL), '') AS kept_text
+        FROM tokpos t LEFT JOIN cov cv
+          ON t.doc_id = cv.doc_id AND t.pos = cv.cp
+        GROUP BY t.doc_id)
+      SELECT d.doc_id, CAST(coalesce(k.n_tok, 0) AS BIGINT) AS n_tok,
+        CAST(coalesce(k.n_removed, 0) AS BIGINT) AS n_removed,
+        coalesce(k.kept_text, '') AS kept_text
+      FROM documents d LEFT JOIN kept k USING (doc_id)"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
       t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample,
-      t19Normalize, t20Dsir, t21TextRank, t22LeakageSplit)
+      t19Normalize, t20Dsir, t21TextRank, t22LeakageSplit, t23SpanScrub)
 }
