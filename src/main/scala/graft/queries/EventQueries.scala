@@ -223,6 +223,51 @@ object EventQueries {
       FROM firsts GROUP BY 1, 2"""),
     headline = true)
 
+  /** q46: first-order Markov transition matrix over per-user event
+    * streams — P(next event type | current event type), the
+    * sequential-pattern aggregate behind behavior modeling, anomaly
+    * scoring and session simulation (q44/q45's sibling: funnel and
+    * retention fix the stages, this measures ALL pairwise flows).
+    *
+    * Scale shape: ONE corpus exchange — the lag window shuffles on
+    * user_id; the (prev, cur) census that follows aggregates a
+    * |event_types|² frame, and the per-prev totals come from a window
+    * over that model-sized census, not a second corpus pass.
+    *
+    * Determinism: ts ties order by event_id on both sides; n is a
+    * bigint count; p divides two exact integers as float64 (identical
+    * IEEE quotient both engines) and rounds 4 dp on both sides.
+    */
+  val q46MarkovTransitions = Q(
+    "q46_markov_transitions",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wp = Window.partitionBy($"prev_type")
+      Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          lag($"event_type", 1).over(w).as("prev_type"))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round($"n" / sum($"n").over(wp), 4))
+    },
+    Some("""WITH seq AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      census AS (
+        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT prev_type, event_type, n,
+        round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+      FROM census"""),
+    headline = true)
+
   val all: Seq[Q] =
-    Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention)
+    Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,
+      q46MarkovTransitions)
 }

@@ -866,9 +866,11 @@ object SimilarityQueries {
     * disagree — followed by one exact integer/1e4 division; ranking
     * orders on that score with a doc_id tie-break.
     */
-  val s12Bm25 = Q(
-    "s12_bm25_topk",
-    (s, dir) => {
+  /** s12's ranked frame (query_id, rank, doc_id, score), reused by the
+    * s14 hybrid fusion so both consumers score through the identical
+    * lexical stage.
+    */
+  private def bm25Ranked(s: org.apache.spark.sql.SparkSession, dir: String) = {
       import s.implicits._
       import graft.functions.exprs
       val docs = Tables.documents(s, dir)
@@ -916,7 +918,11 @@ object SimilarityQueries {
       // SHARED with the incremental index so stream ≡ batch is a
       // property of index contents, not of two scorers agreeing.
       graft.operators.Bm25.scoreTopK(tf, qt, stats, k = 10)
-    },
+  }
+
+  val s12Bm25 = Q(
+    "s12_bm25_topk",
+    (s, dir) => bm25Ranked(s, dir),
     Some(s"""WITH toks AS (
         SELECT doc_id, unnest(${graft.functions.TextFunctions.wsTokensSql}) AS term
         FROM documents),
@@ -1028,7 +1034,92 @@ object SimilarityQueries {
       FROM ranked WHERE rank <= $K"""),
     headline = true)
 
+  /** s14: hybrid retrieval — reciprocal-rank fusion of the s12 BM25
+    * top-10 and a dense cosine top-10 over the same query set (Cormack
+    * et al. 2009, RRF with k0 = 60: score = Σ 1/(60 + rank); the
+    * standard first fusion every lexical+vector retrieval stack runs
+    * before learned rerankers). Queries are the 1-in-97 documents;
+    * the dense list exists only where the query/candidate has an
+    * embedding (at sf0.1 the embedding table covers a prefix of the
+    * corpus — docs without vectors participate lexically, exactly the
+    * production partial-coverage case), and the FULL OUTER fusion
+    * scores single-list hits with the contribution they have.
+    *
+    * Scale shape: the lexical branch is s12's plan unchanged (shared
+    * `bm25Ranked`); the dense branch is s01's broadcast-queries scan
+    * shape restricted to the 1-in-97 query vectors; fusion joins two
+    * top-10-per-query frames — both bounded by |queries| × 10, i.e.
+    * model-sized, so the fusion join, window and final rank cost
+    * nothing at any corpus scale.
+    *
+    * Determinism contract: contributions are INTEGER nano-units
+    * (1e9 div (60 + rank) — exact bigint division on both engines, no
+    * FP), summed as bigints; ranking orders on rrf_micro with a
+    * doc_id tie-break.
+    */
+  val s14HybridRrf = Q(
+    "s14_hybrid_rrf",
+    (s, dir) => {
+      import s.implicits._
+      val lex = bm25Ranked(s, dir)
+        .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" % 97 === 0)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val sim = e.repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("doc_id"),
+          round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
+      val wd = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"doc_id".asc)
+      val den = sim.withColumn("vec_rank", row_number().over(wd))
+        .filter($"vec_rank" <= K)
+        .select($"query_id", $"doc_id", $"vec_rank")
+      val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+        .select($"query_id", $"doc_id",
+          (coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + vec_rank)"), lit(0L)))
+            .cast("long").as("rrf_micro"))
+      val wf = Window.partitionBy($"query_id").orderBy($"rrf_micro".desc, $"doc_id".asc)
+      fused.withColumn("rank", row_number().over(wf))
+        .filter($"rank" <= K)
+        .select($"query_id", $"rank", $"doc_id", $"rrf_micro")
+    },
+    Some {
+      val s12Sql = s12Bm25.oracle.get
+      s"""WITH lex AS (
+        SELECT query_id, doc_id, rank AS lex_rank FROM ($s12Sql)),
+      dq AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id % 97 = 0),
+      denp AS (
+        SELECT d.query_id, e.vec_id AS doc_id,
+          round(list_dot_product(e.embedding::DOUBLE[], d.q_emb::DOUBLE[]) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(d.q_emb::DOUBLE[], d.q_emb::DOUBLE[]))), 6) AS cos_sim
+        FROM embeddings e, dq d WHERE e.vec_id <> d.query_id),
+      den AS (
+        SELECT query_id, doc_id, rank AS vec_rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, doc_id ASC) AS rank
+          FROM denp)
+        WHERE rank <= $K),
+      fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+          coalesce(l.doc_id, d.doc_id) AS doc_id,
+          CAST(coalesce(1000000000 // (60 + l.lex_rank), 0) +
+               coalesce(1000000000 // (60 + d.vec_rank), 0) AS BIGINT) AS rrf_micro
+        FROM lex l FULL JOIN den d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+        FROM fused)
+      SELECT query_id, rank, doc_id, rrf_micro FROM ranked WHERE rank <= $K"""
+    },
+    headline = true)
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
     s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
-    s11IvfPqResidual, s12Bm25, s13Sq8Adc)
+    s11IvfPqResidual, s12Bm25, s13Sq8Adc, s14HybridRrf)
 }

@@ -116,4 +116,38 @@ class QueriesSpec extends SparkSpec {
     val multi = rows.filter(_.getLong(1) >= 0) // all rows; sanity only
     assert(multi.forall(r => r.getString(4) != null && r.getString(5) != null))
   }
+
+  test("s14 hybrid RRF: scores are exact two-list contribution sums, ranks contiguous") {
+    val rows = Registry.byName("s14_hybrid_rrf").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every score must decompose as c_lex + c_dense with each
+    // contribution either 0 or 1e9 div (60 + rank), rank in 1..10 —
+    // the integer-nano RRF contract (and both-zero is impossible:
+    // a fused pair came from at least one list)
+    val contribs = (1 to 10).map(r => 1000000000L / (60 + r)).toSet
+    val valid = (for {
+      a <- contribs + 0L; b <- contribs + 0L if a != 0L || b != 0L
+    } yield a + b).toSet
+    assert(rows.forall { case (_, _, _, m) => valid(m) },
+      s"non-decomposable rrf_micro in ${rows.filterNot(t => valid(t._4)).take(3).toSeq}")
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq,
+        s"query $q ranks not contiguous")
+      assert(rs.length <= 10)
+    }
+  }
+
+  test("q46 markov: per-prev probabilities sum to ~1 and rows cover the type alphabet") {
+    val rows = Registry.byName("q46_markov_transitions").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val psum = rs.map(_._4).sum
+      // each p is rounded to 4 dp, so the row-count bounds the drift
+      assert(math.abs(psum - 1.0) <= rs.length * 0.00005 + 1e-9,
+        s"prev=$prev probabilities sum to $psum")
+      assert(rs.forall(_._3 >= 1L))
+    }
+  }
 }
