@@ -205,4 +205,67 @@ object TextDedup {
       .distinct()
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** ASYMMETRIC near-dup detection: shingle-set containment
+    * C(A,B) = |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|) ≥ `minContainment`
+    * (Broder 1997's containment beside resemblance). Catches the pair
+    * Jaccard-LSH structurally misses: a short document (quote,
+    * excerpt, abstract) living inside a much longer one has Jaccard
+    * ≈ |A|/|B| → 0 but containment ≈ 1, so minhash banding on
+    * resemblance never surfaces it.
+    *
+    * Candidate generation is a frequency-capped inverted index (the
+    * blocking side of prefix-filter joins, PPJoin family): two docs
+    * are candidates iff they share a shingle hash whose document
+    * frequency is in [2, dfCap]. The cap is the skew guard — a
+    * boilerplate shingle shared by millions of pages would otherwise
+    * put a quadratic pair expansion on one reducer — and the
+    * documented recall tradeoff: a pair sharing ONLY above-cap
+    * shingles is invisible. At 100 TB the census (hash, df) shuffle
+    * is the corpus-bytes fraction of d09's, candidate expansion is
+    * ≤ dfCap² rows per qualifying hash, and exact verification runs
+    * on candidate pairs only (d02's set-join shape).
+    *
+    * Output: (doc_a < doc_b, inter, containment round-4,
+    * contained_id = the smaller-set doc, ties to doc_a).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dfCap: Int = 20,
+      minContainment: Double = 0.8): DataFrame = {
+    // 60-bit hashes (d02/d09's md5-prefix): at corpus scale a 32-bit
+    // space would manufacture phantom intersections between unrelated
+    // docs — containment's numerator is exactly what collisions inflate
+    val hashed = docs
+      .select(col(idCol), explode(shingles(col(textCol))).as("sh"))
+      .distinct()
+      .select(col(idCol), graft.functions.exprs.token_hash60(col("sh")).as("h"))
+      .localCheckpoint(true) // census, blocking AND set-build consume it
+    val rare = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select(col("h"))
+    val blk = hashed.join(rare, Seq("h"))
+    val cand = blk.select(col("h"), col(idCol).as("doc_a"))
+      .join(blk.select(col("h"), col(idCol).as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sets = hashed.groupBy(col(idCol))
+      .agg(collect_set(col("h")).as("hs"))
+      .localCheckpoint(true) // both verification joins consume it
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+        least(size(col("hs_a")), size(col("hs_b"))).cast("long").as("min_sz"),
+        when(size(col("hs_a")) <= size(col("hs_b")), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("inter") / col("min_sz"), 4).as("containment"),
+        col("contained_id"))
+      .filter(col("containment") >= minContainment)
+  }
 }

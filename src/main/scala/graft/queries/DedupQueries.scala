@@ -615,8 +615,51 @@ object DedupQueries {
       FROM rk r JOIN sz s ON s.comp = r.comp WHERE r.rn = 1"""
     })
 
+  /** d13: containment dedup — the ASYMMETRIC face of the near-dup
+    * ladder (Broder 1997: containment beside resemblance). A short doc
+    * living inside a longer one has Jaccard ≈ |A|/|B| → 0, invisible
+    * to d02/d03's resemblance pipeline; containment |A∩B|/min(|A|,|B|)
+    * reads ≈ 1. Candidates come from a frequency-capped inverted
+    * index (prefix-filter blocking, PPJoin family) instead of minhash
+    * banding; exact set verification runs on candidates only. See
+    * `TextDedup.containmentPairs` for the 100 TB shape and the
+    * documented above-cap recall tradeoff.
+    */
+  val d13Containment = Q(
+    "d13_containment",
+    (s, dir) =>
+      graft.operators.TextDedup.containmentPairs(
+        Tables.documents(s, dir), "doc_id", "text"),
+    Some(s"""WITH sh AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
+      census AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+      blk AS (
+        SELECT s.doc_id, s.h FROM sh s JOIN census c USING (h)
+        WHERE c.df BETWEEN 2 AND 20),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM blk a JOIN blk b ON a.h = b.h AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b, i.inter,
+        round(i.inter / least(sa.sz, sb.sz), 4) AS containment,
+        CASE WHEN sa.sz <= sb.sz THEN i.doc_a ELSE i.doc_b END AS contained_id
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(i.inter / least(sa.sz, sb.sz), 4) >= 0.8"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
       d05EmbeddingNearDup, d06DedupClusters, d07LshRecall, d08Decontaminate,
-      d09SpanDedup, d10DecontaminateBloom, d11FuzzyDedup, d12CanonicalKeep)
+      d09SpanDedup, d10DecontaminateBloom, d11FuzzyDedup, d12CanonicalKeep,
+      d13Containment)
 }

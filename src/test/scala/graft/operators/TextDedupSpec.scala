@@ -92,6 +92,38 @@ class TextDedupSpec extends SparkSpec {
     assert(a2 eq a, "identical local content must reuse the memoized frame")
   }
 
+  test("containmentPairs surfaces a low-Jaccard containment pair Jaccard dedup misses") {
+    // doc 2 (24 tokens) is verbatim inside doc 1 (120 tokens):
+    // Jaccard ~= 20/116 ~= 0.17, containment = 1.0
+    val big = (1 to 120).map(i => s"w$i").mkString(" ")
+    val inside = (41 to 64).map(i => s"w$i").mkString(" ")
+    val far = (1 to 40).map(i => s"z$i").mkString(" ")
+    val out = TextDedup.containmentPairs(
+      docs(1L -> big, 2L -> inside, 3L -> far), "doc_id", "text").collect()
+    assert(out.length == 1, s"expected one pair, got ${out.mkString(",")}")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getDouble(3) == 1.0, s"containment ${r.getDouble(3)}")
+    assert(r.getLong(4) == 2L, "contained_id must be the smaller-set doc")
+  }
+
+  test("containmentPairs df-cap blocks hot-shingle-only pairs (the documented recall tradeoff)") {
+    // every doc shares the same 5-token boilerplate prefix and nothing
+    // else; with 25 docs the boilerplate shingles' df=25 > dfCap=20, so
+    // no candidate survives blocking
+    val boiler = "terms of service apply here"
+    val d = docs((1 to 25).map(i =>
+      i.toLong -> s"$boiler unique$i body$i content$i words$i here$i"): _*)
+    val out = TextDedup.containmentPairs(d, "doc_id", "text").collect()
+    assert(out.isEmpty,
+      s"above-cap shingles must not generate candidates, got ${out.mkString(",")}")
+    // and with a cap that admits them, the same corpus yields pairs —
+    // the exclusion above is the cap, not the verify threshold
+    val loose = TextDedup.containmentPairs(d, "doc_id", "text", dfCap = 30,
+      minContainment = 0.1).collect()
+    assert(loose.nonEmpty)
+  }
+
   test("salted band join returns exactly the plain join's candidates") {
     // 8 copies of one text make every band of those docs a hot bucket
     // when hotThreshold=0; mixed-in near and far docs exercise the
