@@ -1119,7 +1119,140 @@ object SimilarityQueries {
     },
     headline = true)
 
+  private val CPOOL = 20 // s15 MMR candidate pool per query
+  private val KSEL = 5 // s15 MMR selections per query
+  private val MmrLambda = 0.5 // relevance/diversity balance; 0.5 is exact in FP
+
+  /** s15: MMR-diversified top-k (Carbonell & Goldstein 1998, maximal
+    * marginal relevance) — the diversity-aware selection stage that
+    * runs AFTER ANN in retrieval and training-data curation: pick k
+    * results that are relevant to the query but not redundant with
+    * each other, score(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).
+    * Greedy by definition — each pick changes the redundancy term for
+    * the rest — so the plan runs KSEL small model-sized rounds, the
+    * exact structure k-means (s06) and BPE training (t16) already use.
+    *
+    * Scale shape: ONE corpus pass builds the top-CPOOL candidate pool
+    * per query (s01's broadcast-queries scan + WindowGroupLimit), and
+    * the pool is checkpointed WITH its embeddings so the pairwise
+    * similarity matrix (|Q| × CPOOL² rows) and every greedy round
+    * run on model-sized frames only — the corpus is never rescanned.
+    *
+    * Determinism: rel and s_ab are round-6 cosines; λ = 0.5 makes
+    * λ·rel and (1−λ)·ms EXACT FP products (power of two), and the
+    * score a single IEEE subtraction — identical on both engines;
+    * ties break on doc_id; max() is summation-order-free. The oracle
+    * replays all KSEL greedy rounds as generated CTE chains (t21's
+    * unrolled-iteration pattern).
+    */
+  val s15MmrDiversify = Q(
+    "s15_mmr_diversify",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val sim = e.repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("doc_id"), $"embedding",
+          round(cosineSimilarity($"embedding", $"q_emb"), 6).as("rel"))
+        .filter($"rel".isNotNull)
+      val wc = Window.partitionBy($"q_id").orderBy($"rel".desc, $"doc_id".asc)
+      // candidate pool carries embeddings so the pairwise stage never
+      // rescans the corpus; checkpointed — every greedy round consumes it
+      val cand = sim.withColumn("rk", row_number().over(wc)).filter($"rk" <= CPOOL)
+        .select($"q_id", $"doc_id", $"rel", $"embedding")
+        .localCheckpoint(true)
+      val ps = cand.select($"q_id", $"doc_id".as("d_a"), $"embedding".as("emb_a"))
+        .join(cand.select($"q_id".as("pq_id"), $"doc_id".as("d_b"), $"embedding".as("emb_b")),
+          $"q_id" === $"pq_id" && $"d_a" =!= $"d_b")
+        .select($"q_id", $"d_a", $"d_b",
+          round(cosineSimilarity($"emb_a", $"emb_b"), 6).as("s_ab"))
+        .localCheckpoint(true)
+      val pool = cand.select($"q_id", $"doc_id", $"rel")
+      // round 1: argmax relevance (ms = 0 over the empty selected set)
+      var selected = pool.withColumn("rk", row_number().over(wc)).filter($"rk" === 1)
+        .select($"q_id", $"doc_id", lit(1).as("sel_rank"),
+          (lit(MmrLambda) * $"rel").as("mmr_score"))
+      var remaining = pool
+        .join(selected.select($"q_id", $"doc_id"), Seq("q_id", "doc_id"), "left_anti")
+      for (i <- 2 to KSEL) {
+        val scored = remaining.as("r")
+          .join(ps.as("p"), $"r.q_id" === $"p.q_id" && $"r.doc_id" === $"p.d_a")
+          .join(selected.select($"q_id".as("sq"), $"doc_id".as("sd")),
+            $"p.q_id" === $"sq" && $"p.d_b" === $"sd")
+          .groupBy($"r.q_id", $"r.doc_id", $"r.rel")
+          .agg(max($"p.s_ab").as("ms"))
+          .select($"q_id", $"doc_id",
+            (lit(MmrLambda) * $"rel" - lit(1 - MmrLambda) * coalesce($"ms", lit(0.0)))
+              .as("mmr_score"))
+        val wi = Window.partitionBy($"q_id").orderBy($"mmr_score".desc, $"doc_id".asc)
+        val pick = scored.withColumn("rk", row_number().over(wi)).filter($"rk" === 1)
+          .select($"q_id", $"doc_id", lit(i).as("sel_rank"), $"mmr_score")
+        selected = selected.union(pick)
+        remaining = remaining
+          .join(pick.select($"q_id", $"doc_id"), Seq("q_id", "doc_id"), "left_anti")
+      }
+      selected.select($"q_id", $"sel_rank", $"doc_id", $"mmr_score")
+    },
+    Some {
+      def cos(a: String, b: String) =
+        s"""round(list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product($a.embedding::DOUBLE[], $a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product($b.embedding::DOUBLE[], $b.embedding::DOUBLE[]))), 6)"""
+      val steps = (2 to KSEL).map { i =>
+        s"""sc$i AS (
+          SELECT r.q_id, r.doc_id,
+            $MmrLambda * r.rel - ${1 - MmrLambda} * coalesce(max(p.s_ab), 0.0) AS mmr_score
+          FROM rem${i - 1} r
+          JOIN ps p ON p.q_id = r.q_id AND p.d_a = r.doc_id
+          JOIN sel${i - 1} s ON s.q_id = p.q_id AND s.doc_id = p.d_b
+          GROUP BY r.q_id, r.doc_id, r.rel),
+        pick$i AS (
+          SELECT q_id, doc_id, $i AS sel_rank, mmr_score FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY mmr_score DESC, doc_id ASC) AS rk
+            FROM sc$i) WHERE rk = 1),
+        sel$i AS (
+          SELECT q_id, doc_id, sel_rank, mmr_score FROM sel${i - 1}
+          UNION ALL
+          SELECT q_id, doc_id, sel_rank, mmr_score FROM pick$i),
+        rem$i AS (
+          SELECT * FROM rem${i - 1} r WHERE NOT EXISTS (
+            SELECT 1 FROM pick$i k
+            WHERE k.q_id = r.q_id AND k.doc_id = r.doc_id))"""
+      }.mkString(",\n", ",\n", "")
+      s"""WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
+      rel0 AS (
+        SELECT q.q_id, e.vec_id AS doc_id, e.embedding,
+          round(list_dot_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))), 6) AS rel
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      cand AS (
+        SELECT q_id, doc_id, embedding, rel FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS rk
+          FROM rel0 WHERE rel IS NOT NULL)
+        WHERE rk <= $CPOOL),
+      ps AS (
+        SELECT a.q_id, a.doc_id AS d_a, b.doc_id AS d_b, ${cos("a", "b")} AS s_ab
+        FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.doc_id <> b.doc_id),
+      sel1 AS (
+        SELECT q_id, doc_id, 1 AS sel_rank, $MmrLambda * rel AS mmr_score FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS rk
+          FROM cand) WHERE rk = 1),
+      rem1 AS (
+        SELECT c.q_id, c.doc_id, c.rel FROM cand c WHERE NOT EXISTS (
+          SELECT 1 FROM sel1 s WHERE s.q_id = c.q_id AND s.doc_id = c.doc_id))$steps
+      SELECT q_id, sel_rank, doc_id, mmr_score FROM sel$KSEL"""
+    },
+    headline = true)
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
     s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
-    s11IvfPqResidual, s12Bm25, s13Sq8Adc, s14HybridRrf)
+    s11IvfPqResidual, s12Bm25, s13Sq8Adc, s14HybridRrf, s15MmrDiversify)
 }

@@ -138,6 +138,22 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("s15 MMR: 5 distinct picks per query, rank 1 is the relevance argmax") {
+    val mmr = Registry.byName("s15_mmr_diversify").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exact = Registry.byName("s01_ann_bruteforce").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(mmr.nonEmpty)
+    mmr.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5).toSeq, s"query $q ranks: ${rs.toSeq}")
+      assert(rs.map(_._3).distinct.length == 5, s"query $q picked a doc twice")
+      // greedy round 1 maximizes pure relevance = s01's top-1 neighbor
+      val top1 = exact.find(e => e._1 == q && e._2 == 1).get._3
+      assert(rs.find(_._2 == 1).get._3 == top1,
+        s"query $q MMR rank-1 must equal the exact top-1")
+    }
+  }
+
   test("q46 markov: per-prev probabilities sum to ~1 and rows cover the type alphabet") {
     val rows = Registry.byName("q46_markov_transitions").run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
