@@ -267,7 +267,79 @@ object EventQueries {
       FROM census"""),
     headline = true)
 
+  /** q47: session path census — the top-20 most common event-type
+    * paths (first 8 events per session, q19's 30-minute-gap
+    * sessionization), the sequence-mining census behind navigation
+    * analysis and funnel DISCOVERY (q44 checks a known funnel; this
+    * surfaces the paths worth checking). q46's higher-order sibling:
+    * whole ordered paths instead of pairwise transitions.
+    *
+    * Scale shape: the lag/sum sessionization shuffles once on user_id
+    * (q19's exchange) and the per-session path builds row-locally
+    * from an array_sort over ≤ session-sized structs; the path census
+    * aggregates with map-side partials, and top-20 goes through
+    * orderBy+limit (TakeOrderedAndProject — no global window over the
+    * census, whose cardinality is corpus-bounded, only over 20 rows).
+    *
+    * Determinism: events order by (ts, event_id) inside a session on
+    * both sides; the cap takes the FIRST 8 events (Spark slices the
+    * sorted array, the oracle filters row_number ≤ 8 before the
+    * ordered string_agg); ties in the census rank break on path text.
+    */
+  val q47SessionPaths = Q(
+    "q47_session_paths",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val paths = sess.groupBy($"user_id", $"session_id")
+        .agg(array_join(
+          slice(transform(
+            array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+            _.getField("event_type")), 1, 8), ">").as("path"))
+      val census = paths.groupBy($"path").agg(count(lit(1)).as("n"))
+      val top = census.orderBy($"n".desc, $"path".asc).limit(20)
+      top.withColumn("rank",
+        row_number().over(Window.orderBy($"n".desc, $"path".asc)))
+        .select($"rank", $"path", $"n")
+    },
+    Some("""WITH g AS (
+        SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      sess AS (
+        SELECT user_id, event_id, ts, event_type,
+          CAST(sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM g),
+      rn AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, session_id ORDER BY ts ASC, event_id ASC) AS rn
+        FROM sess),
+      paths AS (
+        SELECT user_id, session_id,
+          string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+        FROM rn WHERE rn <= 8 GROUP BY 1, 2),
+      census AS (SELECT path, count(*) AS n FROM paths GROUP BY 1),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+        FROM census)
+      SELECT rank, path, n FROM ranked WHERE rank <= 20"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,
-      q46MarkovTransitions)
+      q46MarkovTransitions, q47SessionPaths)
 }
