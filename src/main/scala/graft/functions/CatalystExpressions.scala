@@ -385,6 +385,109 @@ case class TermFreqs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Content-defined chunking as a native codegen'd kernel:
+  * BINARY → ARRAY<STRING> of per-chunk md5 digests, in payload order.
+  *
+  * Boundary rule (the Rabin-fingerprint family, re-expressed with the
+  * engine-portable arithmetic t05's RollingHash established): byte
+  * position i (0-based) ends a chunk iff i ≥ w−1 and the polynomial
+  * hash of the w-byte window ending at i —
+  * h = Σ_{k=0}^{w−1} b[i−w+1+k] · 31^(w−1−k) mod 1 000 000 007 —
+  * satisfies h mod mask = 0; the final byte always ends the last
+  * chunk. Chunk ids are md5 over the chunk's UPPERCASE hex (the m02
+  * convention: DuckDB's `hex(BLOB)` matches Spark's `hex`), so a
+  * DuckDB oracle replays boundaries AND ids exactly from
+  * `hex(payload)` substrings. Every term stays under 2^63 (255·31^7
+  * per term, ×w before one mod), so both engines compute identical
+  * exact integers.
+  *
+  * Why CDC: equal-offset chunking breaks on INSERTED bytes (every
+  * later chunk shifts); content-defined boundaries re-align after the
+  * edit, so a trimmed/re-muxed/prefixed media file still shares most
+  * chunks with its original — the dedup shape storage systems use,
+  * and the binary-payload analogue of d09's span census.
+  */
+case class CdcChunks(child: Expression, w: Int, mask: Int) extends UnaryExpression {
+  require(w >= 1 && mask >= 1, s"cdc_chunks needs w >= 1 and mask >= 1, got w=$w mask=$mask")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires BINARY input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunks.chunks(input.asInstanceOf[Array[Byte]], w, mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcChunks.chunks($c, $w, $mask)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  private val Mod = 1000000007L
+  private val HexChars = "0123456789ABCDEF".toCharArray
+
+  def chunks(payload: Array[Byte], w: Int, mask: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = payload.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // uppercase hex once — chunk ids are md5 over hex substrings so the
+    // oracle can replay them from hex(payload) without BLOB slicing
+    val hx = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val b = payload(i) & 0xff
+      hx(2 * i) = HexChars(b >>> 4).toByte
+      hx(2 * i + 1) = HexChars(b & 0xf).toByte
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    def emit(s: Int, e: Int): Unit = {
+      md.reset()
+      md.update(hx, s * 2, (e - s + 1) * 2)
+      val d = md.digest()
+      val sb = new java.lang.StringBuilder(32)
+      var k = 0
+      while (k < d.length) {
+        sb.append(HexChars((d(k) & 0xff) >>> 4).toLower)
+        sb.append(HexChars(d(k) & 0xf).toLower)
+        k += 1
+      }
+      out += UTF8String.fromString(sb.toString)
+    }
+    // Boundaries are decided INDEPENDENTLY per position (every i in
+    // [w-1, n-1] whose window hash meets the mask), never skipped by
+    // chunking state — that keeps the rule a pure per-position
+    // predicate the oracle replays with one windowed expression, at
+    // the cost of permitting sub-w chunks after a close boundary.
+    var start = 0
+    var pos = w - 1
+    while (pos < n) {
+      // Horner left-to-right accumulation ≡ the oracle's explicit
+      // Σ b·31^(w-1-k) per-term sum mod p (each step stays < 2^63)
+      var h = 0L
+      var k = 0
+      while (k < w) {
+        h = (h * 31 + (payload(pos - w + 1 + k) & 0xff)) % Mod
+        k += 1
+      }
+      if (h % mask == 0) {
+        emit(start, pos)
+        start = pos + 1
+      }
+      pos += 1
+    }
+    if (start < n) emit(start, n - 1)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Token-position scrub as a native codegen'd kernel:
   * (text STRING, positions ARRAY<BIGINT>) → struct<n_tok, n_removed,
   * kept_text> (see [[ShingleImpl.scrubTokens]]). The rewrite half of
@@ -1106,6 +1209,8 @@ object exprs {
     SparkShims.column(TermFreqs(SparkShims.expression(c)))
   def scrub_tokens(text: Column, positions: Column): Column =
     SparkShims.column(ScrubTokens(SparkShims.expression(text), SparkShims.expression(positions)))
+  def cdc_chunks(payload: Column, w: Int, mask: Int): Column =
+    SparkShims.column(CdcChunks(SparkShims.expression(payload), w, mask))
   def sq8_encode(c: Column): Column =
     SparkShims.column(Sq8Encode(SparkShims.expression(c)))
 

@@ -254,5 +254,104 @@ object MultimodalQueries {
         min(media_id) AS keep_id
       FROM corpus GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(m01Multimodal, m02HeaderParse, m03MediaDedup)
+  private val CdcW = 8 // CDC window bytes
+  private val CdcMask = 64 // boundary when window hash % mask == 0 (~64-byte chunks)
+
+  /** m04: content-defined-chunking near-dup over binary payloads —
+    * m03's exact content hash misses a file whose bytes SHIFTED (a
+    * prefixed/trimmed/re-muxed copy changes every fixed offset), which
+    * is precisely what Rabin-style content-defined boundaries survive:
+    * after an edit the boundaries re-align and the untouched regions
+    * hash to the same chunks. The corpus plants all three cases —
+    * byte-identical copies (share every chunk), 5-byte-prefixed copies
+    * (share every chunk after the first re-aligned boundary), and
+    * unrelated payloads — and reports per-file chunk counts and the
+    * duplicated-chunk fraction (the storage-dedup ratio; chunk
+    * duplication counts ALL occurrences, storage semantics, unlike
+    * d09's distinct-document census).
+    *
+    * Scale shape: chunking is ONE codegen'd kernel call per payload
+    * (zero shuffle — payload bytes die at the scan, exactly m03's
+    * contract); only (media_id, chunk-md5) pairs ever move; the chunk
+    * census is the one corpus-scale exchange, and the join back is
+    * hash-partitioned on the 32-char digest. The oracle replays
+    * boundaries byte-for-byte: the window hash is an explicit
+    * Σ byte·31^k sum over hex(payload) substrings mod 1e9+7 (every
+    * term exact int64 on both engines), chunk ids are md5 over the
+    * same hex substrings.
+    */
+  val m04CdcDedup = Q(
+    "m04_cdc_dedup",
+    (s, dir) => {
+      import s.implicits._
+      ensureFixture(s)
+      val base = s.read.parquet(FixturePath).select($"media_id", $"payload")
+      val prefix = lit(Array[Byte](0x47, 0x52, 0x41, 0x46, 0x54)) // "GRAFT"
+      val corpus = base
+        .unionByName(base.filter($"media_id" % 2 === 0)
+          .select(($"media_id" + NMedia).as("media_id"), $"payload"))
+        .unionByName(base.filter($"media_id" % 3 === 0)
+          .select(($"media_id" + 2 * NMedia).as("media_id"),
+            concat(prefix, $"payload").as("payload")))
+      val chunks = corpus.select($"media_id",
+        explode(graft.functions.exprs.cdc_chunks($"payload", CdcW, CdcMask)).as("ch"))
+      val census = chunks.groupBy($"ch").agg(count(lit(1)).as("nc"))
+      val stats = chunks.join(census, Seq("ch"))
+        .groupBy($"media_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when($"nc" >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+      corpus.select($"media_id", length($"payload").cast("long").as("n_bytes"))
+        .join(stats, Seq("media_id"))
+        .select($"media_id", $"n_bytes", $"n_chunks", $"dup_chunks",
+          round($"dup_chunks" / $"n_chunks", 4).as("dup_frac"))
+    },
+    Some {
+      // h(i) = Σ_{k=0}^{w-1} byte(i-w+1+k) · 31^(w-1-k) mod 1e9+7 as an
+      // explicit per-term sum over hex substrings (max ~5.6e13 < 2^63)
+      val terms = (0 until CdcW).map { k =>
+        val pow = (0 until (CdcW - 1 - k)).foldLeft(1L)((a, _) => a * 31)
+        s"CAST(('0x' || substr(hx, (i-${CdcW - 1 - k})*2+1, 2)) AS BIGINT) * $pow"
+      }.mkString(" + ")
+      s"""WITH base AS (
+        SELECT media_id, payload FROM '$FixturePath/*.parquet'),
+      corpus AS (
+        SELECT media_id, payload FROM base
+        UNION ALL
+        SELECT media_id + $NMedia, payload FROM base WHERE media_id % 2 = 0
+        UNION ALL
+        SELECT media_id + ${2 * NMedia}, '\\x47\\x52\\x41\\x46\\x54'::BLOB || payload
+        FROM base WHERE media_id % 3 = 0),
+      bytes AS (
+        SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n
+        FROM corpus),
+      pos AS (
+        SELECT media_id, hx, n, unnest(range(${CdcW - 1}, n)) AS i FROM bytes),
+      bnd AS (
+        SELECT media_id, i FROM pos
+        WHERE (($terms) % 1000000007) % $CdcMask = 0),
+      ends AS (
+        SELECT media_id, i AS e FROM bnd
+        UNION
+        SELECT media_id, n - 1 AS e FROM bytes),
+      segs AS (
+        SELECT media_id, e,
+          coalesce(lag(e) OVER (PARTITION BY media_id ORDER BY e), -1) + 1 AS s
+        FROM ends),
+      chunks AS (
+        SELECT g.media_id, md5(substr(b.hx, g.s*2+1, (g.e-g.s+1)*2)) AS ch
+        FROM segs g JOIN bytes b USING (media_id)),
+      census AS (SELECT ch, count(*) AS nc FROM chunks GROUP BY 1),
+      stats AS (
+        SELECT c.media_id,
+          CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(sum(CASE WHEN x.nc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+        FROM chunks c JOIN census x USING (ch)
+        GROUP BY 1)
+      SELECT b.media_id, CAST(b.n AS BIGINT) AS n_bytes,
+        s.n_chunks, s.dup_chunks,
+        round(s.dup_chunks / s.n_chunks, 4) AS dup_frac
+      FROM bytes b JOIN stats s USING (media_id)"""
+    })
+
+  val all: Seq[Q] = Seq(m01Multimodal, m02HeaderParse, m03MediaDedup, m04CdcDedup)
 }

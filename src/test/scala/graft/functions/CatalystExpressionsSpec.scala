@@ -179,6 +179,57 @@ class CatalystExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("cdc_chunks == an independent explicit-powers reimplementation; shift robustness") {
+    // deterministic pseudo-random payload (LCG), long enough for
+    // several content-defined boundaries at mask=64
+    val n = 400
+    var x = 123456789L
+    val payload = Array.tabulate[Byte](n) { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L); (x >>> 33).toByte
+    }
+    val w = 8; val mask = 64; val mod = 1000000007L
+
+    // independent replay: explicit Σ b·31^(w-1-k) with a pow table
+    // (the oracle's formula), not the kernel's Horner accumulation
+    def refChunks(p: Array[Byte]): Seq[String] = {
+      val pow = Array.iterate(1L, w)(_ * 31)
+      val ends = ((w - 1) until p.length).filter { i =>
+        val sum = (0 until w).map(k => (p(i - w + 1 + k) & 0xff).toLong * pow(w - 1 - k)).sum
+        (sum % mod) % mask == 0
+      } :+ (p.length - 1)
+      val hx = p.map(b => f"${b & 0xff}%02X").mkString
+      ends.distinct.sorted.foldLeft((Seq.empty[String], 0)) { case ((acc, s), e) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val d = md.digest(hx.substring(s * 2, (e + 1) * 2).getBytes("US-ASCII"))
+        (acc :+ d.map("%02x".format(_)).mkString, e + 1)
+      }._1
+    }
+
+    def kernelChunks(p: Array[Byte]): Seq[String] = {
+      val df = Seq(Tuple1(p)).toDF("payload")
+      df.select(exprs.cdc_chunks($"payload", w, mask).as("c"))
+        .collect().head.getSeq[String](0)
+    }
+
+    val base = kernelChunks(payload)
+    assert(base == refChunks(payload), "kernel must equal the explicit-sum replay")
+    assert(base.length >= 3, s"fixture should chunk several times, got ${base.length}")
+
+    // identical payloads chunk identically; a 5-byte prefix (every
+    // fixed offset shifts) still shares all chunks after the first
+    // re-aligned boundary — the CDC property fixed-size chunking lacks
+    val prefixed = Array[Byte](0x47, 0x52, 0x41, 0x46, 0x54) ++ payload
+    val shifted = kernelChunks(prefixed)
+    assert(shifted == refChunks(prefixed))
+    val shared = base.toSet intersect shifted.toSet
+    assert(shared.size >= base.length - 1,
+      s"shifted copy must re-align: shared ${shared.size} of ${base.length}")
+
+    // sub-window payload: one chunk, md5 of the whole hex
+    val tiny = Array[Byte](1, 2, 3)
+    assert(kernelChunks(tiny) == refChunks(tiny) && kernelChunks(tiny).length == 1)
+  }
+
   private def withCodegenOff(f: => Unit): Unit = {
     val key = "spark.sql.codegen.wholeStage"
     val old = spark.conf.get(key)
