@@ -86,14 +86,39 @@ object SpanDedup {
     // (id, pos, h): every span occurrence WITH its start position —
     // unlike spanStats this must keep positions, so the census
     // distinct runs on a projection instead of the frame itself
-    val spans = docs
-      .select(id, posexplode(TextDedup.shingles(col(textCol), n)).as(Seq("pos", "sh")))
-      .select(id, col("pos"), graft.functions.exprs.token_hash60(col("sh")).as("h"))
-      .localCheckpoint(true)
+    val spans = posSpans(docs, idCol, textCol, n).localCheckpoint(true)
     val dupHashes = spans.select(id, col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("h"))
+    scrubCore(docs, idCol, textCol, spans, dupHashes, n)
+  }
+
+  /** (id, pos, h): every span occurrence with its 0-based start token
+    * position — the positions-kept sibling of [[docSpanHashes]].
+    */
+  private[operators] def posSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(TextDedup.shingles(col(textCol), n)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"),
+        graft.functions.exprs.token_hash60(col("sh")).as("h"))
+
+  /** The scrub stage shared by the one-shot [[scrubSpans]] and the
+    * incremental [[IncrementalSpanCensus.scrubAgainst]]: given a
+    * document frame, its positioned spans and the duplicated-hash set
+    * (however derived), drop every covered token position through one
+    * `scrub_tokens` kernel call per document.
+    */
+  private[operators] def scrubCore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame,
+      dupHashes: DataFrame,
+      n: Int): DataFrame = {
+    val id = col(idCol)
     // covered token positions per doc, sorted for deterministic arrays
     val covered = spans
       .join(dupHashes, Seq("h"))
