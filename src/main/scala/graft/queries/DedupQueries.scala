@@ -657,9 +657,54 @@ object DedupQueries {
       WHERE round(i.inter / least(sa.sz, sb.sz), 4) >= 0.8"""),
     headline = true)
 
+  /** d14: duplication provenance — the near-dup pair census by
+    * (source, source): which feeds duplicate each other, and how much
+    * of the dedup burden is intra- vs cross-source. The reporting
+    * face every corpus audit runs after d03: a hot (src, src) cell
+    * means a mirrored/scraped-twice feed worth fixing upstream rather
+    * than deduping forever downstream.
+    *
+    * Scale shape: the pair frame is d03's candidate output (linear in
+    * corpus, already skew-salted); attaching sources is two
+    * doc_id-keyed joins against a (doc_id, source) projection, and
+    * the census aggregates a |sources|² frame. Source pairs are
+    * normalized least/greatest so the matrix is upper-triangular on
+    * both engines.
+    */
+  val d14CrossSourceDups = Q(
+    "d14_cross_source_dups",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.operators.TextDedup
+        .minhashCandidates(docs, "doc_id", "text")
+        .filter($"est_sim" >= 0.5)
+        .select($"doc_a", $"doc_b")
+      val src = docs.select($"doc_id", $"source")
+      pairs
+        .join(src.select($"doc_id".as("doc_a"), $"source".as("source_a")), "doc_a")
+        .join(src.select($"doc_id".as("doc_b"), $"source".as("source_b")), "doc_b")
+        .select(least($"source_a", $"source_b").as("src_x"),
+          greatest($"source_a", $"source_b").as("src_y"))
+        .groupBy($"src_x", $"src_y")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some {
+      val d03Sql = d03MinhashLsh.oracle.get
+      s"""WITH pairs AS (
+        SELECT doc_a, doc_b FROM ($d03Sql) WHERE est_sim >= 0.5)
+      SELECT least(a.source, b.source) AS src_x,
+        greatest(a.source, b.source) AS src_y,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs p
+      JOIN documents a ON a.doc_id = p.doc_a
+      JOIN documents b ON b.doc_id = p.doc_b
+      GROUP BY 1, 2"""
+    })
+
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
       d05EmbeddingNearDup, d06DedupClusters, d07LshRecall, d08Decontaminate,
       d09SpanDedup, d10DecontaminateBloom, d11FuzzyDedup, d12CanonicalKeep,
-      d13Containment)
+      d13Containment, d14CrossSourceDups)
 }

@@ -948,10 +948,105 @@ object TextQueries {
       FROM documents d LEFT JOIN kept k USING (doc_id)"""),
     headline = true)
 
+  /** t24: corpus-wide BPE tokenization — the APPLY face of t16's
+    * training (train once, tokenize everything: the pass a data
+    * pipeline runs to budget token counts, pack sequences, and price
+    * a corpus). Merges are learned from the corpus itself (t16's
+    * config, batched passes), then every alphanumeric word is
+    * segmented by the native greedy-rank kernel and per-document
+    * token counts + chars-per-token compression ratios come out.
+    *
+    * Scale shape: training is t16's driver-iterative vocab-sized
+    * loop; the APPLY pass is one explode (narrow) + one codegen'd
+    * `bpe_segment_word` call per word + one doc_id-partitioned
+    * aggregate — the merge table rides into the kernel as driver
+    * state (`PqEncodeCode`'s pattern), so the plan is O(1) nodes at
+    * any vocab size where the chained-replace form is O(merges).
+    *
+    * Determinism: the kernel's greedy lowest-rank segmentation equals
+    * the oracle's training-order chained replaces for collision-free
+    * merge tables, and sequentially-trained tables are collision-free
+    * (both pinned in BpeTrainerSpec); the oracle carries each word
+    * through the SAME training chain t16 replays, then counts the
+    * final symbols per word and joins back to the document stream.
+    */
+  val t24BpeTokenize = Q(
+    "t24_bpe_tokenize",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.BpeTrainer
+        .learnMerges(docs, "text", BpeMerges, batched = true)
+      val seg = docs
+        .select($"doc_id",
+          explode(graft.functions.TextFunctions.wsTokens($"text")).as("w"))
+        .filter($"w".rlike("^[A-Za-z0-9]+$"))
+        .select($"doc_id",
+          size(graft.functions.exprs.bpe_segment_word($"w",
+            merges.map(m => Array(m.left_sym, m.right_sym)).toArray))
+            .cast("long").as("nt"))
+      val agg = seg.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"nt").as("n_bpe_tokens"))
+      docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_words", lit(0L)).as("n_words"),
+          coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
+          round(try_divide(
+            coalesce($"n_bpe_tokens", lit(0L)), coalesce($"n_words", lit(0L))), 4)
+            .as("tokens_per_word"))
+    },
+    Some {
+      // t16's training chain, but each enc round CARRIES the word so
+      // the final round doubles as the corpus-wide segmentation map
+      def roundSql(r: Int) = s"""
+      pairs$r AS MATERIALIZED (
+        SELECT z[1] AS l, z[2] AS r, CAST(sum(freq) AS BIGINT) AS pf
+        FROM enc$r, LATERAL (
+          SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z) AS t
+        WHERE len(syms) >= 2
+        GROUP BY z[1], z[2]),
+      top$r AS MATERIALIZED (
+        SELECT l, r, pf FROM pairs$r ORDER BY pf DESC, l ASC, r ASC LIMIT 1),
+      enc${r + 1} AS MATERIALIZED (
+        SELECT w, freq, s, regexp_extract_all(s, '<([^>]*)>', 1) AS syms
+        FROM (
+          SELECT w, freq,
+            replace(s, '<' || (SELECT l FROM top$r) || '><' || (SELECT r FROM top$r) || '>',
+                       '<' || (SELECT l FROM top$r) || (SELECT r FROM top$r) || '>') AS s
+          FROM enc$r))"""
+      val rounds = (0 until BpeMerges).map(roundSql).mkString(",")
+      s"""WITH words AS MATERIALIZED (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[A-Za-z0-9]+$$')
+        GROUP BY w),
+      enc0 AS MATERIALIZED (
+        SELECT w, freq, '<' || array_to_string(string_split_regex(w, ''), '><') || '>' AS s,
+          string_split_regex(w, '') AS syms
+        FROM words),$rounds,
+      final AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM enc$BpeMerges),
+      doctoks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+        FROM documents),
+      agg AS (
+        SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(f.nt) AS BIGINT) AS n_bpe_tokens
+        FROM doctoks d JOIN final f USING (w)
+        WHERE regexp_matches(d.w, '^[A-Za-z0-9]+$$')
+        GROUP BY 1)
+      SELECT doc.doc_id,
+        coalesce(a.n_words, 0) AS n_words,
+        coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+        round(coalesce(a.n_bpe_tokens, 0) / coalesce(a.n_words, 0), 4) AS tokens_per_word
+      FROM documents doc LEFT JOIN agg a USING (doc_id)"""
+    })
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
       t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample,
-      t19Normalize, t20Dsir, t21TextRank, t22LeakageSplit, t23SpanScrub)
+      t19Normalize, t20Dsir, t21TextRank, t22LeakageSplit, t23SpanScrub,
+      t24BpeTokenize)
 }
