@@ -177,13 +177,22 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // total = sum of successful medians; failed queries are reported in
-    // failed_reps (and as -1.0 in queries), not subtracted from total
+    // failed_reps (and as -1.0 in queries), not subtracted from total.
+    // failed_reps is CAPPED at 8 entries (+ a count of the rest): a
+    // run where dozens of queries fail is already a broken record, and
+    // an unbounded map would push the line past the driver's 2000-char
+    // stdout tail exactly when every query fails (the worst case
+    // BenchDefenseSpec pins).
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = {
       val failed = failedReps.filter(_._2 > 0)
       if (failed.isEmpty) ""
-      else failed.map { case (k, n) => "\"" + k + "\":" + n }
-        .mkString(""","failed_reps":{""", ",", "}")
+      else {
+        val shown = failed.take(8).map { case (k, n) => "\"" + k + "\":" + n }
+          .mkString(""","failed_reps":{""", ",", "}")
+        val more = failed.length - 8
+        if (more > 0) shown + s""","failed_more":$more""" else shown
+      }
     }
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"$failedJson}"""
   }

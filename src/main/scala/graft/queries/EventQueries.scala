@@ -339,7 +339,95 @@ object EventQueries {
       SELECT rank, path, n FROM ranked WHERE rank <= 20"""),
     headline = true)
 
+  /** q48: transition-surprisal anomaly scoring — q46's Markov matrix
+    * applied BACK to the stream: each user's anomaly score is the sum
+    * of −ln P(next | current) over their transitions (the surprisal /
+    * perplexity-style score behind bot and fraud detection: a user
+    * whose path fights the corpus-wide transition model scores high).
+    * Top-20 most anomalous users, t14's idea transplanted from token
+    * streams to event streams.
+    *
+    * Scale shape: the lag frame is checkpointed (matrix census AND
+    * scoring join both consume it — one corpus window pass, not two);
+    * the matrix is |types|²-sized and broadcast into the scoring
+    * join; per-user totals aggregate with map-side partials; top-20
+    * goes through orderBy+limit (TakeOrderedAndProject), then rank
+    * over 20 rows.
+    *
+    * Determinism: p is q46's round-4 probability, floored at 1e-4
+    * (greatest on both sides — a 0.0000-rounded rare transition would
+    * otherwise make −ln infinite); per-transition surprisal is
+    * floor(−ln(p)·1e6 + 0.5) — identical IEEE ops on identical
+    * rounded inputs — so per-user sums are exact bigints, ranking is
+    * FP-free, and ties break on user_id.
+    */
+  val q48TransitionAnomaly = Q(
+    "q48_transition_anomaly",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wp = Window.partitionBy($"prev_type")
+      val trans = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          lag($"event_type", 1).over(w).as("prev_type"))
+        .filter($"prev_type".isNotNull)
+        .localCheckpoint(true)
+      val matrix = trans.groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round($"n" / sum($"n").over(wp), 4))
+        .select($"prev_type", $"event_type", $"p")
+      val scored = trans.join(broadcast(matrix), Seq("prev_type", "event_type"))
+        .select($"user_id",
+          floor(-log(greatest($"p", lit(0.0001))) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("sm"))
+      val agg = scored.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_transitions"), sum($"sm").as("surprise_micro"))
+        // rank on the per-transition RATE (exact bigint division) — a
+        // short weird path must outrank a long normal one; the total
+        // alone just measures activity
+        .withColumn("avg_surprise_micro", expr("surprise_micro div n_transitions"))
+      val top = agg.orderBy($"avg_surprise_micro".desc, $"user_id".asc).limit(20)
+      top.withColumn("rank",
+        row_number().over(Window.orderBy($"avg_surprise_micro".desc, $"user_id".asc)))
+        .select($"rank", $"user_id", $"n_transitions", $"surprise_micro",
+          $"avg_surprise_micro")
+    },
+    Some("""WITH seq AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      trans AS (
+        SELECT user_id, prev_type, event_type FROM seq
+        WHERE prev_type IS NOT NULL),
+      census AS (
+        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM trans GROUP BY 1, 2),
+      matrix AS (
+        SELECT prev_type, event_type,
+          round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+        FROM census),
+      scored AS (
+        SELECT t.user_id,
+          CAST(floor(-ln(greatest(m.p, 0.0001)) * 1000000.0 + 0.5) AS BIGINT) AS sm
+        FROM trans t JOIN matrix m USING (prev_type, event_type)),
+      agg AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+          CAST(sum(sm) AS BIGINT) AS surprise_micro,
+          CAST(CAST(sum(sm) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+            AS avg_surprise_micro
+        FROM scored GROUP BY 1),
+      top AS (
+        SELECT * FROM agg
+        ORDER BY avg_surprise_micro DESC, user_id ASC LIMIT 20)
+      SELECT row_number() OVER (
+          ORDER BY avg_surprise_micro DESC, user_id ASC) AS rank,
+        user_id, n_transitions, surprise_micro, avg_surprise_micro
+      FROM top"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,
-      q46MarkovTransitions, q47SessionPaths)
+      q46MarkovTransitions, q47SessionPaths, q48TransitionAnomaly)
 }
