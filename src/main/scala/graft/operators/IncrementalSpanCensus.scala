@@ -103,8 +103,12 @@ object IncrementalSpanCensus {
       minDocs: Int = 2): DataFrame = {
     val census = load(docs.sparkSession, censusDir)
       .filter(col("nd") >= minDocs).select(col("h"))
-    SpanDedup.scrubCore(docs, idCol, textCol,
-      SpanDedup.posSpans(docs, idCol, textCol, n), census, n)
+    // spread the batch first — both the shingle pass and the rewrite
+    // kernel are map-side (the scrubSpans/s01/s12 pattern)
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    SpanDedup.scrubCore(spread, idCol, textCol,
+      SpanDedup.posSpans(spread, idCol, textCol, n), census, n)
   }
 
   /** d09's budget filter against the accumulated census: keep only
@@ -126,7 +130,10 @@ object IncrementalSpanCensus {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(coalesce(col("dup"), lit(0))).as("n_dup_spans"))
-      .filter(try_divide(col("n_dup_spans"), col("n_spans")) <= maxDupFrac)
+      // round-4 BEFORE comparing, exactly like spanStats' dup_frac —
+      // the unrounded quotient would drop boundary docs the one-shot
+      // dropSpanDuplicated keeps, silently breaking stream ≡ batch
+      .filter(round(try_divide(col("n_dup_spans"), col("n_spans")), 4) <= maxDupFrac)
       .select(col(idCol))
     docs.join(stats, Seq(idCol), "left_semi")
   }

@@ -83,15 +83,21 @@ object SpanDedup {
       n: Int = 5,
       minDocs: Int = 2): DataFrame = {
     val id = col(idCol)
+    // Spread the corpus FIRST (CLAUDE.md s01/s12 pattern): both heavy
+    // passes — the shingle/hash kernel scan below and scrubCore's
+    // per-doc kernel rewrite — are map-side on whatever partitioning
+    // they inherit, and a single-file local corpus scans 1-2 wide.
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
     // (id, pos, h): every span occurrence WITH its start position —
     // unlike spanStats this must keep positions, so the census
     // distinct runs on a projection instead of the frame itself
-    val spans = posSpans(docs, idCol, textCol, n).localCheckpoint(true)
+    val spans = posSpans(spread, idCol, textCol, n).localCheckpoint(true)
     val dupHashes = spans.select(id, col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("h"))
-    scrubCore(docs, idCol, textCol, spans, dupHashes, n)
+    scrubCore(spread, idCol, textCol, spans, dupHashes, n)
   }
 
   /** (id, pos, h): every span occurrence with its 0-based start token
@@ -119,12 +125,13 @@ object SpanDedup {
       dupHashes: DataFrame,
       n: Int): DataFrame = {
     val id = col(idCol)
-    // covered token positions per doc, sorted for deterministic arrays
+    // covered token positions per doc, sorted for deterministic
+    // arrays; collect_set dedups inside the aggregate (with map-side
+    // partials), so no separate distinct pass over the exploded frame
     val covered = spans
       .join(dupHashes, Seq("h"))
       .select(id, explode(sequence(col("pos").cast("long"),
         col("pos").cast("long") + lit(n - 1).cast("long"))).as("cp"))
-      .distinct()
       .groupBy(id)
       .agg(sort_array(collect_set(col("cp"))).as("cps"))
     docs

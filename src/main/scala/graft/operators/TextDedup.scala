@@ -235,13 +235,12 @@ object TextDedup {
       textCol: String,
       dfCap: Int = 20,
       minContainment: Double = 0.8): DataFrame = {
-    // 60-bit hashes (d02/d09's md5-prefix): at corpus scale a 32-bit
-    // space would manufacture phantom intersections between unrelated
-    // docs — containment's numerator is exactly what collisions inflate
-    val hashed = docs
-      .select(col(idCol), explode(shingles(col(textCol))).as("sh"))
-      .distinct()
-      .select(col(idCol), graft.functions.exprs.token_hash60(col("sh")).as("h"))
+    // 60-bit hashes via the span family's shared (id, hash) builder
+    // (SpanDedup.docSpanHashes — d09/t23's frame): at corpus scale a
+    // 32-bit space would manufacture phantom intersections between
+    // unrelated docs, and containment's numerator is exactly what
+    // collisions inflate
+    val hashed = SpanDedup.docSpanHashes(docs, idCol, textCol, 5)
       .localCheckpoint(true) // census, blocking AND set-build consume it
     val rare = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)

@@ -238,33 +238,57 @@ object EventQueries {
     * bigint count; p divides two exact integers as float64 (identical
     * IEEE quotient both engines) and rounds 4 dp on both sides.
     */
-  val q46MarkovTransitions = Q(
-    "q46_markov_transitions",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val wp = Window.partitionBy($"prev_type")
-      Tables.events(s, dir)
-        .select($"user_id", $"event_type",
-          lag($"event_type", 1).over(w).as("prev_type"))
-        .filter($"prev_type".isNotNull)
-        .groupBy($"prev_type", $"event_type")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p", round($"n" / sum($"n").over(wp), 4))
-    },
-    Some("""WITH seq AS (
+  /** (user_id, prev_type, event_type): each event with its per-user
+    * predecessor — ONE corpus exchange (the user_id lag window).
+    * Shared by q46 (the matrix) and q48 (the matrix applied back), so
+    * a tie-break or filter tweak can never de-synchronize them.
+    */
+  private def userTransitions(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_type",
+        lag($"event_type", 1).over(w).as("prev_type"))
+      .filter($"prev_type".isNotNull)
+  }
+
+  /** The Markov matrix from a transitions frame: (prev_type,
+    * event_type, n, p) with p = round-4 of the exact-integer float64
+    * quotient — identical arithmetic on both engines.
+    */
+  private def markovMatrix(trans: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("prev_type"))
+    trans.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(wp), 4))
+  }
+
+  /** The seq/trans/census/matrix CTE chain both oracle SQLs share —
+    * the SQL twin of [[userTransitions]] + [[markovMatrix]].
+    */
+  private val markovCtesSql = """seq AS (
         SELECT user_id, event_type,
           lag(event_type) OVER (
             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         FROM events),
+      trans AS (
+        SELECT user_id, prev_type, event_type FROM seq
+        WHERE prev_type IS NOT NULL),
       census AS (
         SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
-        FROM seq WHERE prev_type IS NOT NULL
-        GROUP BY 1, 2)
-      SELECT prev_type, event_type, n,
-        round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
-      FROM census"""),
+        FROM trans GROUP BY 1, 2),
+      matrix AS (
+        SELECT prev_type, event_type, n,
+          round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+        FROM census)"""
+
+  val q46MarkovTransitions = Q(
+    "q46_markov_transitions",
+    (s, dir) => markovMatrix(userTransitions(s, dir)),
+    Some(s"""WITH $markovCtesSql
+      SELECT prev_type, event_type, n, p FROM matrix"""),
     headline = true)
 
   /** q47: session path census — the top-20 most common event-type
@@ -366,16 +390,8 @@ object EventQueries {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val wp = Window.partitionBy($"prev_type")
-      val trans = Tables.events(s, dir)
-        .select($"user_id", $"event_type",
-          lag($"event_type", 1).over(w).as("prev_type"))
-        .filter($"prev_type".isNotNull)
-        .localCheckpoint(true)
-      val matrix = trans.groupBy($"prev_type", $"event_type")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("p", round($"n" / sum($"n").over(wp), 4))
+      val trans = userTransitions(s, dir).localCheckpoint(true)
+      val matrix = markovMatrix(trans)
         .select($"prev_type", $"event_type", $"p")
       val scored = trans.join(broadcast(matrix), Seq("prev_type", "event_type"))
         .select($"user_id",
@@ -393,21 +409,7 @@ object EventQueries {
         .select($"rank", $"user_id", $"n_transitions", $"surprise_micro",
           $"avg_surprise_micro")
     },
-    Some("""WITH seq AS (
-        SELECT user_id, event_type,
-          lag(event_type) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-        FROM events),
-      trans AS (
-        SELECT user_id, prev_type, event_type FROM seq
-        WHERE prev_type IS NOT NULL),
-      census AS (
-        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
-        FROM trans GROUP BY 1, 2),
-      matrix AS (
-        SELECT prev_type, event_type,
-          round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
-        FROM census),
+    Some(s"""WITH $markovCtesSql,
       scored AS (
         SELECT t.user_id,
           CAST(floor(-ln(greatest(m.p, 0.0001)) * 1000000.0 + 0.5) AS BIGINT) AS sm

@@ -977,7 +977,11 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       val merges = graft.operators.BpeTrainer
         .learnMerges(docs, "text", BpeMerges, batched = true)
+      // spread the corpus first (CLAUDE.md s01/s12 pattern): the
+      // per-word kernel stage below is map-side on the scan's
+      // partitioning, and a single-file corpus scans 1-2 wide
       val seg = docs
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id",
           explode(graft.functions.TextFunctions.wsTokens($"text")).as("w"))
         .filter($"w".rlike("^[A-Za-z0-9]+$"))
