@@ -375,4 +375,78 @@ object EventStreams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Event for the ordered-transition stream (q46/q48's input shape:
+    * ts ties order by event_id).
+    */
+  final case class TransEv(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+
+  /** One emitted transition — q46's (user, prev, cur) row. */
+  final case class TransitionRow(user_id: Long, prev_type: String, event_type: String)
+
+  /** A buffered event awaiting watermark finality. */
+  final case class PendingEv(ts_ms: Long, event_id: Long, event_type: String)
+
+  /** Per-user reorder state: the last FLUSHED event (the chain link)
+    * plus the in-watermark pending buffer.
+    */
+  final case class TransState(last: Option[PendingEv], pending: Seq[PendingEv])
+
+  /** Streaming face of q46's transition extraction — the streaming
+    * `lag`: emit each user's (prev_type, event_type) pairs in exact
+    * (ts, event_id) order even when events ARRIVE out of order. The
+    * primitive is a watermark-bounded REORDER BUFFER: an event is
+    * emitted into the chain only once the watermark passes its
+    * timestamp (no earlier in-watermark arrival can still precede
+    * it — Spark drops anything older than the watermark), so the
+    * emitted order is final by construction and stream ≡ batch holds
+    * across ANY micro-batch split. Downstream, q46's census and
+    * q48's surprisal are additive over these rows, so the whole
+    * Markov family runs incrementally from this one operator.
+    *
+    * State: the pending buffer is bounded by the watermark horizon
+    * (events leave as the watermark passes them — event-time timeouts
+    * re-invoke idle users so a buffered event never waits for its
+    * user's next arrival); the chain link (`last`) is one small
+    * record per ever-seen user, which is what batch `lag` semantics
+    * REQUIRE — a production deployment bounds it with an idle horizon
+    * (the funnel's attribution-window pattern) at the cost of
+    * restarting chains after long gaps.
+    */
+  def orderedTransitions(events: Dataset[TransEv]): Dataset[TransitionRow] = {
+    import events.sparkSession.implicits._
+
+    def flush(
+        userId: Long,
+        evs: Iterator[TransEv],
+        state: GroupState[TransState]): Iterator[TransitionRow] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st = state.getOption.getOrElse(TransState(None, Nil))
+      val all = st.pending ++ evs.map(e =>
+        PendingEv(e.ts.getTime, e.event_id, e.event_type))
+      // strict < : an event AT the watermark could still be joined by
+      // an equal-ts, smaller-event_id arrival (only ts < wm is late-
+      // dropped), so only strictly-passed events have final order
+      val (ready, hold) = all.partition(_.ts_ms < wm)
+      val sortedReady = ready.sortBy(p => (p.ts_ms, p.event_id))
+      val chain = st.last.toSeq ++ sortedReady
+      val out = chain.sliding(2).collect {
+        case Seq(a, b) => TransitionRow(userId, a.event_type, b.event_type)
+      }.toList
+      val newLast = if (sortedReady.nonEmpty) Some(sortedReady.last) else st.last
+      state.update(TransState(newLast, hold))
+      if (hold.nonEmpty)
+        // fires once the watermark strictly passes the earliest held
+        // event (timeout ts must itself exceed the current watermark)
+        state.setTimeoutTimestamp(math.max(wm + 1, hold.map(_.ts_ms).min + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
+  }
 }
