@@ -29,24 +29,30 @@ object SimilarityQueries {
   private val K = 10 // top-k
   private val NQ = 8 // query vectors: vec_id < NQ
 
+  /** s01's exact ranked frame (q_id, rank, neighbor_id, cos_sim) —
+    * shared with the s16 recall sweep so the audit's ground truth IS
+    * the s01 query, not a second implementation.
+    */
+  private def bruteForceRanked(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    // spread the single-file corpus scan across all cores before the
+    // O(corpus × queries) similarity stage
+    val sim = e.repartition(s.sparkContext.defaultParallelism).crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+    sim.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos_sim")
+  }
+
   val s01BruteForce = Q(
     "s01_ann_bruteforce",
-    (s, dir) => {
-      import s.implicits._
-      val e = Tables.embeddings(s, dir)
-      val q = e.filter($"vec_id" < NQ)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-      // spread the single-file corpus scan across all cores before the
-      // O(corpus × queries) similarity stage
-      val sim = e.repartition(s.sparkContext.defaultParallelism).crossJoin(broadcast(q))
-        .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id",
-          round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
-      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
-      sim.withColumn("rank", row_number().over(w))
-        .filter($"rank" <= K)
-        .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos_sim")
-    },
+    (s, dir) => bruteForceRanked(s, dir),
     Some(s"""WITH q AS (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
       pairs AS (
@@ -1252,7 +1258,121 @@ object SimilarityQueries {
     },
     headline = true)
 
+  private val SweepProbes = Seq(1, 2, 4, 8) // s16 nprobe sweep points
+
+  /** Each query's top-`maxProbe` cells WITH their probe rank —
+    * [[coarseProbes]] generalized so one frame serves every sweep
+    * point (filter on `prn`).
+    */
+  private def coarseProbesRanked(
+      s: org.apache.spark.sql.SparkSession, dir: String, maxProbe: Int) = {
+    import s.implicits._
+    val cents = centroidArray(s, dir)
+    queryVectors(s, dir).toSeq.flatMap { case (qid, q) =>
+      val ranked = cents.indices.map(i => (i.toLong, roundedCosine(q, cents(i))))
+        .sortWith(graft.functions.VectorFunctions.probeBefore)
+      ranked.take(maxProbe).zipWithIndex.map { case ((cid, _), idx) =>
+        (qid, q, cid, idx + 1)
+      }
+    }.toDF("q_id", "q_emb", "c_id", "prn")
+  }
+
+  /** s16: IVF recall-vs-nprobe sweep — the tuning curve every ANN
+    * deployment produces before picking its speed/recall operating
+    * point (FAISS's `nprobe` knob; the s09/d07 audit pattern turned
+    * into the full curve). For each nprobe in {1,2,4,8}: recall@K of
+    * the IVF search against s01's exact ranking, reported as the
+    * per-query mean AND the worst query (tail recall is what SLAs
+    * break on, and a mean alone hides it).
+    *
+    * Scale shape: ONE cell-filtered corpus scan serves every sweep
+    * point — cosines are computed once for the union (max-nprobe)
+    * probe set with each pair carrying its cell's probe rank, and
+    * each sweep point just filters `prn <= n` before its
+    * WindowGroupLimit rank (the frame is checkpointed; so is the
+    * exact ground truth, s01's own stage shared via
+    * `bruteForceRanked`). Everything after the two scans is
+    * |queries|-sized. Recall arithmetic is integer overlap counts
+    * divided by exact constants, rounded identically on both engines.
+    */
+  val s16IvfRecallSweep = Q(
+    "s16_ivf_recall_sweep",
+    (s, dir) => {
+      import s.implicits._
+      val exact = bruteForceRanked(s, dir)
+        .select($"q_id", $"neighbor_id")
+        .localCheckpoint(true) // one sweep point per probe count consumes it
+      val assigned = coarseAssign(s, dir)
+      val probes = coarseProbesRanked(s, dir, SweepProbes.max)
+      val pairs = assigned.join(broadcast(probes), Seq("c_id"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"prn", $"vec_id",
+          round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
+        .localCheckpoint(true) // every sweep point filters this one scan
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+      SweepProbes.map { n =>
+        val ivf = pairs.filter($"prn" <= n)
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= K)
+          .select($"q_id", $"vec_id".as("neighbor_id"), lit(1).as("hit"))
+        exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
+          .groupBy($"q_id")
+          .agg(sum(coalesce($"hit", lit(0))).as("ov"))
+          .agg(
+            round(sum($"ov") / lit(NQ * K), 4).as("mean_recall"),
+            round(min($"ov") / lit(K), 4).as("min_recall"))
+          .select(lit(n).as("nprobe"), $"mean_recall", $"min_recall")
+      }.reduce(_ unionByName _)
+    },
+    Some {
+      val points = SweepProbes.map { n =>
+        s"""rank$n AS (
+          SELECT q_id, vec_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM pairs WHERE prn <= $n),
+        ov$n AS (
+          SELECT e.q_id,
+            sum(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END) AS ov
+          FROM exact e LEFT JOIN (
+            SELECT q_id, vec_id FROM rank$n WHERE rank <= $K) r
+            ON r.q_id = e.q_id AND r.vec_id = e.neighbor_id
+          GROUP BY e.q_id),
+        row$n AS (
+          SELECT $n AS nprobe,
+            round(sum(ov) / ${NQ * K}, 4) AS mean_recall,
+            round(min(ov) / $K, 4) AS min_recall
+          FROM ov$n)"""
+      }.mkString(",\n")
+      val union = SweepProbes.map(n => s"SELECT * FROM row$n").mkString(" UNION ALL ")
+      s"""WITH $coarseSql,
+      probesr AS (
+        SELECT q_id, q_emb, c_id, prn FROM (
+          SELECT q.q_id, q.q_emb, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${cosSql("q.q_emb", "c.c_emb")} DESC, c.c_id ASC) AS prn
+          FROM q, cents c)
+        WHERE prn <= ${SweepProbes.max}),
+      pairs AS (
+        SELECT p.q_id, p.prn, a.vec_id,
+          ${cosSql("a.embedding", "p.q_emb")} AS cos_sim
+        FROM assigned a JOIN probesr p ON a.c_id = p.c_id
+        WHERE a.vec_id <> p.q_id),
+      epairs AS (
+        SELECT q.q_id, e.vec_id,
+          ${cosSql("e.embedding", "q.q_emb")} AS cos_sim
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      exact AS (
+        SELECT q_id, vec_id AS neighbor_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM epairs)
+        WHERE rank <= $K),
+      $points
+      $union"""
+    })
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
     s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
-    s11IvfPqResidual, s12Bm25, s13Sq8Adc, s14HybridRrf, s15MmrDiversify)
+    s11IvfPqResidual, s12Bm25, s13Sq8Adc, s14HybridRrf, s15MmrDiversify,
+    s16IvfRecallSweep)
 }

@@ -154,6 +154,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("s16 recall sweep: monotone in nprobe, bounds hold, mean >= min") {
+    val rows = Registry.byName("s16_ivf_recall_sweep").run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rows.foreach { case (n, mean, mn) =>
+      assert(mean >= mn && mn >= 0.0 && mean <= 1.0, s"nprobe=$n: mean=$mean min=$mn")
+    }
+    // probing MORE cells can only add candidates: recall is monotone
+    rows.sliding(2).foreach { case Array((_, m1, n1), (_, m2, n2)) =>
+      assert(m2 >= m1 - 1e-9 && n2 >= n1 - 1e-9, s"recall must not decrease: $rows")
+    }
+  }
+
   test("q46 markov: per-prev probabilities sum to ~1 and rows cover the type alphabet") {
     val rows = Registry.byName("q46_markov_transitions").run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
