@@ -127,32 +127,27 @@ object EventQueries {
     * try_divide + 4-dp round on both engines, counts CAST to BIGINT
     * in the oracle (HUGEINT rule).
     */
-  val q44Funnel = Q(
-    "q44_funnel",
-    (s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"user_id")
-      val staged = Tables.events(s, dir)
-        .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(w))
-        .withColumn("t2", min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
-        .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
-      val perUser = staged
-        .groupBy($"user_id")
-        .agg(min($"t1").as("t1"), min($"t2").as("t2"), min($"t3").as("t3"))
-        .filter($"t1".isNotNull)
-      perUser
-        .groupBy(to_date($"t1").as("cohort_day"))
-        .agg(
-          count(lit(1)).as("n_entered"),
-          sum($"t2".isNotNull.cast("long")).as("n_clicked"),
-          sum($"t3".isNotNull.cast("long")).as("n_purchased"))
-        .select($"cohort_day".cast("string").as("cohort_day"),
-          $"n_entered", $"n_clicked", $"n_purchased",
-          round(try_divide($"n_clicked", $"n_entered"), 4).as("click_rate"),
-          round(try_divide($"n_purchased", $"n_entered"), 4).as("purchase_rate"))
-    },
-    Some("""WITH staged AS (
+  /** q44's per-user funnel stages (user_id, t1, t2, t3), entered
+    * users only — shared with q49 so the time-to-convert
+    * distribution measures EXACTLY the funnel q44 counts.
+    */
+  private def funnelPerUser(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+    Tables.events(s, dir)
+      .withColumn("t1", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("t2", min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+      .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+      .groupBy($"user_id")
+      .agg(min($"t1").as("t1"), min($"t2").as("t2"), min($"t3").as("t3"))
+      .filter($"t1".isNotNull)
+  }
+
+  /** The staged/per_user CTE chain both funnel oracles share — the
+    * SQL twin of [[funnelPerUser]]. Ends with `per_user`.
+    */
+  private val funnelStagesSql = """staged AS (
         SELECT user_id, ts, event_type,
           min(CASE WHEN event_type = 'view' THEN ts END)
             OVER (PARTITION BY user_id) AS t1
@@ -168,7 +163,24 @@ object EventQueries {
       per_user AS (
         SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
         FROM staged3 GROUP BY user_id
-        HAVING min(t1) IS NOT NULL)
+        HAVING min(t1) IS NOT NULL)"""
+
+  val q44Funnel = Q(
+    "q44_funnel",
+    (s, dir) => {
+      import s.implicits._
+      funnelPerUser(s, dir)
+        .groupBy(to_date($"t1").as("cohort_day"))
+        .agg(
+          count(lit(1)).as("n_entered"),
+          sum($"t2".isNotNull.cast("long")).as("n_clicked"),
+          sum($"t3".isNotNull.cast("long")).as("n_purchased"))
+        .select($"cohort_day".cast("string").as("cohort_day"),
+          $"n_entered", $"n_clicked", $"n_purchased",
+          round(try_divide($"n_clicked", $"n_entered"), 4).as("click_rate"),
+          round(try_divide($"n_purchased", $"n_entered"), 4).as("purchase_rate"))
+    },
+    Some(s"""WITH $funnelStagesSql
       SELECT CAST(CAST(t1 AS DATE) AS VARCHAR) AS cohort_day,
         CAST(count(*) AS BIGINT) AS n_entered,
         CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
@@ -429,7 +441,45 @@ object EventQueries {
       FROM top"""),
     headline = true)
 
+  /** q49: time-to-convert distribution — the funnel's LATENCY face
+    * (q44 counts who converts; this measures how long conversion
+    * takes): per entry cohort, exact median and interpolated p90 of
+    * view→purchase seconds over converting users. The metric a
+    * product team reads next to every funnel.
+    *
+    * Scale shape: q44's one corpus exchange (shared `funnelPerUser` —
+    * the SAME staged computation, so the latency distribution
+    * measures exactly the funnel q44 counts) followed by a
+    * cohort-sized aggregate. Durations are exact whole-second
+    * bigints (microsecond timestamps differenced then floor-divided),
+    * so the q32-established median/percentile ↔ median/quantile_cont
+    * round-4 portability applies unchanged.
+    */
+  val q49TimeToConvert = Q(
+    "q49_time_to_convert",
+    (s, dir) => {
+      import s.implicits._
+      funnelPerUser(s, dir)
+        .filter($"t3".isNotNull)
+        .select(to_date($"t1").cast("string").as("cohort_day"),
+          (unix_timestamp($"t3") - unix_timestamp($"t1")).as("dur_sec"))
+        .groupBy($"cohort_day")
+        .agg(
+          count(lit(1)).as("n_converted"),
+          round(median($"dur_sec"), 4).as("med_sec"),
+          round(expr("percentile(dur_sec, 0.9D)"), 4).as("p90_sec"))
+    },
+    Some(s"""WITH $funnelStagesSql
+      SELECT CAST(CAST(t1 AS DATE) AS VARCHAR) AS cohort_day,
+        CAST(count(*) AS BIGINT) AS n_converted,
+        round(median(date_diff('second', t1, t3)), 4) AS med_sec,
+        round(quantile_cont(date_diff('second', t1, t3), 0.9), 4) AS p90_sec
+      FROM per_user WHERE t3 IS NOT NULL
+      GROUP BY 1"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,
-      q46MarkovTransitions, q47SessionPaths, q48TransitionAnomaly)
+      q46MarkovTransitions, q47SessionPaths, q48TransitionAnomaly,
+      q49TimeToConvert)
 }

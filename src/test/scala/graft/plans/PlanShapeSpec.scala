@@ -210,6 +210,20 @@ class PlanShapeSpec extends SparkSpec {
       s"q41's top-10 must plan as TakeOrderedAndProject, not global sort:\n$p")
   }
 
+  test("corpus-spread invariant: scan-side heavy text stages repartition first") {
+    // CLAUDE.md: a single-file corpus scans 1-2 partitions, and a
+    // map-side kernel stage inheriting that runs ~1 core wide at sf1+
+    // (t23's first sf1 reading was 3x slower for exactly this). The
+    // RoundRobin exchange from .repartition(defaultParallelism) must
+    // survive into the executed plan for the queries that carry the
+    // pattern. (t23's shingle pass is inside an eager localCheckpoint
+    // subtree — invisible here — but its rewrite-side spread is not.)
+    Seq("t23_span_scrub", "t24_bpe_tokenize", "s12_bm25_topk").foreach { name =>
+      assert(plan(name).contains("RoundRobinPartitioning"),
+        s"$name lost its corpus repartition (scan-width trap):\n${plan(name).take(800)}")
+    }
+  }
+
   test("no CartesianProduct anywhere; BNLJ only in the declared broadcast cross joins") {
     // q41: 10-row top-k × 1-row sketch; s08/s09: corpus codes × 8-row
     // broadcast query set — all broadcast-bounded like s01/s02; t17:
