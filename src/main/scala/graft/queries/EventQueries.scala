@@ -478,8 +478,47 @@ object EventQueries {
       GROUP BY 1"""),
     headline = true)
 
+  /** q50: activity heatmap — the (day-of-week × hour) census with
+    * each cell's share of total traffic, the seasonality read behind
+    * capacity planning and anomaly baselines (q17 buckets by absolute
+    * hour; this folds time onto its weekly cycle).
+    *
+    * Scale shape: one map-side projection + a 168-cell aggregate with
+    * map-side partials — no corpus-scale exchange at all beyond the
+    * partial-agg combine. Calibration: Spark's dayofweek is 1=Sunday,
+    * DuckDB's dayofweek() is 0=Sunday (q36's rule); share divides two
+    * exact integers as float64 and rounds 4 dp on both engines.
+    */
+  val q50ActivityHeatmap = Q(
+    "q50_activity_heatmap",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val cells = e.groupBy(
+        (dayofweek($"ts") - 1).cast("long").as("dow"),
+        hour($"ts").cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val total = e.agg(count(lit(1)).as("total"))
+      // floor-quantized 4-dp share (CLAUDE.md): n·1e4 is an exact
+      // bigint, so the quotient hits .5 boundaries exactly and both
+      // engines floor the identical double — round() split on a
+      // real half-way cell (565/100000) at sf0.1
+      cells.crossJoin(broadcast(total))
+        .select($"dow", $"hod", $"n",
+          (floor($"n" * lit(10000L) / $"total" + lit(0.5)) / lit(10000.0)).as("share"))
+    },
+    Some("""WITH cells AS (
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+          CAST(hour(ts) AS BIGINT) AS hod,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      total AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+      SELECT dow, hod, n,
+        floor(n * 10000 / total + 0.5) / 10000.0 AS share
+      FROM cells, total"""))
+
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,
       q46MarkovTransitions, q47SessionPaths, q48TransitionAnomaly,
-      q49TimeToConvert)
+      q49TimeToConvert, q50ActivityHeatmap)
 }

@@ -1046,11 +1046,73 @@ object TextQueries {
       FROM documents doc LEFT JOIN agg a USING (doc_id)"""
     })
 
+  /** t25: vocabulary-growth census (Heaps' law measurement): how many
+    * NEW word types each corpus decile introduces, with cumulative
+    * types and tokens — the curve that prices tokenizer vocab sizes
+    * and predicts type growth when a corpus 10×es. Decile of a token
+    * = decile of the FIRST document containing it, so the curve is
+    * exactly "read the corpus in doc_id order, count first sightings".
+    *
+    * Scale shape: two censuses over the token stream (first-sighting
+    * via min(doc_id) per type — one shuffle on the token; per-decile
+    * token totals — map-side partials into 10 cells); the corpus
+    * count rides as a 1-row broadcast (X10 pattern); cumulative sums
+    * run over the 10-row frame. All integers end-to-end: decile =
+    * (doc_id·10) div n_docs, exact on both engines.
+    */
+  val t25VocabGrowth = Q(
+    "t25_vocab_growth",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val toks = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          explode(graft.functions.TextFunctions.wsTokens($"text")).as("tok"))
+      val newTypes = toks.groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+        .crossJoin(broadcast(nd))
+        .groupBy(expr("first_doc * 10 div n_docs").as("decile"))
+        .agg(count(lit(1)).as("new_types"))
+      val tokCounts = toks.crossJoin(broadcast(nd))
+        .groupBy(expr("doc_id * 10 div n_docs").as("decile"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val w = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokCounts.join(newTypes, Seq("decile"), "left")
+        .select($"decile", coalesce($"new_types", lit(0L)).as("new_types"), $"n_tokens")
+        .withColumn("cum_types", sum($"new_types").over(w))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+    },
+    Some(s"""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(${graft.functions.TextFunctions.wsTokensSql}) AS tok
+        FROM documents),
+      firsts AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+      new_t AS (
+        SELECT CAST((first_doc * 10) // n_docs AS BIGINT) AS decile,
+          CAST(count(*) AS BIGINT) AS new_types
+        FROM firsts, nd GROUP BY 1),
+      tok_t AS (
+        SELECT CAST((doc_id * 10) // n_docs AS BIGINT) AS decile,
+          CAST(count(*) AS BIGINT) AS n_tokens
+        FROM toks, nd GROUP BY 1)
+      SELECT t.decile,
+        CAST(coalesce(f.new_types, 0) AS BIGINT) AS new_types,
+        t.n_tokens,
+        CAST(sum(coalesce(f.new_types, 0)) OVER (
+          ORDER BY t.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+        CAST(sum(t.n_tokens) OVER (
+          ORDER BY t.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM tok_t t LEFT JOIN new_t f USING (decile)"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
       t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample,
       t19Normalize, t20Dsir, t21TextRank, t22LeakageSplit, t23SpanScrub,
-      t24BpeTokenize)
+      t24BpeTokenize, t25VocabGrowth)
 }

@@ -168,6 +168,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("t25 vocab growth: cumulative series are monotone and consistent with per-decile counts") {
+    val rows = Registry.byName("t25_vocab_growth").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    val (cumT, cumK) = rows.foldLeft((0L, 0L)) { case ((t, k), (_, nt, ntk, ct, ck)) =>
+      assert(ct == t + nt && ck == k + ntk, s"cumulative mismatch at $rows")
+      (ct, ck)
+    }
+    assert(cumT > 0 && cumK > 0)
+  }
+
+  test("q50 heatmap: shares sum to ~1 over at most 168 cells") {
+    val rows = Registry.byName("q50_activity_heatmap").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 168)
+    assert(rows.forall { case (d, h, n, _) => d >= 0 && d <= 6 && h >= 0 && h <= 23 && n > 0 })
+    val s = rows.map(_._4).sum
+    assert(math.abs(s - 1.0) <= rows.length * 0.00005 + 1e-9, s"share mass $s")
+  }
+
   test("q46 markov: per-prev probabilities sum to ~1 and rows cover the type alphabet") {
     val rows = Registry.byName("q46_markov_transitions").run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
