@@ -239,10 +239,13 @@ class PlanShapeSpec extends SparkSpec {
     // same intentional broadcast nested-loop as s01's brute force
     // s14: the dense branch is s01's broadcast-queries scan restricted
     // to the 1-in-97 query vectors (the lexical branch is s12's plan)
+    // q50/t25: the 168-cell census / decile censuses × the 1-row
+    // corpus-total aggregate — t20's X10 broadcast-scalar attach
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin",
       "s08_pq_adc", "s09_pq_recall", "s10_ann_ivfpq", "s11_ann_ivfpq_residual",
       "t17_quality_classifier", "t20_dsir_select", "s12_bm25_topk",
-      "s13_sq8_adc", "s14_hybrid_rrf")
+      "s13_sq8_adc", "s14_hybrid_rrf", "q50_activity_heatmap",
+      "t25_vocab_growth")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
