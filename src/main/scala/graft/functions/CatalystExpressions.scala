@@ -291,7 +291,10 @@ object ShingleImpl {
     val drop = new java.util.HashSet[Long](positions.numElements() * 2)
     var i = 0
     while (i < positions.numElements()) {
-      drop.add(positions.getLong(i))
+      // Null slots are ignored rather than read-as-0: the type check
+      // admits ARRAY<BIGINT> with containsNull=true, and a null
+      // position must not silently scrub token 0.
+      if (!positions.isNullAt(i)) drop.add(positions.getLong(i))
       i += 1
     }
     val sb = new java.lang.StringBuilder(64)

@@ -53,6 +53,15 @@ object IncrementalSpanCensus {
     * segment. Idempotent per `batchId`: a committed id is a no-op, a
     * partial segment (crash mid-write) is overwritten with identical
     * deterministic contents.
+    *
+    * Single-writer assumption: the committed-check followed by the
+    * overwrite-write is not atomic, so the census directory must have
+    * exactly one appending driver at a time (the Structured Streaming
+    * model — one query owns the sink). Two CONCURRENT writers of the
+    * same batchId could interleave check-then-write; because segment
+    * contents are deterministic functions of (batch docs, n), even
+    * that race converges to identical bytes, but the invariant callers
+    * should rely on is sequential appendBatch calls per census dir.
     */
   def appendBatch(
       newDocs: DataFrame,

@@ -700,7 +700,8 @@ object DedupQueries {
       JOIN documents a ON a.doc_id = p.doc_a
       JOIN documents b ON b.doc_id = p.doc_b
       GROUP BY 1, 2"""
-    })
+    },
+    headline = true)
 
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,

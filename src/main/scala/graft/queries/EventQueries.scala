@@ -515,7 +515,8 @@ object EventQueries {
       total AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
       SELECT dow, hod, n,
         floor(n * 10000 / total + 0.5) / 10000.0 AS share
-      FROM cells, total"""))
+      FROM cells, total"""),
+    headline = true)
 
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,

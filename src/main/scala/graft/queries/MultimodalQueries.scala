@@ -330,9 +330,13 @@ object MultimodalQueries {
         SELECT media_id, i FROM pos
         WHERE (($terms) % 1000000007) % $CdcMask = 0),
       ends AS (
+        -- n > 0 mirrors the Spark side, where cdc_chunks emits no
+        -- chunks for an empty payload and the inner join on stats
+        -- drops the row; without it an n=0 payload would fabricate
+        -- an e = -1 md5('') chunk here only.
         SELECT media_id, i AS e FROM bnd
         UNION
-        SELECT media_id, n - 1 AS e FROM bytes),
+        SELECT media_id, n - 1 AS e FROM bytes WHERE n > 0),
       segs AS (
         SELECT media_id, e,
           coalesce(lag(e) OVER (PARTITION BY media_id ORDER BY e), -1) + 1 AS s
@@ -351,7 +355,8 @@ object MultimodalQueries {
         s.n_chunks, s.dup_chunks,
         round(s.dup_chunks / s.n_chunks, 4) AS dup_frac
       FROM bytes b JOIN stats s USING (media_id)"""
-    })
+    },
+    headline = true)
 
   val all: Seq[Q] = Seq(m01Multimodal, m02HeaderParse, m03MediaDedup, m04CdcDedup)
 }

@@ -1044,7 +1044,8 @@ object TextQueries {
         coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
         round(coalesce(a.n_bpe_tokens, 0) / coalesce(a.n_words, 0), 4) AS tokens_per_word
       FROM documents doc LEFT JOIN agg a USING (doc_id)"""
-    })
+    },
+    headline = true)
 
   /** t25: vocabulary-growth census (Heaps' law measurement): how many
     * NEW word types each corpus decile introduces, with cumulative

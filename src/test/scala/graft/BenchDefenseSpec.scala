@@ -145,4 +145,23 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(Bench.needsRerun("s01_ann_bruteforce", 1.5,
       Map("s01_ann_bruteforce" -> 0.356), Map("s01_ann_bruteforce" -> 1.0)))
   }
+
+  test("quiet-anchor trigger: BENCH_r10's uncaught ambient readings now rerun") {
+    // The exact r10 cases the r10 verdict flagged: best-prev was itself
+    // inflated (drift silent) and the oracle gate needs >=1s (q33/q20
+    // silent). The quiet anchor catches all of them.
+    val quiet = Map("d11_fuzzy_dedup" -> 0.889, "d06_dedup_clusters" -> 1.28,
+      "q33_window_suite" -> 0.055, "q20_asof_join" -> 0.056)
+    assert(Bench.needsRerun("d11_fuzzy_dedup", 4.37, Map("d11_fuzzy_dedup" -> 4.37),
+      Map.empty, quiet))
+    assert(Bench.needsRerun("d06_dedup_clusters", 3.92, Map.empty, Map.empty, quiet))
+    assert(Bench.needsRerun("q33_window_suite", 0.373, Map.empty, Map.empty, quiet))
+    assert(Bench.needsRerun("q20_asof_join", 0.389, Map.empty, Map.empty, quiet))
+    // within 2x of the quiet anchor: no rerun
+    assert(!Bench.needsRerun("d11_fuzzy_dedup", 1.5, Map.empty, Map.empty, quiet))
+    // sub-0.2s absolute: scheduler jitter even when far past 2x
+    assert(!Bench.needsRerun("q33_window_suite", 0.15, Map.empty, Map.empty, quiet))
+    // no anchor recorded: trigger silent
+    assert(!Bench.needsRerun("unanchored", 9.9, Map.empty, Map.empty, quiet))
+  }
 }

@@ -238,7 +238,9 @@ class PlanShapeSpec extends SparkSpec {
     // s13: broadcast queries × the compressed-code corpus scan — the
     // same intentional broadcast nested-loop as s01's brute force
     // s14: the dense branch is s01's broadcast-queries scan restricted
-    // to the 1-in-97 query vectors (the lexical branch is s12's plan)
+    // to the 1-in-97 query vectors (the lexical branch is the
+    // checkpointed shared s12 ranking — model-sized leaf, no BNLJ of
+    // its own, but the shared frame is built through s12's plan)
     // q50/t25: the 168-cell census / decile censuses × the 1-row
     // corpus-total aggregate — t20's X10 broadcast-scalar attach
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin",
