@@ -491,6 +491,107 @@ object CdcChunks {
   }
 }
 
+/** 60-bit average-hash (aHash) over a payload's decoded luma stream —
+  * the perceptual-image-near-dup kernel (m05). The classic aHash
+  * recipe (downscale, compare each cell to the global mean, one bit
+  * per cell), re-expressed over the byte stream the stub decoder
+  * yields: luma = body bytes after the `hdr`-byte container header.
+  * 60 bits, not 64, so the signature rides an engine-portable signed
+  * long exactly like [[SimHash60]] (bit 63 would overflow DuckDB's
+  * BIGINT shift).
+  *
+  * Resolution invariance comes from FRACTIONAL cells: cell c
+  * aggregates luma positions [c·nb/60, (c+1)·nb/60), so a stream half
+  * as long maps the same image fraction to the same cell; when the
+  * stream is shorter than 60, an empty cell reads the nearest sample
+  * (nearest-neighbor upsampling, exactly what a real 8×8 resize does).
+  * Bit c is set iff the cell mean exceeds the global mean, compared as
+  * exact integer cross-products (cs·nb > tot·cc) — no FP anywhere, so
+  * the DuckDB replay from hex(payload) is bit-identical.
+  *
+  * `down` applies that many 2:1 box-filter passes (v[k] =
+  * (v[2k]+v[2k+1]) div 2 — floor) BEFORE hashing: the planted
+  * "resized re-encode" variant, averaging neighbors like a real
+  * resampler (byte-DROPPING decimation is NOT hash-stable; measured
+  * hamming up to 21/60 on the fixture vs ≤ 5 for the box filter).
+  * `perturbEvery` > 0 adds +1 to every perturbEvery-th luma value: the
+  * planted "re-encode noise" variant (hamming ≤ 1 measured).
+  */
+case class AHash60(child: Expression, hdr: Int, down: Int, perturbEvery: Int)
+  extends UnaryExpression {
+  require(hdr >= 0 && down >= 0 && perturbEvery >= 0,
+    s"ahash60 needs non-negative hdr/down/perturbEvery, got $hdr/$down/$perturbEvery")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ahash60 requires BINARY input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ahash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AHash60.hash(input.asInstanceOf[Array[Byte]], hdr, down, perturbEvery)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AHash60.hash($c, $hdr, $down, $perturbEvery)")
+
+  override protected def withNewChildInternal(newChild: Expression): AHash60 =
+    copy(child = newChild)
+}
+
+object AHash60 {
+  val Bits = 60
+
+  def hash(payload: Array[Byte], hdr: Int, down: Int, perturbEvery: Int): Long = {
+    val n0 = payload.length - hdr
+    if (n0 <= 0) return 0L
+    var vals = new Array[Long](n0)
+    var i = 0
+    while (i < n0) {
+      var v = (payload(hdr + i) & 0xff).toLong
+      if (perturbEvery > 0 && i % perturbEvery == 0) v += 1L
+      vals(i) = v
+      i += 1
+    }
+    var d = 0
+    while (d < down && vals.length >= 2) {
+      val next = new Array[Long](vals.length / 2)
+      var k = 0
+      while (k < next.length) {
+        next(k) = (vals(2 * k) + vals(2 * k + 1)) / 2
+        k += 1
+      }
+      vals = next
+      d += 1
+    }
+    val nb = vals.length
+    var tot = 0L
+    i = 0
+    while (i < nb) { tot += vals(i); i += 1 }
+    var h = 0L
+    var c = 0
+    while (c < Bits) {
+      // exact integer cell-vs-global mean comparison; cs·nb stays in
+      // long range for any payload under ~180 MB (cs <= 256·nb)
+      val lo = c * nb / Bits
+      val hi = (c + 1) * nb / Bits
+      var cs = 0L
+      var cc = 0L
+      if (hi > lo) {
+        var j = lo
+        while (j < hi) { cs += vals(j); j += 1 }
+        cc = (hi - lo).toLong
+      } else {
+        cs = vals(math.min(lo, nb - 1))
+        cc = 1L
+      }
+      if (cs * nb > tot * cc) h |= 1L << c
+      c += 1
+    }
+    h
+  }
+}
+
 /** Token-position scrub as a native codegen'd kernel:
   * (text STRING, positions ARRAY<BIGINT>) → struct<n_tok, n_removed,
   * kept_text> (see [[ShingleImpl.scrubTokens]]). The rewrite half of
@@ -1214,6 +1315,8 @@ object exprs {
     SparkShims.column(ScrubTokens(SparkShims.expression(text), SparkShims.expression(positions)))
   def cdc_chunks(payload: Column, w: Int, mask: Int): Column =
     SparkShims.column(CdcChunks(SparkShims.expression(payload), w, mask))
+  def ahash60(payload: Column, hdr: Int, down: Int, perturbEvery: Int): Column =
+    SparkShims.column(AHash60(SparkShims.expression(payload), hdr, down, perturbEvery))
   def sq8_encode(c: Column): Column =
     SparkShims.column(Sq8Encode(SparkShims.expression(c)))
 

@@ -358,5 +358,111 @@ object MultimodalQueries {
     },
     headline = true)
 
-  val all: Seq[Q] = Seq(m01Multimodal, m02HeaderParse, m03MediaDedup, m04CdcDedup)
+  private val HamT = 5 // within the 6x10-bit banding guarantee (<= 5)
+  private val PngHdrLen = Multimodal.pngHeader(0, 0).length // 29
+
+  /** m05: perceptual image near-dup — 60-bit average-hash (aHash) over
+    * the decoded luma stream, Hamming-banded candidate generation,
+    * exact Hamming verification. Completes the multimodal dedup
+    * ladder: m03 catches exact copies, m04 catches shifted/prefixed
+    * bytes, m05 catches RE-ENCODED and RESIZED images whose bytes
+    * share nothing but whose pixels do. Each fixture image enters
+    * three ways (item = media_id·4 + variant): the original (0), a
+    * 2:1 box-filter resize (1), and a +1-every-16-bytes re-encode
+    * perturbation (2); output is every item pair at Hamming ≤ 5.
+    *
+    * Scale shape: one [[graft.functions.AHash60]] kernel call per item
+    * in the scan (zero shuffle — the payload bytes die at the scan,
+    * CdcChunks' pattern), then d04's banded self-join: 6 bands × 10
+    * bits, so any pair at Hamming ≤ 5 shares a band by pigeonhole —
+    * recall 1.0 at the threshold, with candidates bounded by bucket
+    * collisions instead of O(n²). At 100 TB the 10-bit bands need the
+    * hot-bucket guard (d02's salting or d13's frequency cap) exactly
+    * as documented for the text banders. Banding thresholds are
+    * MEASURED on the fixture (see AHash60's scaladoc): box-resize
+    * pairs land at Hamming ≤ 5, perturb pairs ≤ 1, so both planted
+    * families are inside the guarantee; a 4:1 resize drifts to ~15
+    * and is out of aHash's radius by design (DCT pHash territory).
+    *
+    * The DuckDB oracle replays the full hash from hex(payload) — luma
+    * extraction, perturbation, box filter, fractional cells with
+    * nearest-sample fallback, exact cross-product bit decisions — so
+    * the kernel arithmetic, not just the pair set, is oracle-checked.
+    */
+  val m05PerceptualNearDup = Q(
+    "m05_perceptual_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.exprs
+      ensureFixture(s)
+      val imgs = s.read.parquet(FixturePath)
+        .filter($"kind" === "image").select($"media_id", $"payload")
+      def variant(v: Int, down: Int, perturb: Int) =
+        imgs.select(($"media_id" * 4 + v).as("item"),
+          exprs.ahash60($"payload", PngHdrLen, down, perturb).as("h"))
+      val hashes = variant(0, 0, 0)
+        .unionByName(variant(1, 1, 0))
+        .unionByName(variant(2, 0, 16))
+      val bandCols = (0 until 6).map { j =>
+        struct(lit(j).as("band_id"),
+          (shiftright($"h", 10 * j).bitwiseAND(lit(1023L))).as("bval"))
+      }
+      val banded = hashes
+        .select($"item", $"h", explode(array(bandCols: _*)).as("bk"))
+        .select($"item", $"h", $"bk.band_id", $"bk.bval")
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bval") === col("b.bval") &&
+            col("a.item") < col("b.item"))
+        .select(col("a.item").as("item_a"), col("b.item").as("item_b"),
+          bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= HamT)
+    },
+    Some(s"""WITH imgs AS (
+        SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n
+        FROM '$FixturePath/*.parquet' WHERE kind = 'image'),
+      raw AS (
+        SELECT media_id, v.variant, v.down,
+          list_transform(range(0, n - $PngHdrLen), i ->
+            CAST(('0x' || substr(hx, (i + $PngHdrLen) * 2 + 1, 2)) AS BIGINT)
+            + CASE WHEN v.perturb > 0 AND i % v.perturb = 0 THEN 1 ELSE 0 END) AS b0
+        FROM imgs, (VALUES (0, 0, 0), (1, 0, 1), (2, 16, 0)) v(variant, perturb, down)),
+      ds AS (
+        SELECT media_id, variant,
+          CASE WHEN down = 1 THEN
+            list_transform(range(0, length(b0) // 2), k ->
+              (b0[2 * k + 1] + b0[2 * k + 2]) // 2)
+          ELSE b0 END AS b
+        FROM raw),
+      cells AS (
+        SELECT media_id, variant, i, b,
+          length(b) AS nb, list_aggregate(b, 'sum') AS tot,
+          (i * length(b)) // 60 AS lo, ((i + 1) * length(b)) // 60 AS hi
+        FROM ds, (SELECT unnest(range(60)) AS i)),
+      bits AS (
+        SELECT media_id, variant, i, nb, tot,
+          CASE WHEN hi > lo THEN list_aggregate(b[lo + 1 : hi], 'sum')
+               ELSE b[least(lo, nb - 1) + 1] END AS cs,
+          CASE WHEN hi > lo THEN hi - lo ELSE 1 END AS cc
+        FROM cells),
+      sh AS (
+        SELECT media_id * 4 + variant AS item,
+          sum(CASE WHEN cs * nb > tot * cc THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS h
+        FROM bits GROUP BY 1),
+      bands AS (
+        SELECT item, h, j AS band_id, (h >> (10 * j)) & 1023 AS bval
+        FROM sh, (SELECT unnest(range(6)) AS j)),
+      cand AS (
+        SELECT DISTINCT a.item AS item_a, b.item AS item_b, a.h AS ha, b.h AS hb
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bval = b.bval AND a.item < b.item)
+      SELECT item_a, item_b,
+        CAST(bit_count((ha | hb) - (ha & hb)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count((ha | hb) - (ha & hb)) <= $HamT"""),
+    headline = true)
+
+  val all: Seq[Q] =
+    Seq(m01Multimodal, m02HeaderParse, m03MediaDedup, m04CdcDedup, m05PerceptualNearDup)
 }

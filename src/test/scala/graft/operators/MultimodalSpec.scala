@@ -102,6 +102,74 @@ class MultimodalSpec extends SparkSpec {
       again.map(_.payload.toSeq).toSeq)
   }
 
+  test("ahash60: matches a naive reference, brightness-invariant, resize/perturb-stable") {
+    import graft.functions.AHash60
+    def naive(vals: Array[Long]): Long = {
+      val nb = vals.length
+      val tot = vals.sum
+      (0 until 60).foldLeft(0L) { (h, c) =>
+        val lo = c * nb / 60; val hi = (c + 1) * nb / 60
+        val (cs, cc) =
+          if (hi > lo) (vals.slice(lo, hi).sum, (hi - lo).toLong)
+          else (vals(math.min(lo, nb - 1)), 1L)
+        if (cs * nb > tot * cc) h | (1L << c) else h
+      }
+    }
+    val hdr = Multimodal.pngHeader(0, 0).length
+    media.filter(_.kind == "image").collect().foreach { m =>
+      val body = m.payload.drop(hdr).map(b => (b & 0xff).toLong)
+      // kernel == naive reference on the raw luma
+      assert(AHash60.hash(m.payload, hdr, 0, 0) == naive(body),
+        s"media ${m.media_id}: kernel disagrees with the reference hash")
+      // EXACT brightness invariance: +k shifts cell and global means
+      // identically (cs'·nb - tot'·cc == cs·nb - tot·cc)
+      assert(naive(body.map(_ + 37L)) == naive(body))
+      // box-filter resize stays within the banding guarantee; perturb
+      // is near-invariant (measured contract the m05 threshold pins)
+      val h0 = AHash60.hash(m.payload, hdr, 0, 0)
+      val hr = AHash60.hash(m.payload, hdr, 1, 0)
+      val hp = AHash60.hash(m.payload, hdr, 0, 16)
+      assert(java.lang.Long.bitCount(h0 ^ hr) <= 5,
+        s"media ${m.media_id}: resize hamming ${java.lang.Long.bitCount(h0 ^ hr)} > 5")
+      assert(java.lang.Long.bitCount(h0 ^ hp) <= 1,
+        s"media ${m.media_id}: perturb hamming ${java.lang.Long.bitCount(h0 ^ hp)} > 1")
+      // signature uses only the low 60 bits (signed-long portability)
+      assert((h0 >>> 60) == 0L && (hr >>> 60) == 0L && (hp >>> 60) == 0L)
+    }
+  }
+
+  test("m05 output: planted variant pairs recovered, banding loses nothing at the threshold") {
+    import graft.functions.AHash60
+    val hdr = Multimodal.pngHeader(0, 0).length
+    val pairs = graft.queries.MultimodalQueries.m05PerceptualNearDup
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.nonEmpty)
+    val imgs = media.filter(_.kind == "image").collect()
+    // every planted (original, variant) pair is in the output — the
+    // 6x10-bit bands GUARANTEE recall at hamming <= 5 by pigeonhole
+    imgs.foreach { m =>
+      val base = m.media_id * 4
+      assert(pairs.exists(p => p._1 == base && p._2 == base + 1),
+        s"media ${m.media_id}: resize pair missing")
+      assert(pairs.exists(p => p._1 == base && p._2 == base + 2),
+        s"media ${m.media_id}: re-encode pair missing")
+    }
+    // completeness: output == brute-force all-pairs at the threshold
+    // (banding is a candidate filter, never a recall filter here)
+    val items = imgs.flatMap { m =>
+      Seq((m.media_id * 4, AHash60.hash(m.payload, hdr, 0, 0)),
+        (m.media_id * 4 + 1, AHash60.hash(m.payload, hdr, 1, 0)),
+        (m.media_id * 4 + 2, AHash60.hash(m.payload, hdr, 0, 16)))
+    }
+    val brute = (for {
+      (ia, ha) <- items; (ib, hb) <- items if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 5
+    } yield (ia, ib, d.toLong)).toSet
+    assert(pairs == brute,
+      s"banding output differs from brute force: missing ${brute -- pairs}, extra ${pairs -- brute}")
+  }
+
   test("binary columns round-trip through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)
