@@ -518,6 +518,76 @@ object TextQueries {
       GROUP BY b.doc_id"""),
     headline = true)
 
+  /** t14b: interpolated Kneser–Ney perplexity on a held-out split —
+    * the smoothing CCNet's KenLM models actually use, beside t14's
+    * maximum-likelihood gate. Train on doc_id % 5 ≠ 0, score the
+    * held-out 1-in-5: held-out text genuinely contains bigrams the
+    * model never saw, so the discount/continuation machinery (not
+    * just the seen-bigram path) is what the oracle checks.
+    * P(w2|w1) = (max(c−D,0) + D·N1+(w1·)·Pcont(w2))/c(w1·), D = 0.75,
+    * Pcont from continuation counts; unseen contexts back off to
+    * Pcont; fully-unseen words floor at 1e-6. Probabilities rounded
+    * 6 dp pre-log, ppl 4 dp (t14's determinism contract; identical
+    * op order both engines). PerplexityScoreSpec pins KN ranking
+    * held-out docs better than add-one on the same split.
+    *
+    * Scale: three censuses over the train bigram stream + a 1-row
+    * type count attached by broadcast (X10), three left equi-joins to
+    * score, one per-doc aggregate — [[graft.operators
+    * .PerplexityScore.scorePerplexityKN]]'s scale note applies.
+    */
+  val t14bKnPerplexity = Q(
+    "t14b_kn_perplexity",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.operators.PerplexityScore.scorePerplexityKN(
+        docs.filter($"doc_id" % 5 === 0),
+        docs.filter($"doc_id" % 5 =!= 0),
+        "doc_id", "text")
+    },
+    Some(s"""WITH bg0 AS (
+        SELECT doc_id, unnest(${DedupQueries.shinglesSql(2)}) AS bigram FROM documents),
+      bg AS (
+        SELECT doc_id, bigram,
+          string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+        FROM bg0 WHERE len(string_split(bigram, ' ')) = 2),
+      tb AS (SELECT * FROM bg WHERE doc_id % 5 <> 0),
+      hb AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+      counts AS (
+        SELECT w1, w2, bigram, count(*) AS n12 FROM tb GROUP BY 1, 2, 3),
+      cnt AS (SELECT bigram, n12 FROM counts),
+      ctx AS (
+        SELECT w1, CAST(sum(n12) AS BIGINT) AS c1, count(*) AS n1p_fw
+        FROM counts GROUP BY 1),
+      cont AS (SELECT w2, count(*) AS n1p_bw FROM counts GROUP BY 1),
+      types AS (
+        SELECT count(*) AS t_types, count(DISTINCT w2) AS w2_types FROM counts),
+      vocab AS (
+        SELECT count(DISTINCT w1) AS v_sz
+        FROM (SELECT w1 FROM tb UNION ALL SELECT w2 FROM tb)),
+      scored AS (
+        -- outer greatest: a sub-5e-7 KN probability rounds to 0.0 at
+        -- 6 dp and ln(0) would blow up — the floor wins, same as Spark
+        SELECT doc_id,
+          greatest(round(
+            CASE WHEN c1 IS NOT NULL THEN
+              (greatest(coalesce(n12, 0) - 0.75, 0) + 0.75 * n1p_fw * pc) / c1
+            ELSE pc END, 6), 0.000001) AS p
+        FROM (
+          SELECT hb.doc_id, n12, c1, n1p_fw,
+            round((greatest(coalesce(n1p_bw, 0) - 0.75, 0) +
+              0.75 * w2_types / v_sz) / t_types, 6) AS pc
+          FROM hb
+          LEFT JOIN cnt USING (bigram)
+          LEFT JOIN ctx USING (w1)
+          LEFT JOIN cont USING (w2)
+          CROSS JOIN types CROSS JOIN vocab))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(exp(-avg(ln(p))), 4) AS ppl
+      FROM scored GROUP BY doc_id"""),
+    headline = true)
+
   private val ShardSalt = "epoch0_"
   private val NShards = 16L
 
@@ -1113,6 +1183,7 @@ object TextQueries {
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
       t11SeqPacking, t12MixtureSample, t13Repetition, t14Perplexity,
+      t14bKnPerplexity,
       t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample,
       t19Normalize, t20Dsir, t21TextRank, t22LeakageSplit, t23SpanScrub,
       t24BpeTokenize, t25VocabGrowth)
