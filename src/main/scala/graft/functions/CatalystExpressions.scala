@@ -592,6 +592,225 @@ object AHash60 {
   }
 }
 
+/** Unigram-LM (SentencePiece-style) training/encoding kernels. The
+  * piece model (pieces + 6-dp-rounded probabilities) rides as
+  * driver-side constructor state (the BpeSegmentWord pattern); the
+  * per-word dynamic programs run with FIXED iteration order and plain
+  * IEEE add/multiply/divide so every double is bit-identical to the
+  * DuckDB oracle's
+  * unrolled-CTE replay (no transcendentals, no re-association: the
+  * t26 determinism contract). Marginals are quantized to integer
+  * micro-units PER OCCURRENCE before any cross-row aggregation, so
+  * corpus-level expected counts are exact bigints.
+  */
+object UnigramImpl {
+  val MaxPiece = 4
+
+  def index(pieces: Array[String]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+
+  /** Forward alphas: a(j) = Σ_{i=max(0,j-P)..j-1} a(i)·p(w[i,j)), sums
+    * accumulated in increasing i — the oracle writes the same chained
+    * addition left-to-right.
+    */
+  private def forward(
+      w: String, idx: java.util.HashMap[String, Integer], probs: Array[Double]): Array[Double] = {
+    val n = w.length
+    val a = new Array[Double](n + 1)
+    a(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var acc = 0.0
+      var i = math.max(0, j - MaxPiece)
+      while (i < j) {
+        val id = idx.get(w.substring(i, j))
+        if (id != null && probs(id) > 0.0) acc += a(i) * probs(id)
+        i += 1
+      }
+      a(j) = acc
+      j += 1
+    }
+    a
+  }
+
+  /** E-step marginals of one word: array of (pid, micro) with micro =
+    * floor(a(i)·p·b(j)/Z·1e6 + 0.5) summed per piece as exact longs.
+    * Empty when the word is not coverable (Z ≤ 0).
+    */
+  def expectations(
+      word: UTF8String,
+      idx: java.util.HashMap[String, Integer],
+      probs: Array[Double]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val w = word.toString
+    val n = w.length
+    val a = forward(w, idx, probs)
+    val z = a(n)
+    if (n == 0 || z <= 0.0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val b = new Array[Double](n + 1)
+    b(n) = 1.0
+    var j = n - 1
+    while (j >= 0) {
+      var acc = 0.0
+      var t = 1
+      val tMax = math.min(MaxPiece, n - j)
+      while (t <= tMax) {
+        val id = idx.get(w.substring(j, j + t))
+        if (id != null && probs(id) > 0.0) acc += probs(id) * b(j + t)
+        t += 1
+      }
+      b(j) = acc
+      j -= 1
+    }
+    val acc = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      var t = 1
+      val tMax = math.min(MaxPiece, n - i)
+      while (t <= tMax) {
+        val id = idx.get(w.substring(i, i + t))
+        if (id != null && probs(id) > 0.0) {
+          val micro = math.floor(a(i) * probs(id) * b(i + t) / z * 1000000.0 + 0.5).toLong
+          if (micro != 0L) {
+            val prev = acc.get(id)
+            acc.put(id, if (prev == null) micro else prev + micro)
+          }
+        }
+        t += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](acc.size())
+    val it = acc.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.intValue(), e.getValue.longValue()))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Viterbi segmentation: argmax product of piece probabilities,
+    * strictly-greater updates over increasing i — ties keep the
+    * SMALLEST predecessor (longest final piece), the same rule the
+    * oracle's (score, −i) sort implements. Empty when unreachable.
+    */
+  def viterbi(
+      word: UTF8String,
+      idx: java.util.HashMap[String, Integer],
+      probs: Array[Double]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val w = word.toString
+    val n = w.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val v = new Array[Double](n + 1)
+    val bp = new Array[Int](n + 1)
+    v(0) = 1.0
+    java.util.Arrays.fill(bp, -1)
+    var j = 1
+    while (j <= n) {
+      var bestS = 0.0
+      var bestI = -1
+      var i = math.max(0, j - MaxPiece)
+      while (i < j) {
+        val id = idx.get(w.substring(i, j))
+        if (id != null && probs(id) > 0.0) {
+          val sc = v(i) * probs(id)
+          if (sc > bestS) { bestS = sc; bestI = i }
+        }
+        i += 1
+      }
+      v(j) = bestS
+      bp(j) = bestI
+      j += 1
+    }
+    if (v(n) <= 0.0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val ids = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var pos = n
+    while (pos > 0) {
+      val i = bp(pos)
+      ids += idx.get(w.substring(i, pos)).intValue()
+      pos = i
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(ids.reverse.toArray)
+  }
+}
+
+/** E-step kernel: word → array<struct<pid, micro>> of quantized
+  * expected piece counts under the constructor model (see
+  * [[UnigramImpl.expectations]]).
+  */
+case class UnigramEm(child: Expression, pieces: Array[String], probs: Array[Double])
+  extends UnaryExpression {
+
+  @transient private lazy val idx = UnigramImpl.index(pieces)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_em requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = UnigramEm.schema
+  override def prettyName: String = "unigram_em"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramImpl.expectations(input.asInstanceOf[UTF8String], idx, probs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val iRef = ctx.addReferenceObj("unigramIdx", idx, "java.util.HashMap")
+    val pRef = ctx.addReferenceObj("unigramProbs", probs, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnigramImpl.expectations($c, $iRef, $pRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEm =
+    copy(child = newChild)
+}
+
+object UnigramEm {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  val schema: ArrayType = ArrayType(StructType(Seq(
+    StructField("pid", IntegerType, nullable = false),
+    StructField("micro", LongType, nullable = false))), containsNull = false)
+}
+
+/** Viterbi-encode kernel: word → array<int> piece ids of the argmax
+  * segmentation under the constructor model (see
+  * [[UnigramImpl.viterbi]]).
+  */
+case class UnigramViterbi(child: Expression, pieces: Array[String], probs: Array[Double])
+  extends UnaryExpression {
+
+  @transient private lazy val idx = UnigramImpl.index(pieces)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_viterbi requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "unigram_viterbi"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramImpl.viterbi(input.asInstanceOf[UTF8String], idx, probs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val iRef = ctx.addReferenceObj("unigramIdx", idx, "java.util.HashMap")
+    val pRef = ctx.addReferenceObj("unigramProbs", probs, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnigramImpl.viterbi($c, $iRef, $pRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramViterbi =
+    copy(child = newChild)
+}
+
 /** Token-position scrub as a native codegen'd kernel:
   * (text STRING, positions ARRAY<BIGINT>) → struct<n_tok, n_removed,
   * kept_text> (see [[ShingleImpl.scrubTokens]]). The rewrite half of
@@ -1317,6 +1536,10 @@ object exprs {
     SparkShims.column(CdcChunks(SparkShims.expression(payload), w, mask))
   def ahash60(payload: Column, hdr: Int, down: Int, perturbEvery: Int): Column =
     SparkShims.column(AHash60(SparkShims.expression(payload), hdr, down, perturbEvery))
+  def unigram_em(word: Column, pieces: Array[String], probs: Array[Double]): Column =
+    SparkShims.column(UnigramEm(SparkShims.expression(word), pieces, probs))
+  def unigram_viterbi(word: Column, pieces: Array[String], probs: Array[Double]): Column =
+    SparkShims.column(UnigramViterbi(SparkShims.expression(word), pieces, probs))
   def sq8_encode(c: Column): Column =
     SparkShims.column(Sq8Encode(SparkShims.expression(c)))
 

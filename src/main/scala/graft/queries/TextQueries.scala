@@ -1179,6 +1179,158 @@ object TextQueries {
       FROM tok_t t LEFT JOIN new_t f USING (decile)"""),
     headline = true)
 
+  private val UnigramRounds = 2
+
+  /** t26: Unigram-LM (SentencePiece, Kudo 2018) tokenizer training —
+    * the other production tokenizer family beside BPE (t16/t24):
+    * seed an over-complete substring vocabulary, fit piece
+    * probabilities with [[graft.operators.UnigramTrainer]]'s exact
+    * soft EM (forward/backward lattice marginals, micro-quantized
+    * expected counts), Viterbi-encode the corpus under the final
+    * model. Output: one row per seed piece with its post-EM
+    * probability and corpus Viterbi usage count.
+    *
+    * The DuckDB oracle replays the ENTIRE fit — substring seed census,
+    * both lattice DPs as unrolled guarded CTE levels (t16's
+    * unrolled-round pattern; forward alphas append, backward betas
+    * prepend, one level per word position up to the shared 12-char
+    * word cap), per-occurrence micro quantization, both EM
+    * renormalizations, the (score, −i)-sorted Viterbi argmax and its
+    * unrolled path walk-back. Cross-engine FP determinism is by
+    * construction: 6-dp probabilities in, fixed-order IEEE
+    * multiply/add chains inside each lattice (no logs, no
+    * re-association), integer counts out — see UnigramImpl's contract.
+    */
+  val t26UnigramLm = Q(
+    "t26_unigram_lm",
+    (s, dir) => graft.operators.UnigramTrainer
+      .train(Tables.documents(s, dir), "text", UnigramRounds),
+    Some {
+      val P = graft.functions.UnigramImpl.MaxPiece
+      val W = graft.operators.UnigramTrainer.MaxWord
+      def lookup(pr: String, pieceExpr: String) =
+        s"coalesce((SELECT p FROM $pr WHERE piece = $pieceExpr), 0.0)"
+      // forward: a(j) = sum_{i=max(0,j-P)}^{j-1} a(i) * p(w[i,j)),
+      // chained additions in increasing i (the kernel's loop order)
+      def fwLevel(r: Int, j: Int) = {
+        val terms = (math.max(0, j - P) until j).map { i =>
+          s"${lookup(s"p$r", s"substr(w, ${i + 1}, ${j - i})")} * a[${i + 1}]"
+        }.mkString(" + ")
+        s"""
+      fw${r}_$j AS MATERIALIZED (
+        SELECT w, freq,
+          CASE WHEN length(w) >= $j THEN list_append(a, $terms) ELSE a END AS a
+        FROM fw${r}_${j - 1})"""
+      }
+      // backward, built back-to-front by PREPEND: after step s the list
+      // is [b(n-s), ..., b(n)]; the new head needs q[t] = b(n-s+t),
+      // t increasing — the kernel's loop order again
+      def bwLevel(r: Int, st: Int) = {
+        val terms = (1 to math.min(P, st)).map { t =>
+          s"${lookup(s"p$r", s"substr(w, length(w) - $st + 1, $t)")} * q[$t]"
+        }.mkString(" + ")
+        s"""
+      bw${r}_$st AS MATERIALIZED (
+        SELECT w, freq,
+          CASE WHEN length(w) >= $st THEN list_prepend($terms, q) ELSE q END AS q
+        FROM bw${r}_${st - 1})"""
+      }
+      def round(r: Int) = {
+        val fw = (1 to W).map(j => fwLevel(r, j)).mkString(",")
+        val bw = (1 to W).map(s => bwLevel(r, s)).mkString(",")
+        s"""
+      fw${r}_0 AS (SELECT w, freq, [CAST(1.0 AS DOUBLE)] AS a FROM words),$fw,
+      bw${r}_0 AS (SELECT w, freq, [CAST(1.0 AS DOUBLE)] AS q FROM words),$bw,
+      ex$r AS MATERIALIZED (
+        SELECT piece, CAST(sum(freq * micro) AS BIGINT) AS cnt
+        FROM (
+          SELECT f.freq, substr(f.w, i + 1, ln) AS piece,
+            CAST(floor(f.a[i + 1]
+              * ${lookup(s"p$r", "substr(f.w, i + 1, ln)")}
+              * b.q[i + ln + 1] / f.a[length(f.w) + 1] * 1000000.0 + 0.5)
+              AS BIGINT) AS micro
+          FROM fw${r}_$W f JOIN bw${r}_$W b USING (w),
+            LATERAL (SELECT unnest(range(0, length(f.w))) AS i) ii,
+            LATERAL (SELECT unnest(range(1, 1 + least($P, length(f.w) - i))) AS ln) ll
+          WHERE f.a[length(f.w) + 1] > 0)
+        GROUP BY piece),
+      p${r + 1} AS MATERIALIZED (
+        SELECT s.piece,
+          round(coalesce(e.cnt, 0) / (SELECT CAST(sum(cnt) AS BIGINT) FROM ex$r), 6) AS p
+        FROM seed s LEFT JOIN ex$r e USING (piece))"""
+      }
+      // Viterbi: candidates (score, -i) filtered to positive score;
+      // ascending struct sort puts (max score, then min i) LAST —
+      // exactly the kernel's strictly-greater increasing-i update
+      def vtLevel(j: Int) = {
+        val cands = (math.max(0, j - P) until j).map { i =>
+          s"struct_pack(sc := v[${i + 1}] * ${lookup(s"p$UnigramRounds", s"substr(w, ${i + 1}, ${j - i})")}, ni := CAST(${-i} AS BIGINT))"
+        }.mkString(", ")
+        s"""
+      vt_$j AS MATERIALIZED (
+        SELECT w, freq,
+          CASE WHEN length(w) >= $j THEN list_append(v, coalesce(best.sc, 0.0)) ELSE v END AS v,
+          CASE WHEN length(w) >= $j THEN list_append(bp, -best.ni) ELSE bp END AS bp
+        FROM (
+          SELECT w, freq, v, bp,
+            CASE WHEN length(cl) > 0 THEN list_sort(cl)[length(cl)] ELSE NULL END AS best
+          FROM (
+            SELECT w, freq, v, bp, list_filter([$cands], x -> x.sc > 0) AS cl
+            FROM vt_${j - 1})))"""
+      }
+      def wkLevel(s: Int) =
+        s"""
+      wk_$s AS MATERIALIZED (
+        SELECT w, freq, bp,
+          CASE WHEN j > 0 THEN bp[CAST(j AS INTEGER) + 1] ELSE j END AS j,
+          CASE WHEN j > 0 THEN list_append(pieces,
+            substr(w, CAST(bp[CAST(j AS INTEGER) + 1] AS INTEGER) + 1,
+                      CAST(j - bp[CAST(j AS INTEGER) + 1] AS INTEGER)))
+          ELSE pieces END AS pieces
+        FROM wk_${s - 1})"""
+      val vt = (1 to W).map(vtLevel).mkString(",")
+      val wk = (1 to W).map(wkLevel).mkString(",")
+      s"""WITH words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[A-Za-z0-9]+$$') AND length(w) <= $W
+        GROUP BY w),
+      subs AS MATERIALIZED (
+        SELECT substr(w, st, ln) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM words,
+          LATERAL (SELECT unnest(range(1, length(w) + 1)) AS st) ss,
+          LATERAL (SELECT unnest(range(1, 1 + least($P, length(w) - st + 1))) AS ln) ll
+        GROUP BY 1),
+      seed AS MATERIALIZED (
+        SELECT piece, cnt FROM subs WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+          ORDER BY cnt DESC, piece ASC
+          LIMIT ${graft.operators.UnigramTrainer.SeedMulti})),
+      p0 AS MATERIALIZED (
+        SELECT piece, round(cnt / (SELECT CAST(sum(cnt) AS BIGINT) FROM seed), 6) AS p
+        FROM seed),${(0 until UnigramRounds).map(round).mkString(",")},
+      vt_0 AS (
+        SELECT w, freq, [CAST(1.0 AS DOUBLE)] AS v, [CAST(-1 AS BIGINT)] AS bp
+        FROM words),$vt,
+      wk_0 AS (
+        SELECT w, freq, bp, CAST(length(w) AS BIGINT) AS j,
+          CAST([] AS VARCHAR[]) AS pieces
+        FROM vt_$W WHERE v[length(w) + 1] > 0),$wk,
+      vc AS (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS vit_count
+        FROM (SELECT freq, unnest(pieces) AS piece FROM wk_$W)
+        GROUP BY piece)
+      SELECT s.piece AS piece, p$UnigramRounds.p AS em_prob,
+        CAST(coalesce(vc.vit_count, 0) AS BIGINT) AS vit_count
+      FROM seed s
+      JOIN p$UnigramRounds ON p$UnigramRounds.piece = s.piece
+      LEFT JOIN vc ON vc.piece = s.piece"""
+    },
+    headline = true)
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
@@ -1186,5 +1338,5 @@ object TextQueries {
       t14bKnPerplexity,
       t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample,
       t19Normalize, t20Dsir, t21TextRank, t22LeakageSplit, t23SpanScrub,
-      t24BpeTokenize, t25VocabGrowth)
+      t24BpeTokenize, t25VocabGrowth, t26UnigramLm)
 }
