@@ -189,6 +189,27 @@ class PlanShapeSpec extends SparkSpec {
       s"t14 lost its partial/final aggregate pairs:\n$p")
   }
 
+  test("m05 generates candidates through a band-keyed equi-join — never all-pairs") {
+    val p = plan("m05_perceptual_neardup")
+    // the pair stage must be blocked on (band_id, bval): pigeonhole
+    // guarantees recall at Hamming <= 5 while candidates stay bounded
+    // by bucket collisions. The item inequality rides as a post-join
+    // condition; if the band columns ever left the join KEYS the pair
+    // count would go corpus-quadratic
+    val joinKeyedByBand =
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[band_id#".r
+    assert(joinKeyedByBand.findFirstIn(p).isDefined,
+      s"m05 pair stage is not a band-keyed equi-join:\n$p")
+  }
+
+  test("t14b probes the KN model through a bigram-keyed equi-join, like t14") {
+    val p = plan("t14b_kn_perplexity")
+    val joinKeyedByBigram =
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[bigram#".r
+    assert(joinKeyedByBigram.findFirstIn(p).isDefined,
+      s"t14b LM join is not keyed by bigram:\n$p")
+  }
+
   test("d10's Bloom probe survives into the physical plan as the native expression") {
     val p = plan("d10_decontaminate_bloom")
     // the sketch-then-verify shape is only real if the codegen'd
@@ -243,11 +264,13 @@ class PlanShapeSpec extends SparkSpec {
     // its own, but the shared frame is built through s12's plan)
     // q50/t25: the 168-cell census / decile censuses × the 1-row
     // corpus-total aggregate — t20's X10 broadcast-scalar attach
+    // t14b: the doc bigram stream × the 1-row vocab-size and 1-row
+    // total-continuation-types KN normalizers — two X10 attaches
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin",
       "s08_pq_adc", "s09_pq_recall", "s10_ann_ivfpq", "s11_ann_ivfpq_residual",
       "t17_quality_classifier", "t20_dsir_select", "s12_bm25_topk",
       "s13_sq8_adc", "s14_hybrid_rrf", "q50_activity_heatmap",
-      "t25_vocab_growth")
+      "t25_vocab_growth", "t14b_kn_perplexity")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
