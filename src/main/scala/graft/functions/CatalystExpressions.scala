@@ -592,6 +592,139 @@ object AHash60 {
   }
 }
 
+/** 60-bit Haitsma–Kalker audio fingerprint (m06) — "A Highly Robust
+  * Audio Fingerprint Based on Spectral Band Energy Differences"
+  * (Haitsma & Kalker, ISMIR 2002), re-expressed exactly over the
+  * sample stream the stub decoder yields (body bytes after the
+  * `hdr`-byte WAV header). The classic recipe frames the signal,
+  * projects each frame onto frequency bands, and takes one bit per
+  * (frame, band) from the SIGN of the double difference
+  * (E(f,b)−E(f,b−1)) − (E(f−1,b)−E(f−1,b−1)): 15 frame steps × 4 band
+  * steps = 60 bits, riding an engine-portable signed long like
+  * [[AHash60]]/[[SimHash60]].
+  *
+  * Length invariance comes from AHash60's fractional cells: the
+  * stream is resampled to 16 frames × 32 micro-mean samples (sum·10⁶
+  * div count — exact integer). Band energies are ABSOLUTE integer
+  * projections |Σ basis(b,x)·m(x)| onto 5 integer-quantized DCT rows
+  * (u = 1..5, cos·2²⁰ rounded), each row adjusted so its entries sum
+  * to EXACTLY zero — which makes the fingerprint PROVABLY invariant
+  * to any constant sample offset (Σw·(m+c) = Σw·m), and the
+  * difference-of-differences sign provably invariant to any positive
+  * gain (all projections scale by the same factor). Re-encode noise
+  * (+1 every k-th sample) lands at Hamming ≤ 4 measured on the
+  * fixture at k = 2 and exactly 0 at k ≥ 8. Time-shift (trim) and 2:1
+  * time compression land at Hamming ≳ 20 — OUT of radius by design:
+  * HK sub-fingerprints are frame-synchronous, and production systems
+  * recover shifts by searching overlapping windows, not by making one
+  * global hash shift-invariant.
+  *
+  * `perturbEvery`/`gainNum`/`offset` bake the planted re-encode
+  * transform into the kernel (m05's variant pattern): sample i reads
+  * (byte_i + [i mod perturbEvery = 0]) · gainNum + offset. All
+  * arithmetic is exact integers (|proj| ≤ 32·2²⁰·7.8·10⁸ < 2⁵⁵), so
+  * the DuckDB replay from hex(payload) is bit-identical.
+  */
+case class AudioFp60(child: Expression, hdr: Int, perturbEvery: Int, gainNum: Int, offset: Int)
+  extends UnaryExpression {
+  require(hdr >= 0 && perturbEvery >= 0 && gainNum >= 1,
+    s"audio_fp60 needs hdr/perturbEvery >= 0 and gainNum >= 1, got $hdr/$perturbEvery/$gainNum")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_fp60 requires BINARY input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "audio_fp60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioFp60.hash(input.asInstanceOf[Array[Byte]], hdr, perturbEvery, gainNum, offset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.AudioFp60.hash($c, $hdr, $perturbEvery, $gainNum, $offset)")
+
+  override protected def withNewChildInternal(newChild: Expression): AudioFp60 =
+    copy(child = newChild)
+}
+
+object AudioFp60 {
+  val Frames = 16
+  val FrameLen = 32
+  val Bands = 5
+  val MicroScale = 1000000L
+
+  /** Integer-quantized DCT-II rows u = 1..Bands over FrameLen samples
+    * (cos·2²⁰ rounded), first entry adjusted so each row sums to
+    * exactly zero (the constant-offset cancellation the scaladoc
+    * relies on). The m06 oracle SQL embeds THESE integers verbatim —
+    * both engines share one table by construction.
+    */
+  val Basis: Array[Array[Long]] = Array.tabulate(Bands) { b =>
+    val u = b + 1
+    val row = Array.tabulate(FrameLen) { x =>
+      math.round(math.cos(math.Pi * (2 * x + 1) * u / (2.0 * FrameLen)) * (1 << 20)).toLong
+    }
+    row(0) -= row.sum
+    row
+  }
+
+  def hash(payload: Array[Byte], hdr: Int, perturbEvery: Int, gainNum: Int, offset: Int): Long = {
+    val nb = payload.length - hdr
+    if (nb <= 0) return 0L
+    val vals = new Array[Long](nb)
+    var i = 0
+    while (i < nb) {
+      var v = (payload(hdr + i) & 0xff).toLong
+      if (perturbEvery > 0 && i % perturbEvery == 0) v += 1L
+      vals(i) = v * gainNum + offset
+      i += 1
+    }
+    // fractional-cell micro-means: cell x covers [x·nb/C, (x+1)·nb/C)
+    val c = Frames * FrameLen
+    val m = new Array[Long](c)
+    var x = 0
+    while (x < c) {
+      val lo = x * nb / c
+      val hi = (x + 1) * nb / c
+      if (hi > lo) {
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += vals(j); j += 1 }
+        m(x) = s * MicroScale / (hi - lo)
+      } else m(x) = vals(math.min(lo, nb - 1)) * MicroScale
+      x += 1
+    }
+    // E(f,b) = |Σ_s Basis(b)(s) · m(f·FrameLen + s)|
+    val e = Array.ofDim[Long](Frames, Bands)
+    var f = 0
+    while (f < Frames) {
+      var b = 0
+      while (b < Bands) {
+        var acc = 0L
+        var s = 0
+        while (s < FrameLen) { acc += Basis(b)(s) * m(f * FrameLen + s); s += 1 }
+        e(f)(b) = math.abs(acc)
+        b += 1
+      }
+      f += 1
+    }
+    var h = 0L
+    var bit = 0
+    f = 1
+    while (f < Frames) {
+      var b = 1
+      while (b < Bands) {
+        if ((e(f)(b) - e(f)(b - 1)) - (e(f - 1)(b) - e(f - 1)(b - 1)) > 0) h |= 1L << bit
+        bit += 1
+        b += 1
+      }
+      f += 1
+    }
+    h
+  }
+}
+
 /** Unigram-LM (SentencePiece-style) training/encoding kernels. The
   * piece model (pieces + 6-dp-rounded probabilities) rides as
   * driver-side constructor state (the BpeSegmentWord pattern); the
@@ -1536,6 +1669,9 @@ object exprs {
     SparkShims.column(CdcChunks(SparkShims.expression(payload), w, mask))
   def ahash60(payload: Column, hdr: Int, down: Int, perturbEvery: Int): Column =
     SparkShims.column(AHash60(SparkShims.expression(payload), hdr, down, perturbEvery))
+  def audio_fp60(payload: Column, hdr: Int, perturbEvery: Int, gainNum: Int, offset: Int): Column =
+    SparkShims.column(
+      AudioFp60(SparkShims.expression(payload), hdr, perturbEvery, gainNum, offset))
   def unigram_em(word: Column, pieces: Array[String], probs: Array[Double]): Column =
     SparkShims.column(UnigramEm(SparkShims.expression(word), pieces, probs))
   def unigram_viterbi(word: Column, pieces: Array[String], probs: Array[Double]): Column =

@@ -361,6 +361,42 @@ object MultimodalQueries {
   private val HamT = 5 // within the 6x10-bit banding guarantee (<= 5)
   private val PngHdrLen = Multimodal.pngHeader(0, 0).length // 29
 
+  /** d04's banded blocking over a 60-bit signature frame (item, h):
+    * nBands × bandBits (nBands·bandBits = 60), so any pair at Hamming
+    * ≤ thresh < nBands shares a band by pigeonhole — recall 1.0 at the
+    * threshold with candidates bounded by bucket collisions instead of
+    * O(n²). Shared by m05 (aHash: 6×10-bit bands, Hamming ≤ 5) and m06
+    * (audio fingerprint: 10×6-bit bands, Hamming ≤ 9 — the band count
+    * is SIZED to the kernel's measured radius, the knob real LSH
+    * deployments tune). At 100 TB the narrow bands need the hot-bucket
+    * guard (d02's salting or d13's frequency cap) exactly as
+    * documented for the text banders.
+    */
+  private def bandedHammingPairs(
+      hashes: org.apache.spark.sql.DataFrame,
+      nBands: Int, bandBits: Int, thresh: Int): org.apache.spark.sql.DataFrame = {
+    require(nBands * bandBits == 60 && thresh < nBands,
+      s"banding must cover 60 bits with thresh < nBands, got $nBands x $bandBits, $thresh")
+    val s = hashes.sparkSession
+    import s.implicits._
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until nBands).map { j =>
+      struct(lit(j).as("band_id"),
+        (shiftright($"h", bandBits * j).bitwiseAND(lit(mask))).as("bval"))
+    }
+    val banded = hashes
+      .select($"item", $"h", explode(array(bandCols: _*)).as("bk"))
+      .select($"item", $"h", $"bk.band_id", $"bk.bval")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bval") === col("b.bval") &&
+          col("a.item") < col("b.item"))
+      .select(col("a.item").as("item_a"), col("b.item").as("item_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= thresh)
+  }
+
   /** m05: perceptual image near-dup — 60-bit average-hash (aHash) over
     * the decoded luma stream, Hamming-banded candidate generation,
     * exact Hamming verification. Completes the multimodal dedup
@@ -403,21 +439,7 @@ object MultimodalQueries {
       val hashes = variant(0, 0, 0)
         .unionByName(variant(1, 1, 0))
         .unionByName(variant(2, 0, 16))
-      val bandCols = (0 until 6).map { j =>
-        struct(lit(j).as("band_id"),
-          (shiftright($"h", 10 * j).bitwiseAND(lit(1023L))).as("bval"))
-      }
-      val banded = hashes
-        .select($"item", $"h", explode(array(bandCols: _*)).as("bk"))
-        .select($"item", $"h", $"bk.band_id", $"bk.bval")
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.band_id") === col("b.band_id") && col("a.bval") === col("b.bval") &&
-            col("a.item") < col("b.item"))
-        .select(col("a.item").as("item_a"), col("b.item").as("item_b"),
-          bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
-        .distinct()
-        .filter($"hamming" <= HamT)
+      bandedHammingPairs(hashes, 6, 10, HamT)
     },
     Some(s"""WITH imgs AS (
         SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n
@@ -463,6 +485,127 @@ object MultimodalQueries {
       WHERE bit_count((ha | hb) - (ha & hb)) <= $HamT"""),
     headline = true)
 
+  private val WavHdrLen = Multimodal.wavHeader(8000).length // 36
+  private val AudioHamT = 9 // within the 10x6-bit banding guarantee (<= 9)
+
+  /** m06: audio near-dup — 60-bit Haitsma–Kalker fingerprint
+    * ([[graft.functions.AudioFp60]]: 16 fractional frames × 5
+    * zero-sum integer DCT band projections, sign of the band-energy
+    * double difference), Hamming-banded candidate generation, exact
+    * verification. Completes the multimodal dedup ladder's audio
+    * face: m03 exact bytes, m04 shifted bytes, m05 re-encoded
+    * images, m06 re-mastered audio. Each WAV fixture item enters
+    * three ways (item = media_id·4 + variant): the original (0), a
+    * "re-master" (1: +1 noise every 2nd sample, gain ×3, DC bias
+    * +7 — Hamming EXACTLY 0: gain/offset by the kernel's provable
+    * invariances, and the dense noise comb is half DC — cancelled by
+    * the zero-sum rows — plus a Nyquist-frequency component the low
+    * bands u = 1..5 reject), and sparse re-encode noise (2: +1 every
+    * 32nd sample — Hamming ≤ 9 measured; SPARSE noise aliases against
+    * the fractional cell grid, so it lands wider than the dense
+    * comb, the opposite of intuition and exactly what HK's published
+    * robustness profile predicts for narrowband interference).
+    * Output: every item pair at Hamming ≤ 9, inside the 10×6-band
+    * pigeonhole guarantee — the band count SIZED to the measured
+    * radius (vs m05's 6×10 at radius 5). The fixture's cross-item
+    * floor is 8, so 12 deterministic generator near-dup pairs ride
+    * along at 8–9 (the sawtooth corpus's true structure, replayed
+    * identically by the oracle). Time trim/compression measure ≳ 20 —
+    * out of radius by design (HK sub-fingerprints are
+    * frame-synchronous; production shift search uses overlapping
+    * windows, and the m04 CDC face covers byte shifts).
+    *
+    * Scale shape: one kernel call per item at the scan (payload bytes
+    * die at the scan, CdcChunks' pattern), then the shared
+    * [[bandedHammingPairs]] blocking — never all-pairs.
+    *
+    * The DuckDB oracle replays the full kernel from hex(payload) —
+    * perturb/gain/offset transform, 512 fractional micro-mean cells,
+    * the EXACT zero-sum integer basis (embedded verbatim from
+    * [[graft.functions.AudioFp60.Basis]] — one shared table by
+    * construction), absolute projections, double-difference sign
+    * bits — so the kernel arithmetic, not just the pair set, is
+    * oracle-checked.
+    */
+  val m06AudioFingerprint = Q(
+    "m06_audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.exprs
+      ensureFixture(s)
+      val auds = s.read.parquet(FixturePath)
+        .filter($"kind" === "audio").select($"media_id", $"payload")
+      def variant(v: Int, perturb: Int, gain: Int, off: Int) =
+        auds.select(($"media_id" * 4 + v).as("item"),
+          exprs.audio_fp60($"payload", WavHdrLen, perturb, gain, off).as("h"))
+      val hashes = variant(0, 0, 1, 0)
+        .unionByName(variant(1, 2, 3, 7))
+        .unionByName(variant(2, 32, 1, 0))
+      bandedHammingPairs(hashes, 10, 6, AudioHamT)
+    },
+    Some {
+      val fp = graft.functions.AudioFp60
+      val C = fp.Frames * fp.FrameLen
+      val basisRows = (for {
+        b <- 0 until fp.Bands
+        x <- 0 until fp.FrameLen
+      } yield s"($b, $x, ${fp.Basis(b)(x)})").mkString(", ")
+      s"""WITH auds AS (
+        SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n
+        FROM '$FixturePath/*.parquet' WHERE kind = 'audio'),
+      raw AS (
+        SELECT media_id, v.variant,
+          list_transform(range(0, n - $WavHdrLen), i ->
+            (CAST(('0x' || substr(hx, (i + $WavHdrLen) * 2 + 1, 2)) AS BIGINT)
+             + CASE WHEN v.perturb > 0 AND i % v.perturb = 0 THEN 1 ELSE 0 END)
+            * v.gain + v.off) AS b
+        FROM auds, (VALUES (0, 0, 1, 0), (1, 2, 3, 7), (2, 32, 1, 0))
+          v(variant, perturb, gain, off)),
+      cells AS (
+        SELECT media_id, variant, x,
+          CASE WHEN hi > lo
+            THEN (list_aggregate(b[lo + 1 : hi], 'sum') * ${fp.MicroScale}) // (hi - lo)
+            ELSE b[least(lo, nb - 1) + 1] * ${fp.MicroScale} END AS m
+        FROM (
+          SELECT media_id, variant, b, x, length(b) AS nb,
+            (x * length(b)) // $C AS lo, ((x + 1) * length(b)) // $C AS hi
+          FROM raw, (SELECT unnest(range($C)) AS x))),
+      basis AS (SELECT * FROM (VALUES $basisRows) t(band, s, wt)),
+      proj AS (
+        SELECT c.media_id, c.variant, c.x // ${fp.FrameLen} AS f, t.band,
+          abs(sum(t.wt * c.m)) AS e
+        FROM cells c JOIN basis t ON t.s = c.x % ${fp.FrameLen}
+        GROUP BY 1, 2, 3, 4),
+      d1 AS (
+        SELECT media_id, variant, f, band,
+          e - lag(e) OVER (PARTITION BY media_id, variant, f ORDER BY band) AS d
+        FROM proj),
+      d2 AS (
+        SELECT media_id, variant, f, band,
+          d - lag(d) OVER (PARTITION BY media_id, variant, band ORDER BY f) AS dd
+        FROM d1 WHERE band >= 1),
+      sh AS (
+        SELECT media_id * 4 + variant AS item,
+          sum(CASE WHEN dd > 0
+            THEN (CAST(1 AS BIGINT) << ((f - 1) * ${fp.Bands - 1} + (band - 1)))
+            ELSE 0 END) AS h
+        FROM d2 WHERE f >= 1
+        GROUP BY 1),
+      bands AS (
+        SELECT item, h, j AS band_id, (h >> (6 * j)) & 63 AS bval
+        FROM sh, (SELECT unnest(range(10)) AS j)),
+      cand AS (
+        SELECT DISTINCT a.item AS item_a, b.item AS item_b, a.h AS ha, b.h AS hb
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bval = b.bval AND a.item < b.item)
+      SELECT item_a, item_b,
+        CAST(bit_count((ha | hb) - (ha & hb)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count((ha | hb) - (ha & hb)) <= $AudioHamT"""
+    },
+    headline = true)
+
   val all: Seq[Q] =
-    Seq(m01Multimodal, m02HeaderParse, m03MediaDedup, m04CdcDedup, m05PerceptualNearDup)
+    Seq(m01Multimodal, m02HeaderParse, m03MediaDedup, m04CdcDedup, m05PerceptualNearDup,
+      m06AudioFingerprint)
 }

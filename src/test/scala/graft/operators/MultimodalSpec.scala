@@ -170,6 +170,96 @@ class MultimodalSpec extends SparkSpec {
       s"banding output differs from brute force: missing ${brute -- pairs}, extra ${pairs -- brute}")
   }
 
+  test("audio_fp60: matches a naive reference; gain/offset EXACTLY invariant; noise in radius") {
+    import graft.functions.AudioFp60
+    // naive reference, written independently of the kernel's loops
+    def naive(vals: Array[Long]): Long = {
+      val c = AudioFp60.Frames * AudioFp60.FrameLen
+      val nb = vals.length
+      val m = Array.tabulate(c) { x =>
+        val lo = x * nb / c; val hi = (x + 1) * nb / c
+        if (hi > lo) vals.slice(lo, hi).sum * AudioFp60.MicroScale / (hi - lo)
+        else vals(math.min(lo, nb - 1)) * AudioFp60.MicroScale
+      }
+      val e = Array.tabulate(AudioFp60.Frames, AudioFp60.Bands) { (f, b) =>
+        math.abs((0 until AudioFp60.FrameLen)
+          .map(s => AudioFp60.Basis(b)(s) * m(f * AudioFp60.FrameLen + s)).sum)
+      }
+      (for {
+        f <- 1 until AudioFp60.Frames
+        b <- 1 until AudioFp60.Bands
+        if (e(f)(b) - e(f)(b - 1)) - (e(f - 1)(b) - e(f - 1)(b - 1)) > 0
+      } yield 1L << ((f - 1) * (AudioFp60.Bands - 1) + (b - 1))).foldLeft(0L)(_ | _)
+    }
+    // every basis row sums to exactly zero — the offset-invariance proof
+    AudioFp60.Basis.foreach(row => assert(row.sum == 0L))
+    val hdr = Multimodal.wavHeader(8000).length
+    media.filter(_.kind == "audio").collect().foreach { m =>
+      val body = m.payload.drop(hdr).map(b => (b & 0xff).toLong)
+      val h0 = AudioFp60.hash(m.payload, hdr, 0, 1, 0)
+      assert(h0 == naive(body),
+        s"media ${m.media_id}: kernel disagrees with the reference fingerprint")
+      // PROVABLE invariances: positive gain scales every projection by
+      // the same factor; constant offset cancels (zero-sum basis rows)
+      assert(naive(body.map(_ * 5L)) == h0)
+      assert(naive(body.map(_ + 123L)) == h0)
+      // the planted re-master (dense noise + gain 3 + offset 7) is
+      // EXACT: the every-2nd-sample comb is half DC (cancelled) plus a
+      // Nyquist component the low bands reject
+      assert(AudioFp60.hash(m.payload, hdr, 2, 3, 7) == h0,
+        s"media ${m.media_id}: re-master variant not hash-identical")
+      // sparse noise aliases against the cell grid — stays within the
+      // 10x6 banding radius (measured contract the m06 threshold pins)
+      val hp = AudioFp60.hash(m.payload, hdr, 32, 1, 0)
+      assert(java.lang.Long.bitCount(h0 ^ hp) <= 9,
+        s"media ${m.media_id}: sparse-noise hamming ${java.lang.Long.bitCount(h0 ^ hp)} > 9")
+      // signature uses only the low 60 bits (signed-long portability)
+      assert((h0 >>> 60) == 0L && (hp >>> 60) == 0L)
+    }
+  }
+
+  test("m06 output: all planted variant pairs recovered; banding loses nothing") {
+    import graft.functions.AudioFp60
+    val hdr = Multimodal.wavHeader(8000).length
+    val pairs = graft.queries.MultimodalQueries.m06AudioFingerprint
+      .run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.nonEmpty)
+    val auds = media.filter(_.kind == "audio").collect()
+    // all three within-media variant pairs recovered for every item —
+    // the 10x6-bit bands GUARANTEE recall at hamming <= 9 by pigeonhole
+    auds.foreach { m =>
+      val base = m.media_id * 4
+      Seq(base -> (base + 1), base -> (base + 2), (base + 1) -> (base + 2)).foreach {
+        case (a, b) => assert(pairs.exists(p => p._1 == a && p._2 == b),
+          s"media ${m.media_id}: planted pair ($a, $b) missing")
+      }
+    }
+    // the re-master leg is hash-identical, so its pairs sit at hamming 0
+    auds.foreach { m =>
+      val base = m.media_id * 4
+      assert(pairs.contains((base, base + 1, 0L)),
+        s"media ${m.media_id}: re-master pair not at hamming 0")
+    }
+    // completeness: output == brute-force all-pairs at the threshold
+    // (banding is a candidate filter, never a recall filter; the 12
+    // cross-media generator near-dups at hamming 8-9 are real corpus
+    // structure and must survive too)
+    val items = auds.flatMap { m =>
+      Seq((m.media_id * 4, AudioFp60.hash(m.payload, hdr, 0, 1, 0)),
+        (m.media_id * 4 + 1, AudioFp60.hash(m.payload, hdr, 2, 3, 7)),
+        (m.media_id * 4 + 2, AudioFp60.hash(m.payload, hdr, 32, 1, 0)))
+    }
+    val brute = (for {
+      (ia, ha) <- items; (ib, hb) <- items if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 9
+    } yield (ia, ib, d.toLong)).toSet
+    assert(pairs == brute,
+      s"banding output differs from brute force: missing ${brute -- pairs}, extra ${pairs -- brute}")
+    assert(pairs.count(p => p._1 / 4 != p._2 / 4) == 12,
+      "cross-media near-dup count drifted — the fixture generator changed")
+  }
+
   test("binary columns round-trip through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)

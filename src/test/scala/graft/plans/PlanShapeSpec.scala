@@ -189,17 +189,19 @@ class PlanShapeSpec extends SparkSpec {
       s"t14 lost its partial/final aggregate pairs:\n$p")
   }
 
-  test("m05 generates candidates through a band-keyed equi-join — never all-pairs") {
-    val p = plan("m05_perceptual_neardup")
+  test("m05/m06 generate candidates through a band-keyed equi-join — never all-pairs") {
     // the pair stage must be blocked on (band_id, bval): pigeonhole
-    // guarantees recall at Hamming <= 5 while candidates stay bounded
-    // by bucket collisions. The item inequality rides as a post-join
-    // condition; if the band columns ever left the join KEYS the pair
-    // count would go corpus-quadratic
+    // guarantees recall at the Hamming threshold while candidates stay
+    // bounded by bucket collisions. The item inequality rides as a
+    // post-join condition; if the band columns ever left the join KEYS
+    // the pair count would go corpus-quadratic
     val joinKeyedByBand =
       "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[band_id#".r
-    assert(joinKeyedByBand.findFirstIn(p).isDefined,
-      s"m05 pair stage is not a band-keyed equi-join:\n$p")
+    Seq("m05_perceptual_neardup", "m06_audio_fingerprint").foreach { name =>
+      val p = plan(name)
+      assert(joinKeyedByBand.findFirstIn(p).isDefined,
+        s"$name pair stage is not a band-keyed equi-join:\n$p")
+    }
   }
 
   test("t14b probes the KN model through a bigram-keyed equi-join, like t14") {
