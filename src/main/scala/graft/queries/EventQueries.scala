@@ -518,8 +518,119 @@ object EventQueries {
       FROM cells, total"""),
     headline = true)
 
+  /** q51: multi-touch attribution — for every purchase, the
+    * view/click/signup touches of the same user in a strict 7-day
+    * lookback window, credited under the four standard marketing
+    * models side by side: first-touch, last-touch, linear, and
+    * position-based (40/20/40). The revenue-assignment question every
+    * funnel (q44) immediately raises: WHICH touch gets the sale.
+    *
+    * Determinism contract: credits are exact integer micro-units per
+    * conversion (each model's credits sum to exactly 1,000,000) —
+    * linear's 1e6 div n floor remainder goes to the r earliest
+    * touches, position-based's middle 200,000 splits the same way —
+    * and revenue rides as floor-half-up integer cents, so every
+    * aggregate is an exact bigint sum on both engines. Touch order is
+    * (ts, event_id); the lookback is strict `touch < conversion` with
+    * the q49-established whole-second difference.
+    *
+    * Scale shape: one user_id equi-join between the two filtered
+    * event branches (the 7-day predicate bounds pairs to a week of
+    * touches per conversion; at 100 TB the q25 time-band bucketing
+    * pre-reduces the join), then one conv_id exchange for the two
+    * same-partitioning windows (count + row_number). The 4-model
+    * unpivot is a projection-stage `stack`; the final census is
+    * |models|×|channels| cells with map-side partials.
+    */
+  val q51Attribution = Q(
+    "q51_attribution",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val conv = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("conv_id"), $"ts".as("cts"),
+          floor($"value" * 100 + lit(0.5)).cast("long").as("cents"))
+      val tch = ev.filter($"event_type".isin("view", "click", "signup"))
+        .select($"user_id", $"event_id".as("touch_id"),
+          $"event_type".as("channel"), $"ts".as("tts"))
+      val pairs = conv.join(tch, Seq("user_id"))
+        .filter($"tts" < $"cts" &&
+          unix_timestamp($"cts") - unix_timestamp($"tts") <= 604800L)
+      val wN = Window.partitionBy($"conv_id")
+      val wR = Window.partitionBy($"conv_id").orderBy($"tts".asc, $"touch_id".asc)
+      val credited = pairs
+        .withColumn("n", count(lit(1)).over(wN))
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .withColumn("c_first", when($"rk" === 1L, lit(1000000L)).otherwise(lit(0L)))
+        .withColumn("c_last", when($"rk" === $"n", lit(1000000L)).otherwise(lit(0L)))
+        .withColumn("c_linear",
+          expr("1000000 div n") +
+            when($"rk" <= expr("1000000 % n"), lit(1L)).otherwise(lit(0L)))
+        .withColumn("c_pos",
+          when($"n" === 1L, lit(1000000L))
+            .when($"n" === 2L, lit(500000L))
+            .when($"rk" === 1L || $"rk" === $"n", lit(400000L))
+            .otherwise(expr("200000 div (n - 2)") +
+              when($"rk" - 1L <= expr("200000 % (n - 2)"), lit(1L)).otherwise(lit(0L))))
+      credited
+        .select($"channel", $"cents", expr(
+          """stack(4,
+             'first_touch', c_first,
+             'last_touch', c_last,
+             'linear', c_linear,
+             'position_based', c_pos) AS (model, credit)"""))
+        .groupBy($"model", $"channel")
+        .agg(
+          count(lit(1)).as("n_touches"),
+          sum($"credit").as("credit_micro"),
+          (sum($"credit") / lit(1000000.0)).as("credit_conversions"),
+          sum($"credit" * $"cents").as("rev_micro_cents"))
+    },
+    Some(s"""WITH conv AS (
+        SELECT user_id, event_id AS conv_id, ts AS cts,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      tch AS (
+        SELECT user_id, event_id AS touch_id, event_type AS channel, ts AS tts
+        FROM events WHERE event_type IN ('view', 'click', 'signup')),
+      pairs AS (
+        SELECT c.conv_id, c.cents, t.channel, t.tts, t.touch_id
+        FROM conv c JOIN tch t ON c.user_id = t.user_id
+        WHERE t.tts < c.cts AND date_diff('second', t.tts, c.cts) <= 604800),
+      win AS (
+        SELECT *,
+          count(*) OVER (PARTITION BY conv_id) AS n,
+          row_number() OVER (
+            PARTITION BY conv_id ORDER BY tts ASC, touch_id ASC) AS rk
+        FROM pairs),
+      cr AS (
+        SELECT conv_id, cents, channel,
+          CASE WHEN rk = 1 THEN 1000000 ELSE 0 END AS c_first,
+          CASE WHEN rk = n THEN 1000000 ELSE 0 END AS c_last,
+          (1000000 // n) + (CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END) AS c_linear,
+          CASE WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN rk = 1 OR rk = n THEN 400000
+               ELSE (200000 // (n - 2)) +
+                 (CASE WHEN rk - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END)
+          END AS c_pos
+        FROM win),
+      m AS (
+        SELECT 'first_touch' AS model, channel, cents, c_first AS credit FROM cr
+        UNION ALL SELECT 'last_touch', channel, cents, c_last FROM cr
+        UNION ALL SELECT 'linear', channel, cents, c_linear FROM cr
+        UNION ALL SELECT 'position_based', channel, cents, c_pos FROM cr)
+      SELECT model, channel,
+        CAST(count(*) AS BIGINT) AS n_touches,
+        CAST(sum(credit) AS BIGINT) AS credit_micro,
+        CAST(sum(credit) AS BIGINT) / 1000000.0 AS credit_conversions,
+        CAST(sum(credit * cents) AS BIGINT) AS rev_micro_cents
+      FROM m GROUP BY 1, 2"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,
       q46MarkovTransitions, q47SessionPaths, q48TransitionAnomaly,
-      q49TimeToConvert, q50ActivityHeatmap)
+      q49TimeToConvert, q50ActivityHeatmap, q51Attribution)
 }

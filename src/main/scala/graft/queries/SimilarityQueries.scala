@@ -1384,8 +1384,113 @@ object SimilarityQueries {
     },
     headline = true)
 
+  private val CBIN = 50 // s17 Hamming candidate pool per query
+
+  /** One 32-bit sign-pack word as a Spark column: bit j of the word is
+    * `embedding[off + j] > 0` (strict — zeros and NULLs pack as 0, the
+    * same CASE both engines evaluate). A static 32-term integer sum, so
+    * the whole pack stays inside whole-stage codegen.
+    */
+  private def signPackWord(off: Int): Column =
+    (0 until 32).map { j =>
+      when(element_at(col("embedding"), lit(off + j + 1)) > 0f,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The identical 32-term pack in DuckDB SQL (1-based list index). */
+  private def signPackSql(off: Int): String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN embedding[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** s17: binary-quantized retrieve-then-rerank — the 1-bit compression
+    * rung below s13's int8 and s08's PQ (FAISS `IndexBinaryFlat` /
+    * binary-quantized vector-DB shape, Hamming over sign bits as the
+    * cheap first stage). Each 64-dim float vector compresses 32× to two
+    * 32-bit sign words; stage 1 ranks the corpus per query by exact
+    * Hamming distance over those 64 bits and keeps a CBIN-candidate
+    * pool; stage 2 fetches ONLY the candidates' float vectors and
+    * reranks by exact rounded cosine — the production two-stage shape
+    * where the compressed index is what you scan and full vectors are
+    * touched k-candidates at a time.
+    *
+    * Scale shape: packing is a map-side 64-term codegen'd sum in the
+    * corpus scan (no kernel needed — the expression is static); the
+    * stage-1 window shuffles only (q_id, vec_id, hamming) — ~20 bytes a
+    * row against the 256-byte vector, which is the point of the
+    * compressed stage; WindowGroupLimit pre-truncates the pool. The
+    * rerank joins the |Q|×CBIN candidate frame (broadcast) back to the
+    * embeddings scan, so full vectors cross the plan only for
+    * candidates. Hamming is exact integers; cosine is the shared
+    * round-6 contract; ties break on vec_id at both stages.
+    *
+    * XOR rides Spark's native `bitwiseXOR`; DuckDB 1.0 has no xor(), so
+    * the oracle uses the m05-established `(a|b) - (a&b)` identity.
+    */
+  val s17BinaryRerank = Q(
+    "s17_binary_rerank",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val packed = e
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", signPackWord(0).as("w0"), signPackWord(32).as("w1"))
+      val q = packed.filter($"vec_id" < NQ)
+        .select($"vec_id".as("q_id"), $"w0".as("qw0"), $"w1".as("qw1"))
+      val ham = packed.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (bit_count($"w0".bitwiseXOR($"qw0")) +
+            bit_count($"w1".bitwiseXOR($"qw1"))).cast("long").as("hamming"))
+      val wc = Window.partitionBy($"q_id").orderBy($"hamming".asc, $"vec_id".asc)
+      val cand = ham.withColumn("crk", row_number().over(wc))
+        .filter($"crk" <= CBIN)
+        .select($"q_id", $"vec_id", $"hamming")
+      val qe = e.filter($"vec_id" < NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val rer = e.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(qe), Seq("q_id"))
+        .select($"q_id", $"vec_id", $"hamming",
+          round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
+      val wr = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+      rer.withColumn("rank", row_number().over(wr))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"hamming", $"cos_sim")
+    },
+    Some(s"""WITH b AS (
+        SELECT vec_id,
+          CAST(${signPackSql(0)} AS BIGINT) AS w0,
+          CAST(${signPackSql(32)} AS BIGINT) AS w1
+        FROM embeddings),
+      qb AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM b WHERE vec_id < $NQ),
+      ham AS (
+        SELECT q.q_id, b.vec_id,
+          CAST(bit_count((b.w0 | q.qw0) - (b.w0 & q.qw0)) +
+               bit_count((b.w1 | q.qw1) - (b.w1 & q.qw1)) AS BIGINT) AS hamming
+        FROM b, qb q WHERE b.vec_id <> q.q_id),
+      cand AS (
+        SELECT q_id, vec_id, hamming FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY hamming ASC, vec_id ASC) AS crk
+          FROM ham) WHERE crk <= $CBIN),
+      qe AS (SELECT vec_id AS q_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id < $NQ),
+      rer AS (
+        SELECT c.q_id, c.vec_id, c.hamming,
+          ${cosSql("e.embedding", "qe.q_emb")} AS cos_sim
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN qe ON qe.q_id = c.q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM rer)
+      SELECT q_id, rank, vec_id AS neighbor_id, hamming, cos_sim
+      FROM ranked WHERE rank <= $K"""),
+    headline = true)
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
     s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
     s11IvfPqResidual, s12Bm25, s13Sq8Adc, s14HybridRrf, s15MmrDiversify,
-    s16IvfRecallSweep)
+    s16IvfRecallSweep, s17BinaryRerank)
 }

@@ -1331,6 +1331,71 @@ object TextQueries {
     },
     headline = true)
 
+  /** t27: n-gram frequency spectrum (Good–Turing count-of-counts over
+    * word TRIGRAMS): for each count f in 1..10 — plus an 11 = ">10"
+    * tail bucket — the number of trigram TYPES seen exactly f times
+    * and the occurrences they carry, with 4-dp type/occurrence
+    * shares. t25's Heaps curve prices vocabulary growth; this is the
+    * companion statistic — the N_f spectrum over n-gram counts is the
+    * direct input to Good–Turing / Katz smoothing (N_1/N estimates
+    * the unseen-event mass that t14/t14b's discounting redistributes)
+    * and the singleton share is the standard memorization/noise
+    * indicator. Trigrams, not unigrams, because that is what LM
+    * smoothing actually consumes — and because this corpus's word
+    * vocabulary is a few dozen types that all sit in the tail bucket,
+    * while its trigram spectrum has real mass at every f.
+    *
+    * Scale shape: ONE n-gram-stream shuffle (the per-type census,
+    * t01/t10's shape, built by the codegen'd `word_shingles` kernel)
+    * → a type-space-sized frame → an ≤11-cell spectrum census with
+    * map-side partials; the two grand totals ride as a 1-row
+    * broadcast (X10 pattern). Everything is integers until the final
+    * shares, which are floor(x·1e4 + 0.5)/1e4 of exact-integer
+    * quotients — identical IEEE ops on both engines (the CLAUDE.md
+    * quantize rule).
+    */
+  val t27FreqSpectrum = Q(
+    "t27_freq_spectrum",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(graft.operators.TextDedup.shingles($"text", 3)).as("g"))
+        // docs with <3 tokens emit their whole text as one degenerate
+        // shingle — drop those on both sides (the t10 convention)
+        .filter(size(split($"g", " ")) === 3)
+      val types = toks.groupBy($"g").agg(count(lit(1)).as("f"))
+      val spectrum = types
+        .groupBy(least($"f", lit(11L)).as("bucket"))
+        .agg(count(lit(1)).as("n_types"), sum($"f").as("n_tokens"))
+      val totals = types.agg(
+        count(lit(1)).as("tot_types"), sum($"f").as("tot_tokens"))
+      spectrum.crossJoin(broadcast(totals))
+        .select($"bucket", $"n_types", $"n_tokens",
+          (floor($"n_types" * lit(10000.0) / $"tot_types" + lit(0.5)) / lit(10000.0))
+            .as("types_share"),
+          (floor($"n_tokens" * lit(10000.0) / $"tot_tokens" + lit(0.5)) / lit(10000.0))
+            .as("tokens_share"))
+    },
+    Some(s"""WITH tg0 AS (
+        SELECT unnest(${DedupQueries.shinglesSql(3)}) AS g FROM documents),
+      toks AS (SELECT g FROM tg0 WHERE len(string_split(g, ' ')) = 3),
+      types AS (SELECT g, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY g),
+      spectrum AS (
+        SELECT least(f, 11) AS bucket,
+          CAST(count(*) AS BIGINT) AS n_types,
+          CAST(sum(f) AS BIGINT) AS n_tokens
+        FROM types GROUP BY 1),
+      totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS tot_types,
+          CAST(sum(f) AS BIGINT) AS tot_tokens
+        FROM types)
+      SELECT bucket, n_types, n_tokens,
+        floor(n_types * 10000.0 / tot_types + 0.5) / 10000.0 AS types_share,
+        floor(n_tokens * 10000.0 / tot_tokens + 0.5) / 10000.0 AS tokens_share
+      FROM spectrum, totals"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(t01WordTopK, t02TokenCount, t03QualityScore, t04LangId, t05Fingerprint,
       t06ParseShapes, t07Chunking, t08Tfidf, t09Redact, t10BigramLm,
@@ -1338,5 +1403,5 @@ object TextQueries {
       t14bKnPerplexity,
       t15ShardShuffle, t16BpeMerges, t17QualityClassifier, t18WeightedSample,
       t19Normalize, t20Dsir, t21TextRank, t22LeakageSplit, t23SpanScrub,
-      t24BpeTokenize, t25VocabGrowth, t26UnigramLm)
+      t24BpeTokenize, t25VocabGrowth, t26UnigramLm, t27FreqSpectrum)
 }

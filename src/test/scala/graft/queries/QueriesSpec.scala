@@ -201,4 +201,92 @@ class QueriesSpec extends SparkSpec {
       assert(rs.forall(_._3 >= 1L))
     }
   }
+
+  test("s17 binary rerank: shape, exact hamming vs driver-side sign pack, cosine agrees with s01") {
+    val rows = Registry.byName("s17_binary_rerank").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // k rows per query, contiguous ranks, no self-match, hamming in [0, 64]
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 10), s"q=$qid ranks")
+      assert(rs.forall(_._3 != qid))
+      assert(rs.forall(r => r._4 >= 0 && r._4 <= 64))
+    }
+    // driver-side reference: sign-pack every vector naively, recompute the
+    // hamming of each reported (query, neighbor) pair
+    val embs = graft.core.Tables.embeddings(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    def pack(v: Array[Float]): (Long, Long) = {
+      var w0 = 0L; var w1 = 0L
+      (0 until 32).foreach { j => if (v(j) > 0f) w0 |= (1L << j) }
+      (0 until 32).foreach { j => if (v(32 + j) > 0f) w1 |= (1L << j) }
+      (w0, w1)
+    }
+    rows.foreach { case (qid, _, nid, ham, _) =>
+      val (q0, q1) = pack(embs(qid)); val (n0, n1) = pack(embs(nid))
+      val ref = java.lang.Long.bitCount(q0 ^ n0) + java.lang.Long.bitCount(q1 ^ n1)
+      assert(ham == ref, s"hamming mismatch ($qid,$nid): $ham vs $ref")
+    }
+    // the rerank's cosine is the shared round-6 contract: wherever a pair
+    // also appears in s01's exact top-10, the scores are identical
+    val exact = Registry.byName("s01_ann_bruteforce").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val overlap = rows.filter(r => exact.contains((r._1, r._3)))
+    assert(overlap.nonEmpty)
+    overlap.foreach { case (qid, _, nid, _, cos) =>
+      assert(math.abs(cos - exact((qid, nid))) < 1e-12, s"cos mismatch ($qid,$nid)")
+    }
+    // two-stage recall vs the exact top-10 at CBIN=50 on this corpus:
+    // measured 1.0 at sf0.001; pin a generous floor so regressions show
+    val hit = rows.count(r => exact.contains((r._1, r._3)))
+    assert(hit >= (0.55 * exact.size).toInt,
+      s"binary-rerank recall degraded: $hit / ${exact.size}")
+  }
+
+  test("t27 freq spectrum: bucket algebra exact, shares are a probability mass") {
+    val rows = Registry.byName("t27_freq_spectrum").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length <= 11)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // for f <= 10 buckets, tokens = f * types exactly; the 11 bucket holds the tail
+    rows.filter(_._1 <= 10).foreach { case (f, nt, ntok, _, _) =>
+      assert(ntok == f * nt, s"bucket $f: $ntok != $f*$nt")
+    }
+    rows.filter(_._1 == 11).foreach { case (_, nt, ntok, _, _) =>
+      assert(ntok > 10 * nt)
+    }
+    // the spectrum partitions the trigram type space and its occurrences
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val toks = docs
+      .select(explode(graft.operators.TextDedup.shingles(col("text"), 3)).as("t"))
+      .filter(size(split(col("t"), " ")) === 3)
+    assert(rows.map(_._2).sum == toks.distinct.count())
+    assert(rows.map(_._3).sum == toks.count())
+    Seq(rows.map(_._4).sum, rows.map(_._5).sum).foreach { s =>
+      assert(math.abs(s - 1.0) <= rows.length * 0.00005 + 1e-9, s"share mass $s")
+    }
+  }
+
+  test("q51 attribution: every model conserves credit and revenue mass exactly") {
+    val rows = Registry.byName("q51_attribution").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val models = rows.map(_._1).distinct.sorted
+    assert(models.toSeq ==
+      Seq("first_touch", "last_touch", "linear", "position_based"))
+    // each conversion hands out exactly 1e6 micro-credits under every
+    // model, so per-model totals (credit AND credited revenue) agree
+    assert(rows.groupBy(_._1).values.map(_.map(_._4).sum).toSet.size == 1)
+    assert(rows.groupBy(_._1).values.map(_.map(_._6).sum).toSet.size == 1)
+    val total = rows.filter(_._1 == "linear").map(_._4).sum
+    assert(total > 0 && total % 1000000L == 0L, s"credit mass $total")
+    // the touch census is model-independent
+    val byChannel = rows.groupBy(_._2).values
+    byChannel.foreach(rs => assert(rs.map(_._3).distinct.length == 1))
+    rows.foreach { case (_, _, n, credit, conv, _) =>
+      assert(n > 0 && credit >= 0)
+      assert(math.abs(conv - credit / 1000000.0) < 1e-9)
+    }
+  }
 }
