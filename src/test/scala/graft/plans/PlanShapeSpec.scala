@@ -247,6 +247,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("s17's Hamming pool pre-truncates and its rerank joins broadcast") {
+    val p = plan("s17_binary_rerank")
+    // stage 1 must plan the row_number<=CBIN filter as a WindowGroupLimit
+    // (per-partition heap truncation BEFORE the q_id exchange) — losing it
+    // ships the full corpus×queries Hamming frame into the sort
+    assert(p.contains("WindowGroupLimit"),
+      s"s17's candidate pool lost its WindowGroupLimit pre-truncation:\n$p")
+    // stage 2 fetches candidate vectors via broadcast joins; a sort-merge
+    // join here would shuffle the full embeddings scan for 400 lookups
+    assert(!p.contains("SortMergeJoin"),
+      s"s17's rerank degraded to a corpus shuffle join:\n$p")
+  }
+
+  test("q51's two attribution windows share one conv_id exchange") {
+    val p = plan("q51_attribution")
+    // count(*) over conv_id and row_number() over (conv_id, ts) have the
+    // same partitioning — Spark must plan ONE hashpartitioning(conv_id)
+    // exchange feeding both Window ops, not one per window
+    assert(count(p, "hashpartitioning(conv_id") == 1,
+      s"q51's windows no longer share a single conv_id exchange:\n$p")
+  }
+
   test("no CartesianProduct anywhere; BNLJ only in the declared broadcast cross joins") {
     // q41: 10-row top-k × 1-row sketch; s08/s09: corpus codes × 8-row
     // broadcast query set — all broadcast-bounded like s01/s02; t17:
@@ -268,11 +290,16 @@ class PlanShapeSpec extends SparkSpec {
     // corpus-total aggregate — t20's X10 broadcast-scalar attach
     // t14b: the doc bigram stream × the 1-row vocab-size and 1-row
     // total-continuation-types KN normalizers — two X10 attaches
+    // s17: the 8-row packed query set × the sign-packed corpus scan —
+    // s01's intentional broadcast nested-loop, over 8-byte rows
+    // t27: the ≤11-cell spectrum census × the 1-row grand-totals
+    // aggregate — t20/q50's X10 broadcast-scalar attach
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin",
       "s08_pq_adc", "s09_pq_recall", "s10_ann_ivfpq", "s11_ann_ivfpq_residual",
       "t17_quality_classifier", "t20_dsir_select", "s12_bm25_topk",
       "s13_sq8_adc", "s14_hybrid_rrf", "q50_activity_heatmap",
-      "t25_vocab_growth", "t14b_kn_perplexity")
+      "t25_vocab_growth", "t14b_kn_perplexity", "s17_binary_rerank",
+      "t27_freq_spectrum")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
