@@ -725,6 +725,79 @@ object AudioFp60 {
   }
 }
 
+/** Per-frame quantized-mean signature sequence for video temporal
+  * near-dup (m07). The stub decoder's frame model
+  * ([[graft.operators.Multimodal.StubDecoder.sampleFrames]],
+  * reference-free: consecutive `frameBytes`-byte windows of the body
+  * after the `hdr`-byte MP4 header stand in for decoded frames) is
+  * reduced to one small integer per frame: sig = Σ bytes div
+  * (frameBytes · quant) — a brightness-level token coarse enough that
+  * a +1-every-`perturbEvery`-bytes re-encode perturbation moves the
+  * frame sum by at most frameBytes/perturbEvery ≪ frameBytes·quant
+  * and almost never crosses a quantization boundary. `trim` drops
+  * that many leading frames (the planted "trimmed re-upload"
+  * variant). All-integer arithmetic, so the DuckDB replay from
+  * hex(payload) is bit-identical (the AHash60 contract).
+  *
+  * The sequence is consumed as a DOCUMENT of frame tokens: m07 joins
+  * videos on shared frame-token 3-grams, which makes temporal
+  * near-dup literally d02's n-gram Jaccard on a 16-symbol alphabet —
+  * trimming shifts the sequence but leaves the shingle SET mostly
+  * intact, exactly like a dropped paragraph in text dedup.
+  */
+case class VideoSig(child: Expression, hdr: Int, frameBytes: Int, trim: Int,
+    perturbEvery: Int, quant: Int)
+  extends UnaryExpression {
+  require(hdr >= 0 && frameBytes >= 1 && trim >= 0 && perturbEvery >= 0 && quant >= 1,
+    s"video_sig needs hdr/trim/perturbEvery >= 0 and frameBytes/quant >= 1, " +
+      s"got $hdr/$frameBytes/$trim/$perturbEvery/$quant")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"video_sig requires BINARY input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "video_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VideoSig.sigs(input.asInstanceOf[Array[Byte]], hdr, frameBytes, trim,
+      perturbEvery, quant)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VideoSig.sigs($c, $hdr, $frameBytes, $trim, $perturbEvery, $quant)")
+
+  override protected def withNewChildInternal(newChild: Expression): VideoSig =
+    copy(child = newChild)
+}
+
+object VideoSig {
+  /** One long per FULL frame after `trim` (a ragged tail byte window
+    * is not a frame — both engines floor-divide the body length).
+    */
+  def sigs(payload: Array[Byte], hdr: Int, frameBytes: Int, trim: Int,
+      perturbEvery: Int, quant: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n0 = payload.length - hdr
+    val nf = if (n0 <= 0) 0 else n0 / frameBytes
+    val out = new Array[Long](math.max(0, nf - trim))
+    var k = trim
+    while (k < nf) {
+      var s = 0L
+      var i = k * frameBytes
+      val end = i + frameBytes
+      while (i < end) {
+        var v = (payload(hdr + i) & 0xff).toLong
+        if (perturbEvery > 0 && i % perturbEvery == 0) v += 1L
+        s += v
+        i += 1
+      }
+      out(k - trim) = s / (frameBytes.toLong * quant)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Unigram-LM (SentencePiece-style) training/encoding kernels. The
   * piece model (pieces + 6-dp-rounded probabilities) rides as
   * driver-side constructor state (the BpeSegmentWord pattern); the
@@ -1672,6 +1745,10 @@ object exprs {
   def audio_fp60(payload: Column, hdr: Int, perturbEvery: Int, gainNum: Int, offset: Int): Column =
     SparkShims.column(
       AudioFp60(SparkShims.expression(payload), hdr, perturbEvery, gainNum, offset))
+  def video_sig(payload: Column, hdr: Int, frameBytes: Int, trim: Int,
+      perturbEvery: Int, quant: Int): Column =
+    SparkShims.column(
+      VideoSig(SparkShims.expression(payload), hdr, frameBytes, trim, perturbEvery, quant))
   def unigram_em(word: Column, pieces: Array[String], probs: Array[Double]): Column =
     SparkShims.column(UnigramEm(SparkShims.expression(word), pieces, probs))
   def unigram_viterbi(word: Column, pieces: Array[String], probs: Array[Double]): Column =

@@ -605,7 +605,129 @@ object MultimodalQueries {
     },
     headline = true)
 
+  private val Mp4HdrLen = Multimodal.mp4Header("isom").length // 24
+  private val VFrameBytes = 8 // stub-decoder frame window for m07
+  private val VQuant = 4 // frame brightness tokens (sum div 32): discriminative on the fixture
+  private val VTrim = 2 // planted trimmed-re-upload variant drops 2 frames
+  private val VDfCap = 32 // inverted-index frequency cap (d13's skew guard)
+
+  /** m07: video temporal near-dup — per-frame brightness tokens
+    * ([[graft.functions.VideoSig]]) make each video a DOCUMENT of
+    * frame symbols, and temporal near-dup becomes d02's n-gram
+    * Jaccard on that document: 3-gram frame shingles, exact
+    * |A∩B|/|A∪B| ≥ 0.5 over candidates from a frequency-capped
+    * shingle inverted index (d13's blocking). Completes the
+    * multimodal dedup ladder's last face: m03 exact bytes, m04
+    * shifted bytes, m05 re-encoded images, m06 re-mastered audio,
+    * m07 TRIMMED and re-encoded video — the sequence-level case
+    * where per-item hashes (m05/m06's single 60-bit signature)
+    * structurally fail because trimming shifts every downstream
+    * byte. Each fixture video enters three ways (item = media_id·4
+    * + variant): original (0), first-2-frames-trimmed (1), and a
+    * +1-every-16-bytes re-encode perturbation (2). Trimming leaves
+    * the frame-shingle SET mostly intact (a dropped paragraph, in
+    * text-dedup terms); the perturbation moves a frame sum by ≤ 1
+    * against a 32-wide quantization bucket, so tokens almost never
+    * flip (measured: planted pairs all land ≥ 0.5; see
+    * MultimodalSpec).
+    *
+    * Scale shape: ONE VideoSig kernel call per item in the scan —
+    * payload bytes die at the scan (CdcChunks' pattern) and only
+    * (doc_id, 60-bit shingle hash) rows shuffle; candidates come
+    * from the df-capped inverted index, never all-pairs, with the
+    * cap as the skew guard (recall tradeoff documented at d13);
+    * exact Jaccard joins are equi-joins on the candidate frame.
+    * Sizes use the UNCAPPED sets so the reported Jaccard is true
+    * Jaccard — the cap only bounds candidate generation.
+    *
+    * The DuckDB oracle replays the whole chain from hex(payload):
+    * byte stream, perturbation, frame sums, quantized tokens,
+    * 3-gram shingles, the md5-prefix shingle hash, df cap, pair
+    * census and the rounded Jaccard gate.
+    */
+  val m07VideoNearDup = Q(
+    "m07_video_neardup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.exprs
+      ensureFixture(s)
+      val vids = s.read.parquet(FixturePath)
+        .filter($"kind" === "video").select($"media_id", $"payload")
+      def variant(v: Int, trim: Int, perturb: Int) =
+        vids.select(($"media_id" * 4 + v).as("doc_id"),
+          exprs.video_sig($"payload", Mp4HdrLen, VFrameBytes, trim, perturb, VQuant)
+            .as("sg"))
+      val fdocs = variant(0, 0, 0)
+        .unionByName(variant(1, VTrim, 0))
+        .unionByName(variant(2, 0, 16))
+        .select($"doc_id",
+          concat_ws(" ", transform($"sg", _.cast("string"))).as("text"))
+      // distinct (doc, shingle-hash) set; checkpointed because sizes,
+      // the df census and BOTH sides of the pair join consume it
+      val sh = fdocs
+        .select($"doc_id",
+          explode(graft.operators.TextDedup.shingles($"text", 3)).as("s"))
+        .select($"doc_id", exprs.token_hash60($"s").as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val kept = sh.join(
+        sh.groupBy($"h").agg(count(lit(1)).as("dfc"))
+          .filter($"dfc" <= VDfCap).select($"h"),
+        Seq("h"))
+      val pairs = kept.as("a").join(kept.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          round($"shared" / ($"sza" + $"szb" - $"shared"), 4).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+    },
+    Some {
+      val shingles3 = DedupQueries.shinglesSql(3)
+      s"""WITH vids AS (
+        SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n
+        FROM '$FixturePath/*.parquet' WHERE kind = 'video'),
+      raw AS (
+        SELECT media_id, v.variant, v.trm,
+          list_transform(range(0, n - $Mp4HdrLen), i ->
+            CAST(('0x' || substr(hx, (i + $Mp4HdrLen) * 2 + 1, 2)) AS BIGINT)
+            + CASE WHEN v.perturb > 0 AND i % v.perturb = 0 THEN 1 ELSE 0 END) AS b0
+        FROM vids, (VALUES (0, 0, 0), (1, $VTrim, 0), (2, 0, 16)) v(variant, trm, perturb)),
+      sigs AS (
+        SELECT media_id, variant,
+          list_transform(range(trm, length(b0) // $VFrameBytes), k ->
+            list_aggregate(b0[k * $VFrameBytes + 1 : (k + 1) * $VFrameBytes], 'sum')
+              // ${VFrameBytes * VQuant}) AS sg
+        FROM raw),
+      fdocs AS (
+        SELECT media_id * 4 + variant AS doc_id,
+          array_to_string(list_transform(sg, x -> x::VARCHAR), ' ') AS text
+        FROM sigs),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest($shingles3) AS s FROM fdocs)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      keep_h AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= $VDfCap),
+      kept AS (SELECT s.doc_id, s.h FROM sh s JOIN keep_h USING (h)),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT p.doc_a, p.doc_b,
+        round(p.shared / (sa.sz + sb.sz - p.shared), 4) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE round(p.shared / (sa.sz + sb.sz - p.shared), 4) >= 0.5"""
+    },
+    headline = true)
+
   val all: Seq[Q] =
     Seq(m01Multimodal, m02HeaderParse, m03MediaDedup, m04CdcDedup, m05PerceptualNearDup,
-      m06AudioFingerprint)
+      m06AudioFingerprint, m07VideoNearDup)
 }

@@ -260,6 +260,81 @@ class MultimodalSpec extends SparkSpec {
       "cross-media near-dup count drifted — the fixture generator changed")
   }
 
+  test("video_sig: matches a naive reference; trim shifts, perturb almost never flips") {
+    import graft.functions.VideoSig
+    val hdr = Multimodal.mp4Header("isom").length
+    val vids = media.filter(_.kind == "video").collect()
+    assert(vids.nonEmpty)
+    // naive reference, written independently of the kernel's loops
+    def ref(p: Array[Byte], trim: Int, perturb: Int): Seq[Long] = {
+      val body = p.drop(hdr).zipWithIndex
+        .map { case (b, i) =>
+          (b & 0xff).toLong + (if (perturb > 0 && i % perturb == 0) 1L else 0L)
+        }
+      body.grouped(8).filter(_.length == 8).toSeq.drop(trim)
+        .map(f => f.sum / 32L)
+    }
+    vids.foreach { m =>
+      Seq((0, 0), (2, 0), (0, 16)).foreach { case (trim, pert) =>
+        val k = VideoSig.sigs(m.payload, hdr, 8, trim, pert, 4)
+          .toLongArray().toSeq
+        assert(k == ref(m.payload, trim, pert),
+          s"media ${m.media_id} trim=$trim perturb=$pert kernel != reference")
+      }
+      // trim drops exactly the first 2 signatures, nothing else
+      val full = VideoSig.sigs(m.payload, hdr, 8, 0, 0, 4).toLongArray().toSeq
+      val trimmed = VideoSig.sigs(m.payload, hdr, 8, 2, 0, 4).toLongArray().toSeq
+      assert(trimmed == full.drop(2))
+      // the re-encode perturbation flips at most 1 token per video on
+      // this fixture (sum moves <= 1 against a 32-wide bucket)
+      val pert = VideoSig.sigs(m.payload, hdr, 8, 0, 16, 4).toLongArray().toSeq
+      assert(full.zip(pert).count { case (a, b) => a != b } <= 1,
+        s"media ${m.media_id}: perturbation flipped too many tokens")
+    }
+  }
+
+  test("m07 output: planted trim/re-encode pairs recovered; jaccard is true set jaccard") {
+    import graft.functions.VideoSig
+    val hdr = Multimodal.mp4Header("isom").length
+    val out = graft.queries.MultimodalQueries.m07VideoNearDup
+      .run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.nonEmpty)
+    val vids = media.filter(_.kind == "video").collect()
+    // every planted (original, trimmed) and (original, re-encoded)
+    // pair survives the 0.5 gate — the trim keeps the shingle set
+    // mostly intact and the perturbation flips <= 1 token
+    vids.foreach { m =>
+      val base = m.media_id * 4
+      assert(out.contains((base, base + 1)), s"media ${m.media_id}: trim pair missing")
+      assert(out.contains((base, base + 2)), s"media ${m.media_id}: re-encode pair missing")
+      assert(out.contains((base + 1, base + 2)), s"media ${m.media_id}: variant pair missing")
+    }
+    // reported jaccard == independently computed exact 3-gram set
+    // jaccard (the df cap bounded candidates, not the score), and the
+    // output is exactly the >= 0.5 brute-force pair set
+    def shingleSet(sigs: Seq[Long]): Set[Seq[Long]] =
+      if (sigs.length < 3) Set(sigs) else sigs.sliding(3).toSet
+    val items = vids.flatMap { m =>
+      Seq(
+        (m.media_id * 4, shingleSet(VideoSig.sigs(m.payload, hdr, 8, 0, 0, 4).toLongArray().toSeq)),
+        (m.media_id * 4 + 1, shingleSet(VideoSig.sigs(m.payload, hdr, 8, 2, 0, 4).toLongArray().toSeq)),
+        (m.media_id * 4 + 2, shingleSet(VideoSig.sigs(m.payload, hdr, 8, 0, 16, 4).toLongArray().toSeq)))
+    }
+    val brute = (for {
+      (ia, sa) <- items; (ib, sb) <- items if ia < ib
+      inter = (sa & sb).size
+      j = math.floor(inter.toDouble / (sa.size + sb.size - inter) * 1e4 + 0.5) / 1e4
+      if j >= 0.5
+    } yield ((ia, ib), j)).toMap
+    assert(out.keySet == brute.keySet,
+      s"pair set differs from brute force: missing ${brute.keySet -- out.keySet}, " +
+        s"extra ${out.keySet -- brute.keySet}")
+    brute.foreach { case (k, j) =>
+      assert(math.abs(out(k) - j) < 5e-5, s"pair $k: reported ${out(k)} vs exact $j")
+    }
+  }
+
   test("binary columns round-trip through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)
