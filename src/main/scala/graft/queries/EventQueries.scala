@@ -629,8 +629,101 @@ object EventQueries {
       FROM m GROUP BY 1, 2"""),
     headline = true)
 
+  /** q52: sequential pattern mining — the top contiguous event-type
+    * n-grams (n = 2..4) by SESSION support (number of distinct
+    * 30-minute sessions containing the pattern anywhere, not just as
+    * a prefix). q47 censuses whole session paths — dominated by what
+    * sessions BEGIN with; this finds the frequent sub-journeys buried
+    * mid-session (the "view>click>purchase appears in 8% of sessions"
+    * read), the discovery step before q44 hard-codes a funnel.
+    *
+    * Scale shape: q19/q47's one user_id exchange builds sessions;
+    * each session's path collapses row-locally to a string of event
+    * tokens, and the n-grams come from the SAME codegen'd
+    * `word_shingles` kernel as the text ladder (a session path IS a
+    * tiny document — m07's lesson applied back to events). Support
+    * dedup is one distinct on (session, gram); the census is
+    * pattern-alphabet-sized with map-side partials; per-n top-10 goes
+    * through the WindowGroupLimit rank shape. All counts are exact
+    * bigints.
+    */
+  val q52SequenceMining = Q(
+    "q52_sequence_mining",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val paths = sess.groupBy($"user_id", $"session_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          _.getField("event_type")), " ").as("path"))
+        .localCheckpoint(true) // three n-gram passes consume it
+      val perN = (2 to 4).map { n =>
+        val grams = paths
+          .select($"user_id", $"session_id",
+            explode(graft.operators.TextDedup.shingles($"path", n)).as("g"))
+          // sessions shorter than n emit their whole path as one
+          // degenerate shingle — not an n-gram; drop on both sides
+          .filter(size(split($"g", " ")) === n)
+          .distinct()
+        val census = grams.groupBy($"g").agg(count(lit(1)).as("support"))
+        val w = Window.orderBy($"support".desc, $"g".asc)
+        census.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 10)
+          .select(lit(n.toLong).as("n"), $"rank",
+            regexp_replace($"g", " ", ">").as("pattern"), $"support")
+      }
+      perN.reduce(_ unionByName _)
+    },
+    Some {
+      val perN = (2 to 4).map { n =>
+        s"""g$n AS (
+          SELECT DISTINCT user_id, session_id, g FROM (
+            SELECT user_id, session_id,
+              unnest(${DedupQueries.shinglesSql(n).replace("text", "path")}) AS g
+            FROM paths)
+          WHERE len(string_split(g, ' ')) = $n),
+        c$n AS (SELECT g, CAST(count(*) AS BIGINT) AS support FROM g$n GROUP BY g),
+        r$n AS (
+          SELECT CAST($n AS BIGINT) AS n,
+            row_number() OVER (ORDER BY support DESC, g ASC) AS rank,
+            replace(g, ' ', '>') AS pattern, support
+          FROM c$n)"""
+      }.mkString(",\n")
+      val union = (2 to 4).map(n => s"SELECT * FROM r$n WHERE rank <= 10")
+        .mkString(" UNION ALL ")
+      s"""WITH g AS (
+        SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      sess AS (
+        SELECT user_id, event_id, ts, event_type,
+          CAST(sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM g),
+      paths AS (
+        SELECT user_id, session_id,
+          string_agg(event_type, ' ' ORDER BY ts ASC, event_id ASC) AS path
+        FROM sess GROUP BY 1, 2),
+      $perN
+      $union"""
+    },
+    headline = true)
+
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,
       q46MarkovTransitions, q47SessionPaths, q48TransitionAnomaly,
-      q49TimeToConvert, q50ActivityHeatmap, q51Attribution)
+      q49TimeToConvert, q50ActivityHeatmap, q51Attribution, q52SequenceMining)
 }

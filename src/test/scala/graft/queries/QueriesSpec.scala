@@ -268,6 +268,34 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q52 sequence mining: per-n ranks contiguous, patterns well-formed, support bounded") {
+    val rows = Registry.byName("q52_sequence_mining").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byN = rows.groupBy(_._1)
+    assert(byN.keySet.subsetOf(Set(2L, 3L, 4L)))
+    byN.foreach { case (n, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"n=$n ranks not contiguous")
+      assert(rs.length <= 10)
+      // an n-gram pattern has exactly n-1 separators and no spaces
+      rs.foreach { case (_, _, p, support) =>
+        assert(p.count(_ == '>') == n - 1 && !p.contains(" "), s"malformed pattern $p")
+        assert(support >= 1)
+      }
+      // support is non-increasing down the ranking
+      rs.sortBy(_._2).map(_._4).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b)
+        case _ =>
+      }
+    }
+    // a contained (n+1)-gram can never out-support its prefix n-gram
+    val sup = rows.map(r => r._3 -> r._4).toMap
+    rows.filter(_._1 == 3L).foreach { case (_, _, p, s3) =>
+      val prefix = p.split('>').take(2).mkString(">")
+      sup.get(prefix).foreach(s2 => assert(s2 >= s3, s"$prefix support < $p"))
+    }
+  }
+
   test("q51 attribution: every model conserves credit and revenue mass exactly") {
     val rows = Registry.byName("q51_attribution").run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
