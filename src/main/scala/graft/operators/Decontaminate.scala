@@ -126,4 +126,57 @@ object Decontaminate {
       .select(col(idCol))
     train.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC contamination evidence — the face n-gram overlap misses:
+    * an eval item paraphrased/translated into the training corpus
+    * shares no shingles with the benchmark but sits next to it in
+    * embedding space. Published decontamination pipelines pair the
+    * exact n-gram rule with exactly this cosine-threshold check
+    * ("semantic contamination" in recent eval-hygiene literature).
+    *
+    * For each training vector with ≥ 1 benchmark neighbor at rounded
+    * cosine ≥ `tau`: the count of such neighbors (`n_hits`), the best
+    * similarity (`best_cos`, 4 dp), and the smallest benchmark id
+    * achieving it (`best_bench` — the deterministic tie-break).
+    *
+    * Scale shape, same argument as [[contaminationHits]]: the
+    * benchmark side is model-sized (eval suites are thousands of
+    * items) so it rides as ONE broadcast and the corpus is a single
+    * linear scan — a declared broadcast nested-loop over the tiny
+    * side, s01's exact-scoring shape, NOT a corpus×corpus product.
+    * Only the matching pairs (typically a small fraction) reach the
+    * per-doc aggregate; the corpus never shuffles. At larger benchmark
+    * sets the broadcast swaps for an IVF/LSH candidate stage (s02/s04)
+    * with this method as the verify step.
+    *
+    * `hits` is localCheckpoint'd: the argmax resolution re-reads it
+    * (match-scale, not corpus-scale) instead of re-running the scan.
+    */
+  def semanticHits(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2Norm}
+    val b = broadcast(bench.select(
+      col(idCol).as("bench_id"),
+      col(vecCol).as("bvec"),
+      l2Norm(col(vecCol)).as("bnrm")))
+    val c = corpus.select(
+      col(idCol), col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnrm"))
+    val hits = c.crossJoin(b)
+      .select(col(idCol), col("bench_id"),
+        round(try_divide(dot(col("cvec"), col("bvec")),
+          col("cnrm") * col("bnrm")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+      .localCheckpoint(true)
+    val agg = hits.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("best_cos"))
+    agg.join(hits.withColumnRenamed("cos", "best_cos"),
+        Seq(idCol, "best_cos"))
+      .groupBy(col(idCol), col("n_hits"), col("best_cos"))
+      .agg(min(col("bench_id")).as("best_bench"))
+      .select(col(idCol), col("n_hits"), col("best_cos"), col("best_bench"))
+  }
 }

@@ -703,9 +703,62 @@ object DedupQueries {
     },
     headline = true)
 
+  /** Semantic decontamination — the embedding-space face of d08/d10's
+    * exact n-gram rule: training vectors whose rounded cosine against
+    * ANY benchmark vector (`vec_id % 20 = 0`, the deterministic 5%
+    * eval split) reaches 0.30, with neighbor count, best similarity
+    * and the deterministic argmax benchmark id. Catches paraphrased /
+    * translated eval items that share no shingles with the benchmark.
+    *
+    * Scale shape (graft.operators.Decontaminate.semanticHits): the
+    * benchmark side is model-sized → ONE broadcast, corpus side a
+    * single linear scan (declared BNLJ over the tiny side, s01's
+    * shape); only matching pairs shuffle into the per-doc aggregate.
+    * τ = 0.30 yields 72/91/1000 flagged vectors at sf0.001/0.01/0.1
+    * (max cross-set cosine ≈ 0.43/0.49/0.51), so the oracle exercises
+    * the full argmax/count algebra, not an empty set.
+    */
+  val d15SemanticDecontaminate = Q(
+    "d15_semantic_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val bench = e.filter($"vec_id" % 20 === 0)
+      // repartition the probe side: single-file scan + broadcast join
+      // inherits 1-2 partitions otherwise (the d05/s01 pattern)
+      val corpus = e.filter($"vec_id" % 20 =!= 0)
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.operators.Decontaminate
+        .semanticHits(corpus, bench, "vec_id", "embedding", tau = 0.30)
+    },
+    Some("""WITH bench AS (
+        SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bvec
+        FROM embeddings WHERE vec_id % 20 = 0),
+      corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id % 20 <> 0),
+      hits AS (
+        SELECT c.vec_id, b.bench_id,
+          round(list_dot_product(c.cvec, b.bvec) /
+            (sqrt(list_dot_product(c.cvec, c.cvec)) *
+             sqrt(list_dot_product(b.bvec, b.bvec))), 4) AS cos
+        FROM corpus c, bench b
+        WHERE round(list_dot_product(c.cvec, b.bvec) /
+            (sqrt(list_dot_product(c.cvec, c.cvec)) *
+             sqrt(list_dot_product(b.bvec, b.bvec))), 4) >= 0.30),
+      agg AS (
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+          max(cos) AS best_cos
+        FROM hits GROUP BY vec_id)
+      SELECT a.vec_id, a.n_hits, a.best_cos,
+        min(h.bench_id) AS best_bench
+      FROM agg a JOIN hits h ON h.vec_id = a.vec_id AND h.cos = a.best_cos
+      GROUP BY a.vec_id, a.n_hits, a.best_cos"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
       d05EmbeddingNearDup, d06DedupClusters, d07LshRecall, d08Decontaminate,
       d09SpanDedup, d10DecontaminateBloom, d11FuzzyDedup, d12CanonicalKeep,
-      d13Containment, d14CrossSourceDups)
+      d13Containment, d14CrossSourceDups, d15SemanticDecontaminate)
 }

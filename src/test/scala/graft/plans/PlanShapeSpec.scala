@@ -294,12 +294,15 @@ class PlanShapeSpec extends SparkSpec {
     // s01's intentional broadcast nested-loop, over 8-byte rows
     // t27: the ≤11-cell spectrum census × the 1-row grand-totals
     // aggregate — t20/q50's X10 broadcast-scalar attach
+    // d15: the model-sized benchmark split (5% of embeddings) × the
+    // corpus scan — s01's intentional broadcast nested-loop; the
+    // corpus side never shuffles, only matches reach the aggregate
     val bnljAllowed = Set("s01_ann_bruteforce", "s02_ann_ivf", "q41_countmin",
       "s08_pq_adc", "s09_pq_recall", "s10_ann_ivfpq", "s11_ann_ivfpq_residual",
       "t17_quality_classifier", "t20_dsir_select", "s12_bm25_topk",
       "s13_sq8_adc", "s14_hybrid_rrf", "q50_activity_heatmap",
       "t25_vocab_growth", "t14b_kn_perplexity", "s17_binary_rerank",
-      "t27_freq_spectrum")
+      "t27_freq_spectrum", "d15_semantic_decontaminate")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
