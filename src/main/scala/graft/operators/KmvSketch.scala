@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   *    or days exactly like any partial aggregate; and
   *  - with the engine-portable md5-prefix hash the whole estimator is
   *    DETERMINISTIC, so an external SQL oracle replays the estimate
-  *    EXACTLY (q42) — unlike HLL, whose register layouts differ per
-  *    engine and force tolerance-gate oracles (q24).
+  *    EXACTLY (q42) — unlike STOCK HLL, whose register layouts differ
+  *    per engine and force tolerance-gate oracles (q24). (The same
+  *    portable-hash treatment applied to HLL's register algebra —
+  *    integer harmonic sums, embedded ln table — yields an
+  *    oracle-exact HLL too: [[HllSketch]] / q53.)
   *
   * Scale shape: one (group, hash) distinct pass, then a per-group
   * bottom-k — O(groups × k) state, the same partial-window-limit shape

@@ -550,9 +550,28 @@ object AnalyticQueries {
         round(rho::DOUBLE / szu, 4) AS est_jaccard
       FROM sel"""))
 
+  /** Portable HyperLogLog distinct users per event type
+    * (graft.operators.HllSketch — Flajolet et al. 2007): register
+    * max-ranks from the md5-prefix hash, EXACT integer harmonic-sum
+    * scaling, pre-rounded embedded ln table for the linear-counting
+    * branch. The deterministic HLL the KMV Scaladoc said stock engines
+    * can't oracle-check — both correction branches are exercised
+    * across SFs (15/150 distinct users → linear counting; 1500 →
+    * raw estimator). Exact countDistinct rides as the audit.
+    * Scale: two-level partial aggregate, first shuffle ≤ groups × 256
+    * rows after map-side combine.
+    */
+  val q53HllDistinct = Q(
+    "q53_hll_distinct",
+    (s, dir) => graft.operators.HllSketch
+      .distinctEstimate(Tables.events(s, dir), "event_type", "user_id"),
+    Some(graft.operators.HllSketch.oracleSql(
+      "SELECT event_type AS g, user_id AS v FROM events", "event_type")),
+    headline = true)
+
   val all: Seq[Q] = Seq(
     q27SemiAnti, q28Subqueries, q29ArrayAgg, q30Regex, q31Unpivot,
     q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube, q36Datetime,
     q37StratifiedSample, q38WelfordUdaf, q39GroupingSets, q40RollingRange,
-    q41CountMin, q42KmvDistinct, q43KmvSetOps)
+    q41CountMin, q42KmvDistinct, q43KmvSetOps, q53HllDistinct)
 }
