@@ -89,13 +89,12 @@ object HllSketch {
       .agg(max(col("r")).as("m"))
   }
 
-  /** Per-group estimate with the exact-count audit riding along:
-    * (groupCol, n_empty, est_raw, est_distinct, exact_distinct,
-    * rel_err). `est_distinct` applies the standard small-range rule:
-    * linear counting when est_raw ≤ 2.5m and any register is empty.
+  /** The estimator over an existing register frame (groupCol, j, m) —
+    * (groupCol, n_empty, est_raw, est_distinct). Shared by the one-shot
+    * query path and [[IncrementalHll]]'s merged streaming state.
     */
-  def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val sums = registers(df, groupCol, valueCol)
+  def estimateFromRegisters(regs: DataFrame, groupCol: String): DataFrame = {
+    val sums = regs
       .select(col(groupCol),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))").as("term"))
       .groupBy(col(groupCol))
@@ -104,12 +103,21 @@ object HllSketch {
         (lit(M.toLong) - col("n_filled")).as("n_empty"),
         (col("s_filled") + (lit(M.toLong) - col("n_filled")) * lit(1L << 53))
           .as("s_total"))
-    val est = sums.select(col(groupCol), col("n_empty"),
+    sums.select(col(groupCol), col("n_empty"),
         round(lit(RawNumerator) / col("s_total").cast("double"), 4).as("est_raw"))
       .select(col(groupCol), col("n_empty"), col("est_raw"),
         when(col("est_raw") <= LcThreshold && col("n_empty") > 0,
           element_at(typedlit(LcTable.toArray), col("n_empty").cast("int")))
           .otherwise(col("est_raw")).as("est_distinct"))
+  }
+
+  /** Per-group estimate with the exact-count audit riding along:
+    * (groupCol, n_empty, est_raw, est_distinct, exact_distinct,
+    * rel_err). `est_distinct` applies the standard small-range rule:
+    * linear counting when est_raw ≤ 2.5m and any register is empty.
+    */
+  def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val est = estimateFromRegisters(registers(df, groupCol, valueCol), groupCol)
     val exact = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(countDistinct(col(valueCol)).as("exact_distinct"))
