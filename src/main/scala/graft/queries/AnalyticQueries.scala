@@ -569,9 +569,78 @@ object AnalyticQueries {
       "SELECT event_type AS g, user_id AS v FROM events", "event_type")),
     headline = true)
 
+  /** Per-group quantiles from a deterministic bottom-k-by-hash sample
+    * (graft.operators.SampleQuantiles) — the quantile member of the
+    * portable sketch family: GK/KLL/t-digest internals aren't
+    * oracle-replayable (q13's point), a portable-hash bottom-k sample
+    * is. est vs the exact full-data audit at p ∈ {.25, .5, .75, .9}
+    * per l_returnflag; both sides run the SAME explicit
+    * rank-join interpolation, so the oracle hash-matches estimates
+    * AND exact values. Scale: the rank filter plans as a partial
+    * WindowGroupLimit (shuffle O(partitions × groups × k)); the audit
+    * is the expensive baseline by design (d07/s09 pattern).
+    */
+  val q54SampleQuantiles = Q(
+    "q54_sample_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      graft.operators.SampleQuantiles
+        .withExactAudit(li, $"l_returnflag", $"l_extendedprice",
+          concat($"l_orderkey".cast("string"), lit("-"),
+            $"l_linenumber".cast("string")),
+          Seq(0.25, 0.5, 0.75, 0.9))
+        .withColumnRenamed("g", "l_returnflag")
+    },
+    Some("""WITH keyed AS (
+        SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+          CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS uk
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      hashed AS (
+        SELECT g, v, uk,
+          CAST(('0x' || substr(md5(uk), 1, 15)) AS BIGINT) AS h
+        FROM keyed),
+      samp AS (
+        SELECT g, v FROM (
+          SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, uk, v) AS rn
+          FROM hashed)
+        WHERE rn <= 256),
+      ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p),
+      sbyval AS (
+        SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS vr FROM samp),
+      ssizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM samp GROUP BY g),
+      sgrid AS (
+        SELECT g, p, CAST(floor(p * (n - 1)) AS BIGINT) AS klo,
+          p * (n - 1) - floor(p * (n - 1)) AS frac,
+          least(CAST(floor(p * (n - 1)) AS BIGINT) + 1, n - 1) AS khi
+        FROM ssizes, ps),
+      est AS (
+        SELECT gr.g, gr.p, round(lo.v + (hi.v - lo.v) * gr.frac, 4) AS est_q
+        FROM sgrid gr
+        JOIN sbyval lo ON lo.g = gr.g AND lo.vr - 1 = gr.klo
+        JOIN sbyval hi ON hi.g = gr.g AND hi.vr - 1 = gr.khi),
+      fbyval AS (
+        SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS vr FROM keyed),
+      fsizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM keyed GROUP BY g),
+      fgrid AS (
+        SELECT g, p, CAST(floor(p * (n - 1)) AS BIGINT) AS klo,
+          p * (n - 1) - floor(p * (n - 1)) AS frac,
+          least(CAST(floor(p * (n - 1)) AS BIGINT) + 1, n - 1) AS khi
+        FROM fsizes, ps),
+      ext AS (
+        SELECT gr.g, gr.p, round(lo.v + (hi.v - lo.v) * gr.frac, 4) AS exact_q
+        FROM fgrid gr
+        JOIN fbyval lo ON lo.g = gr.g AND lo.vr - 1 = gr.klo
+        JOIN fbyval hi ON hi.g = gr.g AND hi.vr - 1 = gr.khi)
+      SELECT e.g AS l_returnflag, e.p, e.est_q, x.exact_q,
+        round(abs(e.est_q - x.exact_q), 4) AS abs_err
+      FROM est e JOIN ext x ON e.g = x.g AND e.p = x.p"""),
+    headline = true)
+
   val all: Seq[Q] = Seq(
     q27SemiAnti, q28Subqueries, q29ArrayAgg, q30Regex, q31Unpivot,
     q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube, q36Datetime,
     q37StratifiedSample, q38WelfordUdaf, q39GroupingSets, q40RollingRange,
-    q41CountMin, q42KmvDistinct, q43KmvSetOps, q53HllDistinct)
+    q41CountMin, q42KmvDistinct, q43KmvSetOps, q53HllDistinct,
+    q54SampleQuantiles)
 }
