@@ -573,23 +573,35 @@ object AnalyticQueries {
     * (graft.operators.SampleQuantiles) — the quantile member of the
     * portable sketch family: GK/KLL/t-digest internals aren't
     * oracle-replayable (q13's point), a portable-hash bottom-k sample
-    * is. est vs the exact full-data audit at p ∈ {.25, .5, .75, .9}
-    * per l_returnflag; both sides run the SAME explicit
-    * rank-join interpolation, so the oracle hash-matches estimates
-    * AND exact values. Scale: the rank filter plans as a partial
-    * WindowGroupLimit (shuffle O(partitions × groups × k)); the audit
-    * is the expensive baseline by design (d07/s09 pattern).
+    * is. Estimates at p ∈ {.25, .5, .75, .9} per l_returnflag; both
+    * sides run the SAME explicit rank-join interpolation, so the
+    * oracle hash-matches the estimates from the raw data up.
+    *
+    * Scale: the sample is a PARTIAL AGGREGATE (`BottomKPairs`, an
+    * O(k) heap per group per scan task) — the corpus never exchanges,
+    * the one shuffle carries O(map partitions × groups × k) states,
+    * and the interpolation grid is groups × |ps| — this IS the plan
+    * you'd run at 100 TB. The exact full-sort audit (`withExactAudit`)
+    * deliberately does NOT ride in the query: its per-group global
+    * sort runs one task per group (measured 2.6 s vs sub-second
+    * sample-only at sf0.1), the exact anti-scale shape the sample
+    * exists to avoid — the audit equivalence is pinned in
+    * SampleQuantilesSpec on the real table instead (the d07 pattern:
+    * expensive baselines audit, they don't ship).
     */
   val q54SampleQuantiles = Q(
     "q54_sample_quantiles",
     (s, dir) => {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
+      val samp = graft.operators.SampleQuantiles.bottomKSample(
+        li, $"l_returnflag", $"l_extendedprice",
+        concat($"l_orderkey".cast("string"), lit("-"),
+          $"l_linenumber".cast("string")))
+      // the sample is model-sized (groups × k rows): the interpolation
+      // runs driver-side (q13's pattern), one job end-to-end
       graft.operators.SampleQuantiles
-        .withExactAudit(li, $"l_returnflag", $"l_extendedprice",
-          concat($"l_orderkey".cast("string"), lit("-"),
-            $"l_linenumber".cast("string")),
-          Seq(0.25, 0.5, 0.75, 0.9))
+        .estimateFromSample(samp, Seq(0.25, 0.5, 0.75, 0.9), "est_q")
         .withColumnRenamed("g", "l_returnflag")
     },
     Some("""WITH keyed AS (
@@ -602,7 +614,7 @@ object AnalyticQueries {
         FROM keyed),
       samp AS (
         SELECT g, v FROM (
-          SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, uk, v) AS rn
+          SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
           FROM hashed)
         WHERE rn <= 256),
       ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p),
@@ -613,28 +625,12 @@ object AnalyticQueries {
         SELECT g, p, CAST(floor(p * (n - 1)) AS BIGINT) AS klo,
           p * (n - 1) - floor(p * (n - 1)) AS frac,
           least(CAST(floor(p * (n - 1)) AS BIGINT) + 1, n - 1) AS khi
-        FROM ssizes, ps),
-      est AS (
-        SELECT gr.g, gr.p, round(lo.v + (hi.v - lo.v) * gr.frac, 4) AS est_q
-        FROM sgrid gr
-        JOIN sbyval lo ON lo.g = gr.g AND lo.vr - 1 = gr.klo
-        JOIN sbyval hi ON hi.g = gr.g AND hi.vr - 1 = gr.khi),
-      fbyval AS (
-        SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS vr FROM keyed),
-      fsizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM keyed GROUP BY g),
-      fgrid AS (
-        SELECT g, p, CAST(floor(p * (n - 1)) AS BIGINT) AS klo,
-          p * (n - 1) - floor(p * (n - 1)) AS frac,
-          least(CAST(floor(p * (n - 1)) AS BIGINT) + 1, n - 1) AS khi
-        FROM fsizes, ps),
-      ext AS (
-        SELECT gr.g, gr.p, round(lo.v + (hi.v - lo.v) * gr.frac, 4) AS exact_q
-        FROM fgrid gr
-        JOIN fbyval lo ON lo.g = gr.g AND lo.vr - 1 = gr.klo
-        JOIN fbyval hi ON hi.g = gr.g AND hi.vr - 1 = gr.khi)
-      SELECT e.g AS l_returnflag, e.p, e.est_q, x.exact_q,
-        round(abs(e.est_q - x.exact_q), 4) AS abs_err
-      FROM est e JOIN ext x ON e.g = x.g AND e.p = x.p"""),
+        FROM ssizes, ps)
+      SELECT gr.g AS l_returnflag, gr.p,
+        round(lo.v + (hi.v - lo.v) * gr.frac, 4) AS est_q
+      FROM sgrid gr
+      JOIN sbyval lo ON lo.g = gr.g AND lo.vr - 1 = gr.klo
+      JOIN sbyval hi ON hi.g = gr.g AND hi.vr - 1 = gr.khi"""),
     headline = true)
 
   val all: Seq[Q] = Seq(

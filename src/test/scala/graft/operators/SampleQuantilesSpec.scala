@@ -28,18 +28,14 @@ class SampleQuantilesSpec extends SparkSpec {
     val k = 64
     def samp(d: org.apache.spark.sql.DataFrame) = SampleQuantiles
       .bottomKSample(d, col("grp"), col("value"), col("key"), k)
-    val once = samp(whole).collect().map(r => (r.getDouble(1), r.getLong(2))).toSet
-    assert(samp(whole).collect().map(r => (r.getDouble(1), r.getLong(2))).toSet == once,
+      .collect().map(r => (r.getLong(2), r.getDouble(1))).sorted.toSeq
+    val once = samp(whole)
+    assert(samp(whole) == once,
       "re-running the sample must select identical rows")
     // shard, sample each shard, union, re-take bottom-k: same sample
     val a = samp(whole.filter($"value" <= 1000))
     val b = samp(whole.filter($"value" > 1000))
-    val merged = a.union(b)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"g").orderBy($"h", $"uk", $"v")))
-      .filter($"rn" <= k)
-      .collect().map(r => (r.getDouble(1), r.getLong(2))).toSet
+    val merged = (a ++ b).sorted.take(k)
     assert(merged == once, "shard-sample-merge must equal the one-shot sample")
   }
 
@@ -59,11 +55,58 @@ class SampleQuantilesSpec extends SparkSpec {
     }
   }
 
-  test("the sample-path plan carries a WindowGroupLimit, not a full sort-shuffle") {
+  test("driver-side estimateFromSample == the declarative interpolated form") {
+    val samp = SampleQuantiles.bottomKSample(
+      df(3000), col("grp"), col("value"), col("key"), 128)
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val drv = SampleQuantiles.estimateFromSample(samp, ps, "q")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val dec = SampleQuantiles.interpolated(samp, ps, "q")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(drv == dec, s"driver $drv vs declarative $dec")
+  }
+
+  test("q54's sample estimates track the exact audit on the real table") {
+    // the expensive full-sort audit lives HERE, not in the headline
+    // query (its per-group global sort runs one task per group — the
+    // anti-scale shape the sample path exists to avoid)
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val out = SampleQuantiles.withExactAudit(
+        li, col("l_returnflag"), col("l_extendedprice"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        Seq(0.25, 0.5, 0.75, 0.9))
+      .collect()
+    assert(out.length == 12, s"3 groups x 4 ps expected, got ${out.length}")
+    out.foreach { r =>
+      val (g, p, est, exact, err) = (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(err == java.math.BigDecimal.valueOf(math.abs(est - exact))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+      // rank-error band: 3 * 1.36/sqrt(k) quantile mass, converted via
+      // the value range (prices are ~uniform on their range)
+      val range = 110000.0
+      assert(math.abs(est - exact) <= 3 * 1.36 / math.sqrt(256) * range,
+        s"$g p=$p est=$est exact=$exact")
+    }
+  }
+
+  test("the sample is a partial aggregate: the corpus never exchanges") {
+    // on the REAL parquet table (a LocalTableScan toy plan can differ)
+    val li = graft.core.Tables.lineitem(spark, sfDir)
     val plan = SampleQuantiles
-      .bottomKSample(df(2000), col("grp"), col("value"), col("key"), 64)
+      .bottomKSample(li, col("l_returnflag"), col("l_extendedprice"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")), 64)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"),
-      s"rank filter must plan as WindowGroupLimit:\n$plan")
+    // partial ObjectHashAggregate below the one exchange, final above:
+    // the only shuffled rows are O(map partitions x groups x k) states
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"bottom-k must run as partial+final aggregate:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window ["),
+      s"sample path must not sort/window the corpus:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"exactly one exchange (the aggregated states) expected:\n$plan")
   }
 }

@@ -302,10 +302,7 @@ class PlanShapeSpec extends SparkSpec {
       "t17_quality_classifier", "t20_dsir_select", "s12_bm25_topk",
       "s13_sq8_adc", "s14_hybrid_rrf", "q50_activity_heatmap",
       "t25_vocab_growth", "t14b_kn_perplexity", "s17_binary_rerank",
-      "t27_freq_spectrum", "d15_semantic_decontaminate",
-      // q54: the 3-row per-group size frame × the 4-row p grid —
-      // t20/q50's X10 broadcast-scalar attach, model-sized both sides
-      "q54_sample_quantiles")
+      "t27_freq_spectrum", "d15_semantic_decontaminate")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
