@@ -294,6 +294,7 @@ class PlanShapeSpec extends SparkSpec {
     // s01's intentional broadcast nested-loop, over 8-byte rows
     // t27: the ≤11-cell spectrum census × the 1-row grand-totals
     // aggregate — t20/q50's X10 broadcast-scalar attach
+    // (d15's declared BNLJ is additionally shape-pinned below)
     // d15: the model-sized benchmark split (5% of embeddings) × the
     // corpus scan — s01's intentional broadcast nested-loop; the
     // corpus side never shuffles, only matches reach the aggregate
@@ -311,5 +312,32 @@ class PlanShapeSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"${q.name} plans an undeclared BroadcastNestedLoopJoin:\n$p")
     }
+  }
+
+  test("d15 final plan reads the checkpointed match-scale hits — never the corpus") {
+    val p = plan("d15_semantic_decontaminate")
+    // the broadcast-benchmark BNLJ lives in the checkpoint job; the
+    // final plan's argmax resolution must consume the materialized
+    // hits frame (match-scale), not re-run the corpus probe — a
+    // parquet scan here would mean the cosine screen executes twice
+    assert(count(p, "Scan parquet") == 0,
+      s"d15 re-scans the corpus in the argmax stage:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+    // and the resolution joins stay hash/merge equi-joins on vec_id —
+    // never a pair-expanding nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d15 argmax degraded to a non-equi join:\n$p")
+  }
+
+  test("q53 registers are a two-level partial aggregate — no raw-value shuffle") {
+    val p = plan("q53_hll_distinct")
+    // level 1 (group, register) max-rank and level 2 (group) integer
+    // sums must both run partial-then-final; the only corpus-width
+    // stage is the scan itself. countDistinct (the audit) adds its
+    // expand/agg but no join beyond the final model-sized attach.
+    assert(count(p, "HashAggregate") >= 4,
+      s"q53 lost its partial aggregation levels:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"q53 must be pure aggregation:\n$p")
   }
 }
