@@ -19,6 +19,14 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  /** Local-FS recursive delete for per-query dump dirs. Shared with
+    * [[VerifyOne]].
+    */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,6 +43,10 @@ object Verify {
     graft.plans.GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any PRIOR dump first: a query that throws must leave NO
+      // output (check.py then reports "no spark output") — leaving a
+      // stale dir would greenlight the previous code's results
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

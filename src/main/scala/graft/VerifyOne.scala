@@ -21,6 +21,9 @@ object VerifyOne {
       val q = graft.queries.Registry.byName(name)
       val sql = q.oracle.getOrElse(sys.error(
         s"$name has no oracle SQL — only spec coverage; nothing to dump"))
+      // drop any PRIOR dump first: a failing query must leave NO
+      // output, or a --skip-verify re-check greenlights stale results
+      Verify.deleteRecursively(new java.io.File(s"$outDir/$name"))
       q.run(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       name -> sql
     }
