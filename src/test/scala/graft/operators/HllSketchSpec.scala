@@ -67,6 +67,20 @@ class HllSketchSpec extends SparkSpec {
       "HLL union must be the register-wise max of the per-shard sketches")
   }
 
+  test("duplicates and partitioning cannot move the estimate") {
+    val base = (1 to 700).map(i => "g" -> s"val-$i")
+    def est(rows: Seq[(String, String)], parts: Int) = HllSketch
+      .distinctEstimate(rows.toDF("g", "v").repartition(parts), "g", "v")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val ref = est(base, 1)
+    // distinct-count semantics: a triple-duplicated stream is the same set
+    assert(est(base ++ base ++ base, 5) == ref,
+      "duplicate rows must not move any register")
+    // partial-aggregation layout must be invisible
+    assert(est(scala.util.Random.shuffle(base), 13) == ref,
+      "partitioning/order must not move the estimate")
+  }
+
   test("estimate lands inside the 3-sigma error band of p = 8") {
     val n = 10000
     val df = (1 to n).map(i => "g" -> s"user-$i").toDF("g", "v")

@@ -55,6 +55,42 @@ class SampleQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("property: BottomKHeap == sort-take-k on arbitrary (h, v) multisets") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val pairGen = for {
+      h <- Gen.choose(0L, 40L) // tight range -> frequent ties AND duplicates
+      v <- Gen.choose(0, 10).map(_.toDouble)
+    } yield (h, v)
+    val prop = Prop.forAll(
+      Gen.choose(1, 12), Gen.listOf(pairGen)) { (k, pairs) =>
+      val heap = new graft.functions.BottomKHeap(k)
+      pairs.foreach { case (h, v) => heap.insert(h, v) }
+      val got = (0 until heap.size).map(i => (heap.hs(i), heap.vs(i))).sorted
+      got == pairs.sorted.take(k)
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: heap merge == bottom-k of the concatenation") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val pairGen = Gen.zip(Gen.choose(0L, 30L), Gen.choose(0, 5).map(_.toDouble))
+    val prop = Prop.forAll(
+      Gen.choose(1, 8), Gen.listOf(pairGen), Gen.listOf(pairGen)) { (k, a, b) =>
+      val ha = new graft.functions.BottomKHeap(k)
+      a.foreach { case (h, v) => ha.insert(h, v) }
+      val hb = new graft.functions.BottomKHeap(k)
+      b.foreach { case (h, v) => hb.insert(h, v) }
+      ha.mergeFrom(hb)
+      val got = (0 until ha.size).map(i => (ha.hs(i), ha.vs(i))).sorted
+      got == (a ++ b).sorted.take(k)
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("driver-side estimateFromSample == the declarative interpolated form") {
     val samp = SampleQuantiles.bottomKSample(
       df(3000), col("grp"), col("value"), col("key"), 128)
