@@ -19,9 +19,13 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * Two sketch properties carry over from KMV (same hash, same
   * bottom-k state): the sample MERGES by union + re-bottom-k
   * (SampleQuantilesSpec pins the algebra), and sampling is CONSISTENT
-  * — rows sharing a key value hash together, so the same keys are
-  * sampled in any table sharing the key column (coordinated sampling
-  * across fact tables for join-preserving samples).
+  * at the KEY level — rows sharing a key value hash together, so the
+  * key (not the row) is the sampling unit. Note coordination ACROSS
+  * tables is threshold-based, not automatic: two tables' bottom-k
+  * samples have different k-th-min hashes, so a join-preserving
+  * coordinated sample probes both tables with the SMALLER of the two
+  * thresholds (the KMV union-sketch argument), rather than joining
+  * the two bottom-k sets directly.
   *
   * Scale shape: the sample is a PARTIAL AGGREGATE, not a window — the
   * [[graft.functions.BottomKPairsAgg]] native aggregate keeps an O(k) heap per
