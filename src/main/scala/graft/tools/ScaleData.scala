@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *    share vector VALUES, so scaled search results stay well-defined
   *    through the (distance, id) tie-break both engines use.
   *  - `documents`: each copy offsets doc_id AND prefixes every token
-  *    with a copy tag (`§1§the §1§quick ...` — '§' is asserted absent
+  *    with a copy tag (`~1~the ~1~quick ...` — '~' is asserted absent
   *    from the source corpus, so no source token can alias a tagged
   *    one), making copies pairwise disjoint in shingle space. Prefixing every token uniformly is a
   *    Jaccard-preserving bijection per copy, so d03's true-pair count
@@ -93,9 +93,14 @@ object ScaleData {
     // produce, or tagging is not a disjoint bijection: with a plain
     // "c<k>" prefix, copy 0's literal token "c1foo" equals copy 1's
     // tagging of "foo", creating cross-copy shingle overlap that biases
-    // the linear-scaling measurement. '§' is out-of-alphabet — assert
-    // it, don't assume it.
-    val marker = "§"
+    // the linear-scaling measurement. It must ALSO be single-byte
+    // ASCII: the first choice here ('§', 2 UTF-8 bytes) made DuckDB's
+    // BYTE-based levenshtein disagree with Spark's codepoint-based one
+    // on the scale-up (9 vs the correct 7 on a d11 pair) — the base
+    // corpus is pure ASCII, so the tag must not introduce the one
+    // multi-byte character that splits the engines. '~' is
+    // out-of-alphabet AND one byte — assert it, don't assume it.
+    val marker = "~"
     require(
       spark.read.parquet(s"$inDir/documents.parquet")
         .filter($"text".contains(marker)).isEmpty,
