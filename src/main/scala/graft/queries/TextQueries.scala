@@ -777,8 +777,12 @@ object TextQueries {
     },
     Some(s"""WITH keyed AS (
         SELECT source, doc_id,
+          -- + 0.0 normalizes IEEE negative zero: a hash near 2^60 makes
+          -- ln(...) round to -0.0 here while Spark's BigDecimal round
+          -- has no signed zero (first split at sf1); x + 0.0 is
+          -- bit-exact identity for every other double
           round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)::DOUBLE
-                   / 1152921504606846976.0) / n_chars, 6) AS samp_key
+                   / 1152921504606846976.0) / n_chars, 6) + 0.0 AS samp_key
         FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
       ranked AS (
         SELECT *, row_number() OVER (
