@@ -23,7 +23,8 @@ object Verify {
     * [[VerifyOne]].
     */
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     if (f.exists()) f.delete()
   }
 

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -89,6 +90,13 @@ case class BottomKPairsAgg(
   require(k >= 1, s"k must be >= 1, got $k")
 
   override def children: Seq[Expression] = Seq(hChild, vChild)
+  // update() casts blindly — reject non-(long, double) children at analysis
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hChild.dataType == LongType && vChild.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bottom_k_pairs requires (BIGINT, DOUBLE) children, got " +
+        s"(${hChild.dataType.sql}, ${vChild.dataType.sql})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("h", LongType, nullable = false),

@@ -46,32 +46,69 @@ object Bm25 {
     *
     * @param tf postings carrying document length: (doc_id, dl, term, tf)
     * @param qt query terms: (query_id, term), unique per (query, term)
-    * @param stats ONE-row frame (n_docs, s_tok) — attached by
-    *   broadcast cross-join (the X10 pattern), so corpus stats never
-    *   become eager driver scalars and the whole plan stays one action
+    * @param stats ONE-row frame (n_docs, s_tok) — attached inside the
+    *   broadcast build by cross-join (the X10 pattern), so corpus
+    *   stats never become eager driver scalars and the whole plan
+    *   stays one action. Computed as its own subtree (not derived from
+    *   the census): Spark cannot share one aggregate between two
+    *   consumers without materialization — a census-derived s_tok
+    *   plans either a duplicate census subtree (column pruning makes
+    *   the branches non-identical, so no exchange reuse) or an
+    *   unpartitioned vocab window (the optimizer strips any constant
+    *   partition key, r12 measured both) — while a separate stats
+    *   aggregate is a CONCURRENT leaf stage under AQE, off the
+    *   critical path entirely
     * @param k neighbors kept per query
     */
   def scoreTopK(tf: DataFrame, qt: DataFrame, stats: DataFrame, k: Int): DataFrame = {
-    // df census restricted to the query vocabulary -> broadcastable;
-    // the posting lists are never shuffled by term
-    val dfreq = tf
-      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tff = (col("tf") * lit(2.2)) /
-      (col("tf") + lit(1.2) * (lit(0.25) +
-        (lit(0.75) * col("dl") * col("n_docs")) / col("s_tok")))
+    // Full-vocabulary df census, deliberately NOT restricted to the
+    // query vocabulary before aggregating: the census then has no
+    // dependency on the query branch, so AQE runs both as concurrent
+    // leaf stages — the old query-restricted census sat behind the qt
+    // broadcast, making s12's critical path qt → census → scoring
+    // (three sequential jobs; r11's measured perf gap). The
+    // word-count-shaped shuffle moves only vocab-sized partials; the
+    // query-vocabulary restriction still happens BEFORE the broadcast.
+    val census = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = census
+      // left_semi against the SAME broadcast(qt) the scoring join
+      // builds — the BroadcastExchange is reused, where a
+      // qt.distinct() restriction paid its own aggregate + broadcast
+      // (two extra AQE stages measured on the critical path)
+      .join(broadcast(qt), Seq("term"), "left_semi")
+      // the corpus stats ride the same tiny broadcast (1-row ×
+      // vocab-row cross inside the build) — one broadcast fewer, and
+      // the scoring stage loses its BNLJ cross-join node
+      .crossJoin(stats)
+      // idf is a per-TERM constant: computing it here runs |vocab|
+      // logs inside the tiny broadcast build instead of one log per
+      // contribution row (|postings| × |queries-sharing-term| rows —
+      // the plan's biggest frame). Same expression tree over the same
+      // exact-integer inputs → bit-identical to the oracle's per-row ln.
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select(col("term"), col("df"), col("s_tok"), col("n_docs"), col("idf"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     tf.join(broadcast(dfreq), "term")
+      // the BM25 term-frequency saturation num/denom are per-POSTING
+      // values: compute them on the posting frame (before the qt join
+      // fans each posting out per matching query) so the contribution
+      // stage does 3 FP ops per row instead of ~10. The projection
+      // sits under the join, so CollapseProject cannot merge it into
+      // the post-join select. Left-associative order is the oracle's:
+      // num = tf·2.2; denom = tf + 1.2·(0.25 + (0.75·dl·n)/s).
+      .select(col("doc_id"), col("term"), col("idf"),
+        (col("tf") * lit(2.2)).as("num"),
+        (col("tf") + lit(1.2) * (lit(0.25) +
+          (lit(0.75) * col("dl") * col("n_docs")) / col("s_tok"))).as("denom"))
       .join(broadcast(qt), "term")
-      .crossJoin(broadcast(stats))
       .filter(col("doc_id") =!= col("query_id"))
       // floor(x + 0.5), NOT round(x, 0): same half-up for the
       // strictly-positive contributions, without a BigDecimal per row
       .select(col("query_id"), col("doc_id"),
-        floor(idf * tff * lit(1000000.0) + lit(0.5)).cast("long").as("c"))
+        floor(col("idf") * (col("num") / col("denom")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("c"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("sum_c"))
       // 4-dp half-up entirely in bigint arithmetic, then ONE exact

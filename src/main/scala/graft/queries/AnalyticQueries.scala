@@ -617,7 +617,7 @@ object AnalyticQueries {
           SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
           FROM hashed)
         WHERE rn <= 256),
-      ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p),
+      ps AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p),
       sbyval AS (
         SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS vr FROM samp),
       ssizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM samp GROUP BY g),

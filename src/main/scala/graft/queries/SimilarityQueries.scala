@@ -842,14 +842,20 @@ object SimilarityQueries {
     * single largest shuffle of a lexical index build at 100 TB —
     * never happens. Corpus stats (doc count, total token count) ride
     * as a 1-row broadcast frame (t20's X10 pattern) rather than eager
-    * driver scalars, so the whole query is ONE action and AQE runs
-    * the stats census, the query branch, and the df census as
-    * concurrent leaf stages; the query-term table and the
-    * query-vocabulary-restricted df census are tiny and explicitly
-    * `broadcast()`, so scoring is two shuffle-free map-side joins
-    * over the posting lists plus one partial-aggregating groupBy on
-    * (query_id, doc_id) restricted to query-matched postings — the
-    * plan's only corpus-scale exchange. (A served production index
+    * driver scalars, so the whole query is ONE action; the df census
+    * is FULL-vocabulary (word-count-shaped, vocab-sized partials) and
+    * so has no dependency on the query branch — AQE runs the census,
+    * the stats pass, and the query branch as concurrent leaf stages,
+    * where a query-restricted census would serialize behind the qt
+    * broadcast (r11's measured critical path). The query-term table
+    * and the query-vocabulary restriction of the census are tiny and
+    * explicitly `broadcast()` — per-term idf and per-posting
+    * saturation num/denom are computed broadcast-side / posting-side
+    * so the contribution frame (the plan's biggest) does 3 FP ops per
+    * row — and scoring is two shuffle-free map-side joins over the
+    * posting lists plus one partial-aggregating groupBy on (query_id,
+    * doc_id) restricted to query-matched postings — the plan's only
+    * corpus-scale exchange. (A served production index
     * would persist/write the compact posting lists once; here each
     * branch recomputes the cheap kernel scan instead — at one query
     * batch per corpus read, materialization costs more than it saves.)
@@ -902,10 +908,11 @@ object SimilarityQueries {
         .select($"doc_id", $"p.dl".as("dl"), explode($"p.freqs").as("f"))
         .select($"doc_id", $"dl", $"f.term".as("term"), $"f.tf".as("tf"))
       // Corpus stats (N docs, total tokens) as a 1-row frame attached
-      // by broadcast cross-join (t20's X10 pattern) instead of eager
-      // driver scalars: the whole query is then ONE action — no
-      // count()/head() barrier jobs — and AQE runs the stats census,
-      // the query branch, and the df census as CONCURRENT leaf stages
+      // inside scoreTopK's broadcast build (t20's X10 pattern) instead
+      // of eager driver scalars: the whole query is ONE action, and
+      // AQE runs this census, the query branch, and the df census as
+      // CONCURRENT leaf stages — the kernel pass here costs no
+      // wall-clock while the df census owns the critical path.
       val stats = spread.agg(
         count(lit(1)).as("n_docs"),
         sum(exprs.term_freqs($"text").getField("dl")).as("s_tok"))
