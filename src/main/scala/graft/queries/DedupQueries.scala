@@ -276,11 +276,59 @@ object DedupQueries {
           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.35"""))
 
+  /** Shared oracle prefix for the connected-components queries (d06,
+    * d12): CTE text from `pairs` (the d03 candidate graph at est_sim ≥
+    * 0.5) through `comp(doc_id, comp)` — component labels as UNROLLED
+    * min-label propagation (t16/t21's unroll pattern), NOT a
+    * recursive-CTE transitive closure: `reach` materializes
+    * O(Σ cluster²) rows and OOM'd DuckDB at sf1 (35 GB of spill,
+    * r11), while k propagation rounds stay edge-sized. k must cover
+    * the max eccentricity of each component's min vertex; LSH
+    * near-dup components are dense (banding links most members
+    * directly), so 10 is generous — and the `conv` guard makes the
+    * bound SELF-CHECKING: if labels still move between rounds k-1 and
+    * k the oracle RAISES via error() rather than silently blessing
+    * unconverged components.
+    *
+    * Every chained CTE is `AS MATERIALIZED`: DuckDB 1.0 inlines a CTE
+    * once PER REFERENCE, and each round references its predecessor
+    * twice — plain CTEs made the plan (and the parquet scans under
+    * d03's candidate SQL) grow 2^k-fold, dying on file handles before
+    * memory.
+    */
+  private def lpCompSql(d03Sql: String, lpRounds: Int = 10): String = {
+    val rounds = (1 to lpRounds).map { i =>
+      s"""lab_lp$i AS MATERIALIZED (
+        SELECT v, min(lab) AS lab FROM (
+          SELECT v, lab FROM lab_lp${i - 1}
+          UNION ALL
+          SELECT e.a AS v, l.lab FROM und e JOIN lab_lp${i - 1} l ON l.v = e.b)
+        GROUP BY v)"""
+    }.mkString(",\n      ")
+    s"""pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ($d03Sql) WHERE est_sim >= 0.5),
+      und AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      lab_lp0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lab FROM und),
+      $rounds,
+      conv AS (
+        SELECT CASE WHEN count(*) > 0 THEN error(
+            'label propagation not converged after $lpRounds rounds')
+          ELSE 0 END AS chk
+        FROM lab_lp$lpRounds x
+        JOIN lab_lp${lpRounds - 1} y ON y.v = x.v AND y.lab <> x.lab),
+      comp AS (
+        SELECT v AS doc_id, lab AS comp FROM lab_lp$lpRounds
+        WHERE (SELECT chk FROM conv) = 0)"""
+  }
+
   /** Near-dup cluster collapse: connected components over the MinHash
     * candidate pairs (est_sim ≥ 0.5) — every doc labeled with its
     * cluster representative (min id). Spark side: iterative
     * hash-to-min label propagation (graft.operators.NearDupClusters);
-    * oracle: recursive-CTE transitive closure. Identical fixpoints.
+    * oracle: unrolled min-label propagation with a convergence guard
+    * ([[lpCompSql]]). Identical fixpoints.
     */
   val d06DedupClusters = Q(
     "d06_dedup_clusters",
@@ -292,20 +340,8 @@ object DedupQueries {
         .select($"doc_a", $"doc_b")
       graft.operators.NearDupClusters.connectedComponents(pairs)
     },
-    Some {
-      val d03Sql = d03MinhashLsh.oracle.get
-      s"""WITH RECURSIVE pairs AS (
-        SELECT doc_a, doc_b FROM ($d03Sql) WHERE est_sim >= 0.5),
-      und AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      reach AS (
-        SELECT a, b FROM und
-        UNION
-        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
-      SELECT a AS doc_id, least(a, min(b)) AS comp
-      FROM reach GROUP BY a"""
-    },
+    Some(s"""WITH ${lpCompSql(d03MinhashLsh.oracle.get)}
+      SELECT doc_id, comp FROM comp"""),
     headline = true)
 
   /** LSH recall gate — closes the replay blind spot in d02/d03's
@@ -564,10 +600,11 @@ object DedupQueries {
     *
     * Spark side is `NearDupClusters.keepBest`: the corpus is touched
     * by one anti-join + one metadata left join; everything else is
-    * bounded by the candidate graph. Oracle replays the recursive-CTE
-    * transitive closure (d06's), the shared quality formula
-    * (`TextFunctions.qualityScoreSql` — same string t03 interpolates),
-    * and the same deterministic window rank.
+    * bounded by the candidate graph. Oracle replays the unrolled
+    * label propagation (d06's [[lpCompSql]], convergence-guarded),
+    * the shared quality formula (`TextFunctions.qualityScoreSql` —
+    * same string t03 interpolates), and the same deterministic window
+    * rank.
     *
     * Reference: the dedup ladder over documents (SURVEY §2 A10 + W1
     * composed); cluster-representative selection per Lee et al. 2021.
@@ -587,18 +624,7 @@ object DedupQueries {
         .select($"doc_id", $"comp", $"quality_score", $"cluster_size")
     },
     Some {
-      val d03Sql = d03MinhashLsh.oracle.get
-      s"""WITH RECURSIVE pairs AS (
-          SELECT doc_a, doc_b FROM ($d03Sql) WHERE est_sim >= 0.5),
-        und AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-        reach AS (
-          SELECT a, b FROM und
-          UNION
-          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-        comp AS (
-          SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+      s"""WITH ${lpCompSql(d03MinhashLsh.oracle.get)},
         lab AS (
           SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
             $qualityScoreSql AS quality_score
