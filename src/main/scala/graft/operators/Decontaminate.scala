@@ -171,6 +171,17 @@ object Decontaminate {
           col("cnrm") * col("bnrm")), 4).as("cos"))
       .filter(col("cos") >= tau)
       .localCheckpoint(true)
+    resolveHits(hits, idCol)
+  }
+
+  /** (id, bench_id, cos) match stream → per-doc evidence row
+    * (id, n_hits, best_cos, best_bench) with the deterministic
+    * min-bench-id argmax — the resolution stage shared by the exact
+    * ([[semanticHits]]) and IVF-blocked ([[semanticHitsIvf]]) screens.
+    * Callers checkpoint `hits` first: it is match-scale, and this
+    * resolution reads it twice.
+    */
+  private def resolveHits(hits: DataFrame, idCol: String): DataFrame = {
     val agg = hits.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("best_cos"))
     agg.join(hits.withColumnRenamed("cos", "best_cos"),
@@ -178,5 +189,62 @@ object Decontaminate {
       .groupBy(col(idCol), col("n_hits"), col("best_cos"))
       .agg(min(col("bench_id")).as("best_bench"))
       .select(col(idCol), col("n_hits"), col("best_cos"), col("best_bench"))
+  }
+
+  /** IVF-BLOCKED semantic contamination evidence — the swap
+    * [[semanticHits]]'s Scaladoc promises for when the benchmark
+    * outgrows a single broadcast-scan product: both sides are
+    * coarse-quantized against a shared deterministic centroid set
+    * (s02's cells — max rounded-6 cosine, cell-id tie-break, zero
+    * vectors to cell 0), each benchmark item probes its `nprobe`
+    * nearest cells, and the exact 4-dp cosine screen runs ONLY inside
+    * probed cells. The corpus side is one zero-shuffle kernel argmax
+    * (`coarse_assign_cell`) plus one broadcast EQUI-join on the cell
+    * id — the declared nested-loop product over the whole benchmark
+    * is gone; work scales with cell co-occupancy, not
+    * |corpus|×|bench|. Recall < 1 by design (a qualifying pair whose
+    * corpus cell is outside the benchmark item's probe list is
+    * unseen); `IvfDecontaminateSpec` pins the flagged set as a subset
+    * of the exact screen's and its measured recall floor.
+    *
+    * Probe selection runs distributed over the benchmark frame (the
+    * benchmark here is a corpus SPLIT, not a driver-sized constant —
+    * s02's driver-side probe loop would collect it): the per-centroid
+    * rounded cosines enter the plan as `nCells` literal subtrees and
+    * a per-bench-item window ranks them — sim DESC NULLS LAST, cell
+    * ASC, exactly the kernel's tie-break, so a zero benchmark vector
+    * probes cells 0..nprobe-1 on both engines.
+    */
+  def semanticHitsIvf(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      cents: Array[Array[Float]],
+      nprobe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineSimilarity, dot, l2Norm}
+    val assigned = corpus.select(
+      col(idCol), col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnrm"),
+      graft.functions.exprs.coarse_assign_cell(col(vecCol), cents).as("c_id"))
+    val sims = array(cents.map { cvec =>
+      round(cosineSimilarity(col(vecCol), typedLit(cvec)), 6)
+    }: _*)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bench_id"))
+      .orderBy(col("p_sim").desc_nulls_last, col("c_id").asc)
+    val probes = bench
+      .select(col(idCol).as("bench_id"), col(vecCol).as("bvec"),
+        l2Norm(col(vecCol)).as("bnrm"), posexplode(sims).as(Seq("c_id", "p_sim")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("bench_id"), col("bvec"), col("bnrm"), col("c_id").cast("long"))
+    val hits = assigned.join(broadcast(probes), Seq("c_id"))
+      .select(col(idCol), col("bench_id"),
+        round(try_divide(dot(col("cvec"), col("bvec")),
+          col("cnrm") * col("bnrm")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+      .localCheckpoint(true)
+    resolveHits(hits, idCol)
   }
 }

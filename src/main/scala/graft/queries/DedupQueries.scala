@@ -782,9 +782,105 @@ object DedupQueries {
       GROUP BY a.vec_id, a.n_hits, a.best_cos"""),
     headline = true)
 
+  // d16's coarse quantizer: cells = the first DCells vectors of the
+  // full embeddings table (deterministic, so the oracle replays the
+  // identical cells — s02's convention), nprobe nearest cells per
+  // benchmark item, same τ as d15 so the recall spec compares like
+  // with like.
+  private val DCells = 16
+  private val DProbe = 8
+
+  /** d16: IVF-blocked semantic decontamination — the scale path d15's
+    * Scaladoc promises for a benchmark too big to pair against the
+    * whole corpus: both splits coarse-quantize against shared
+    * deterministic cells, each benchmark item probes its [[DProbe]]
+    * nearest cells, and the exact 4-dp cosine screen runs only inside
+    * probed cells (`Decontaminate.semanticHitsIvf`). The corpus side
+    * is a zero-shuffle kernel argmax + ONE broadcast equi-join on the
+    * cell id — no nested-loop product, work scales with cell
+    * co-occupancy. Recall < 1 by design; the oracle replays cells,
+    * probes, and the in-cell screen exactly (s02/s10's pattern), and
+    * `IvfDecontaminateSpec` pins the flagged set ⊆ d15's with its
+    * measured recall floor.
+    *
+    * nprobe = 8 of 16 cells: the synthetic embeddings are near-random
+    * (max cross-set cosine ≈ 0.5), the ADVERSARIAL case for IVF — no
+    * cluster structure means recall tracks the probed fraction.
+    * Measured at sf0.01: nprobe 4/8/12 → recall 0.56/0.76/0.90
+    * (flagged-set vs d15, always a subset), flat in τ. A real
+    * embedding space concentrates near-dups into shared cells, which
+    * is the regime this blocking exists for; on this corpus the query
+    * demonstrates (and hash-verifies) the SHAPE while the spec pins
+    * the honest floor.
+    */
+  val d16IvfDecontaminate = Q(
+    "d16_ivf_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cents = graft.operators.AnnIndex
+        .firstVectors(e, "embedding", "vec_id", DCells)
+      require(cents.map(_._1).toSeq == cents.indices.map(_.toLong),
+        "coarse cells must be the dense first-N vec_ids")
+      val bench = e.filter($"vec_id" % 20 === 0)
+      val corpus = e.filter($"vec_id" % 20 =!= 0)
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.operators.Decontaminate.semanticHitsIvf(
+        corpus, bench, "vec_id", "embedding", tau = 0.30,
+        cents = cents.map(_._2), nprobe = DProbe)
+    },
+    Some(s"""WITH cents AS (
+        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < $DCells),
+      bench AS (
+        SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bvec
+        FROM embeddings WHERE vec_id % 20 = 0),
+      corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id % 20 <> 0),
+      assigned AS (
+        SELECT vec_id, cvec, c_id FROM (
+          SELECT c.vec_id, c.cvec, ct.c_id,
+            row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              round(list_dot_product(c.cvec, ct.c_emb::DOUBLE[]) /
+                (sqrt(list_dot_product(c.cvec, c.cvec)) *
+                 sqrt(list_dot_product(ct.c_emb::DOUBLE[], ct.c_emb::DOUBLE[]))), 6)
+              DESC, ct.c_id ASC) AS arn
+          FROM corpus c, cents ct)
+        WHERE arn = 1),
+      probes AS (
+        SELECT bench_id, bvec, c_id FROM (
+          SELECT b.bench_id, b.bvec, ct.c_id,
+            row_number() OVER (PARTITION BY b.bench_id ORDER BY
+              round(list_dot_product(b.bvec, ct.c_emb::DOUBLE[]) /
+                (sqrt(list_dot_product(b.bvec, b.bvec)) *
+                 sqrt(list_dot_product(ct.c_emb::DOUBLE[], ct.c_emb::DOUBLE[]))), 6)
+              DESC, ct.c_id ASC) AS prn
+          FROM bench b, cents ct)
+        WHERE prn <= $DProbe),
+      hits AS (
+        SELECT a.vec_id, p.bench_id,
+          round(list_dot_product(a.cvec, p.bvec) /
+            (sqrt(list_dot_product(a.cvec, a.cvec)) *
+             sqrt(list_dot_product(p.bvec, p.bvec))), 4) AS cos
+        FROM assigned a JOIN probes p ON p.c_id = a.c_id
+        WHERE round(list_dot_product(a.cvec, p.bvec) /
+            (sqrt(list_dot_product(a.cvec, a.cvec)) *
+             sqrt(list_dot_product(p.bvec, p.bvec))), 4) >= 0.30),
+      agg AS (
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+          max(cos) AS best_cos
+        FROM hits GROUP BY vec_id)
+      SELECT a.vec_id, a.n_hits, a.best_cos,
+        min(h.bench_id) AS best_bench
+      FROM agg a JOIN hits h ON h.vec_id = a.vec_id AND h.cos = a.best_cos
+      GROUP BY a.vec_id, a.n_hits, a.best_cos"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash,
       d05EmbeddingNearDup, d06DedupClusters, d07LshRecall, d08Decontaminate,
       d09SpanDedup, d10DecontaminateBloom, d11FuzzyDedup, d12CanonicalKeep,
-      d13Containment, d14CrossSourceDups, d15SemanticDecontaminate)
+      d13Containment, d14CrossSourceDups, d15SemanticDecontaminate,
+      d16IvfDecontaminate)
 }
