@@ -455,6 +455,69 @@ object AnalyticQueries {
       GROUP BY tp.t, tp.c"""
     })
 
+  /** q55: heavy hitters BY SKETCH ESTIMATE — the top-k report a
+    * pipeline emits when the sketch is all it keeps. q41 ranks by the
+    * exact census and reports the sketch's error; q55 is the inverse
+    * composition (CMS + heap): ranking runs on the ESTIMATE (min over
+    * the token's grid cells), with the exact count joined in only to
+    * surface the overcount. Because est ≥ exact always (CMS never
+    * undercounts), every token whose exact count exceeds the k-th
+    * largest ESTIMATE is guaranteed present — the classic
+    * heavy-hitter guarantee, pinned in `CmsTopKSpec`. SpaceSaving /
+    * Misra–Gries would be the textbook alternatives, but their
+    * internals are ORDER-dependent (an external oracle cannot replay
+    * them); the CMS grid is a plain per-cell sum — order- and
+    * partitioning-independent — so DuckDB replays the whole selection
+    * exactly.
+    *
+    * Scale shape: the grid is one 32 KiB partial-aggregated state
+    * (map-side collapse, one grid per partition through the
+    * shuffle); candidates come from the word-count-shaped census the
+    * corpus needs anyway for exact_cnt; ranking is
+    * `orderBy(est).limit(k)` — TakeOrderedAndProject, per-partition
+    * heaps, no global sort, no window barrier. The streaming face is
+    * [[graft.streaming.EventStreams.windowedTopK]]: per-window grids
+    * (bounded state) probed by a candidate watchlist on read.
+    */
+  val q55CmsTopk = Q(
+    "q55_cms_topk",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.CountMinSketch
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.functions.TextFunctions.wsTokens($"text")).as("t"))
+      val cms = udaf(CountMinSketch)
+      val sketch = toks
+        .select(CountMinSketch.buckets($"t").as("bks"))
+        .agg(cms($"bks").as("sketch"))
+      toks.groupBy($"t").agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(sketch))
+        .select($"t".as("word"), $"exact_cnt",
+          CountMinSketch.probe($"sketch", $"t").as("est_cnt"))
+        .orderBy($"est_cnt".desc, $"word".asc).limit(10)
+        .withColumn("overcount", $"est_cnt" - $"exact_cnt")
+    },
+    Some {
+      import graft.functions.CountMinSketch.{Depth, Width}
+      s"""WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+        FROM documents),
+      cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+      bux AS (
+        SELECT t, c, i, CAST(('0x' || substr(md5(t), 1 + 8*i, 8)) AS BIGINT) % $Width AS b
+        FROM cnt, (SELECT unnest(range($Depth)) AS i)),
+      cells AS (SELECT i, b, CAST(sum(c) AS BIGINT) AS cell FROM bux GROUP BY i, b),
+      est AS (
+        SELECT bx.t, bx.c, CAST(min(ce.cell) AS BIGINT) AS est
+        FROM bux bx JOIN cells ce ON ce.i = bx.i AND ce.b = bx.b
+        GROUP BY bx.t, bx.c)
+      SELECT t AS word, CAST(c AS BIGINT) AS exact_cnt, est AS est_cnt,
+        est - CAST(c AS BIGINT) AS overcount
+      FROM est
+      ORDER BY est_cnt DESC, word ASC LIMIT 10"""
+    },
+    headline = true)
+
   private val KmvK = 32
 
   /** KMV distinct-count sketch (`operators.KmvSketch`) — the mergeable
@@ -638,5 +701,5 @@ object AnalyticQueries {
     q32Median, q33WindowSuite, q34ArgmaxAgg, q35Cube, q36Datetime,
     q37StratifiedSample, q38WelfordUdaf, q39GroupingSets, q40RollingRange,
     q41CountMin, q42KmvDistinct, q43KmvSetOps, q53HllDistinct,
-    q54SampleQuantiles)
+    q54SampleQuantiles, q55CmsTopk)
 }

@@ -148,6 +148,40 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("sketch"))
   }
 
+  /** Per-window top-k heavy hitters from emitted Count-Min grids — the
+    * READING face of [[windowedKeySketch]] (q55's composition,
+    * streamed): the stream maintains only the constant-size grid per
+    * window; ranking happens on read by probing each window's grid
+    * with a candidate WATCHLIST (the production monitoring pattern —
+    * per-window top-k without per-key streaming state). Ranking runs
+    * on the probe ESTIMATE (est DESC, key ASC tie-break), so every
+    * key whose true in-window count exceeds the k-th largest estimate
+    * is guaranteed present (CMS never undercounts). Deterministic and
+    * order-independent because the grid itself is (windowedKeySketch's
+    * stream ≡ batch pin carries over verbatim — EventStreamsSpec).
+    *
+    * `grids` is the (hour_start, sketch) output of
+    * [[windowedKeySketch]] read back as a batch frame (memory sink,
+    * parquet sink, …); rank-on-read keeps the window function OFF the
+    * streaming plan, where per-window ranking is unsupported anyway.
+    */
+  def windowedTopK(
+      grids: DataFrame,
+      candidates: Seq[String],
+      k: Int = 5): DataFrame = {
+    val spark = grids.sparkSession
+    import spark.implicits._
+    val cand = broadcast(candidates.toDF("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start"))
+      .orderBy(col("est_cnt").desc, col("key").asc)
+    grids.crossJoin(cand)
+      .select(col("hour_start"), col("key"),
+        graft.functions.CountMinSketch.probe(col("sketch"), col("key")).as("est_cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-hour distinct-key estimate via the KMV min-K sketch UDAF
     * (`MinKSketch` — the streaming form of q42): state per window is
     * ≤ K longs however many events arrive, the union-merge is

@@ -143,6 +143,58 @@ class EventStreamsSpec extends SparkSpec {
       "CMS probe undercounted inside a window")
   }
 
+  test("windowedTopK: rank-on-read over streamed grids == over batch grids") {
+    val batchEvents = Tables.events(spark, sfDir)
+      .select($"ts", $"event_type").cache()
+    val dir = Files.createTempDirectory("graft-cmstopk-in").toString
+    val splitTs = batchEvents
+      .agg(expr("percentile_approx(cast(ts AS double), 0.5D)")).head().getDouble(0)
+    val (lo, hi) = (batchEvents.filter($"ts".cast("double") < splitTs),
+      batchEvents.filter($"ts".cast("double") >= splitTs))
+    lo.write.mode("append").parquet(dir)
+    val streamIn = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = EventStreams.windowedKeySketch(streamIn, "ts", "event_type")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cmstopk_out").start()
+    q.processAllAvailable()
+    hi.write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val maxTs = batchEvents.agg(max($"ts")).head().getTimestamp(0)
+    Seq((new Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000), "sentinel"))
+      .toDF("ts", "event_type").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val candidates = batchEvents.select($"event_type").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val batchGrids = EventStreams.windowedKeySketch(batchEvents, "ts", "event_type")
+    val realWindows = batchGrids.select($"hour_start").collect()
+      .map(_.getTimestamp(0)).toSet
+    val streamGrids = spark.table("cmstopk_out")
+      .filter($"hour_start".isInCollection(realWindows))
+
+    val fromStream = EventStreams.windowedTopK(streamGrids, candidates, k = 3)
+    val fromBatch = EventStreams.windowedTopK(batchGrids, candidates, k = 3)
+    assert(fromBatch.count() > 0)
+    assert(fromStream.exceptAll(fromBatch).count() == 0 &&
+      fromBatch.exceptAll(fromStream).count() == 0,
+      "rank-on-read must not depend on where micro-batch boundaries fell")
+
+    // heavy-hitter guarantee per window: a candidate whose EXACT
+    // in-window count beats the k-th largest estimate must be ranked
+    val exact = batchEvents
+      .groupBy(window($"ts", "1 hour"), $"event_type").count()
+      .select($"window.start".as("hour_start"),
+        $"event_type".as("key"), $"count".as("exact_cnt"))
+    val kth = fromBatch.groupBy($"hour_start").agg(min($"est_cnt").as("kth_est"))
+    val mustAppear = exact.join(kth, "hour_start")
+      .filter($"exact_cnt" > $"kth_est")
+      .select($"hour_start", $"key")
+    assert(mustAppear.join(fromBatch, Seq("hour_start", "key"), "left_anti")
+      .count() == 0,
+      "a key with exact count above the k-th estimate was missing from top-k")
+  }
+
   test("windowed KMV sketch: stream == batch across splits AND re-deliveries") {
     val batchEvents = Tables.events(spark, sfDir)
       .select($"ts", $"user_id").cache()
