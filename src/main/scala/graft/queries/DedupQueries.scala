@@ -73,11 +73,11 @@ object DedupQueries {
     * Used by d02 (verification input) and d03 (estimate output) so the
     * two oracles can never drift from each other.
     */
-  private def lshCandSql: String = {
+  private[queries] def lshCandSql(src: String = "documents"): String = {
     val hashExpr = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
     s"""lsh_sh AS (
         SELECT DISTINCT doc_id, sh FROM (
-          SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
+          SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM $src)),
       hashed AS (SELECT doc_id, $hashExpr AS h FROM lsh_sh),
       mh AS (
         SELECT doc_id, i, min(((2*i + 1) * h + (7 + 11*i)) % $P) AS mv
@@ -140,7 +140,7 @@ object DedupQueries {
           round($"inter" / ($"szsum" - $"inter"), 4).as("jaccard"))
         .filter($"jaccard" >= 0.5)
     },
-    Some(s"""WITH $lshCandSql,
+    Some(s"""WITH ${lshCandSql()},
       sh60 AS (
         SELECT DISTINCT doc_id,
           CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
@@ -170,7 +170,7 @@ object DedupQueries {
     (s, dir) =>
       graft.operators.TextDedup.minhashCandidates(
         Tables.documents(s, dir), "doc_id", "text"),
-    Some(s"""WITH $lshCandSql
+    Some(s"""WITH ${lshCandSql()}
       SELECT c.doc_a, c.doc_b,
         round(sum(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) / $NumHashes.0, 4) AS est_sim
       FROM cand c
@@ -393,7 +393,7 @@ object DedupQueries {
         .select($"n_true", $"n_caught",
           round($"n_caught" / greatest($"n_true", lit(1L)), 4).as("recall"))
     },
-    Some(s"""WITH $lshCandSql,
+    Some(s"""WITH ${lshCandSql()},
       sh60 AS (
         SELECT DISTINCT doc_id,
           CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
@@ -577,7 +577,7 @@ object DedupQueries {
           round($"lev" / $"maxlen", 4).as("rel_dist"))
         .filter($"lev" >= 0 && $"rel_dist" <= EditTau)
     },
-    Some(s"""WITH $lshCandSql
+    Some(s"""WITH ${lshCandSql()}
       SELECT c.doc_a, c.doc_b,
         CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
         round(CAST(levenshtein(a.text, b.text) AS DOUBLE)

@@ -24,7 +24,7 @@ object Registry {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ EventQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ ExtendedQueries.all ++
-      AnalyticQueries.all ++ MultimodalQueries.all
+      AnalyticQueries.all ++ MultimodalQueries.all ++ PipelineQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -303,7 +303,9 @@ class PlanShapeSpec extends SparkSpec {
       "t17_quality_classifier", "t20_dsir_select", "s12_bm25_topk",
       "s13_sq8_adc", "s14_hybrid_rrf", "q50_activity_heatmap",
       "t25_vocab_growth", "t14b_kn_perplexity", "s17_binary_rerank",
-      "t27_freq_spectrum", "d15_semantic_decontaminate")
+      // q55: the vocab census × the 1-row CMS grid aggregate —
+      // q41's X10 broadcast-scalar attach, ranked by estimate
+      "t27_freq_spectrum", "d15_semantic_decontaminate", "q55_cms_topk")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
