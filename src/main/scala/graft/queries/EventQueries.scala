@@ -342,9 +342,10 @@ object EventQueries {
             array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
             _.getField("event_type")), 1, 8), ">").as("path"))
       val census = paths.groupBy($"path").agg(count(lit(1)).as("n"))
-      val top = census.orderBy($"n".desc, $"path".asc).limit(20)
-      top.withColumn("rank",
-        row_number().over(Window.orderBy($"n".desc, $"path".asc)))
+      // TakeOrderedAndProject truncation + driver-side rank over the
+      // 20-row result (QueryUtil.withRank) — no single-partition
+      // window barrier, no unpartitioned-window WARN
+      QueryUtil.withRank(census.orderBy($"n".desc, $"path".asc).limit(20))
         .select($"rank", $"path", $"n")
     },
     Some("""WITH g AS (
@@ -415,9 +416,10 @@ object EventQueries {
         // short weird path must outrank a long normal one; the total
         // alone just measures activity
         .withColumn("avg_surprise_micro", expr("surprise_micro div n_transitions"))
-      val top = agg.orderBy($"avg_surprise_micro".desc, $"user_id".asc).limit(20)
-      top.withColumn("rank",
-        row_number().over(Window.orderBy($"avg_surprise_micro".desc, $"user_id".asc)))
+      // TakeOrderedAndProject truncation + driver-side rank (q47's
+      // pattern): no single-partition window barrier, no WARN
+      QueryUtil.withRank(
+          agg.orderBy($"avg_surprise_micro".desc, $"user_id".asc).limit(20))
         .select($"rank", $"user_id", $"n_transitions", $"surprise_micro",
           $"avg_surprise_micro")
     },
@@ -675,9 +677,11 @@ object EventQueries {
           .filter(size(split($"g", " ")) === n)
           .distinct()
         val census = grams.groupBy($"g").agg(count(lit(1)).as("support"))
-        val w = Window.orderBy($"support".desc, $"g".asc)
-        census.withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 10)
+        // per-n top-10 via TakeOrderedAndProject + driver-side rank
+        // (q47's pattern) — the old global rank window was a needless
+        // single-partition barrier per n, each logging the
+        // unpartitioned-window WARN
+        QueryUtil.withRank(census.orderBy($"support".desc, $"g".asc).limit(10))
           .select(lit(n.toLong).as("n"), $"rank",
             regexp_replace($"g", " ", ">").as("pattern"), $"support")
       }

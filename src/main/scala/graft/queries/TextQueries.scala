@@ -850,11 +850,14 @@ object TextQueries {
       val weighted = graft.operators.Dsir.importanceWeights(
         docs.withColumn("is_tgt", $"source".isin("src0", "src1")),
         "doc_id", "text", "is_tgt", DsirB)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"log_ratio".desc, $"doc_id".asc)
-      weighted
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= DsirTopK)
+      // Top-50 selection via TakeOrderedAndProject (per-partition
+      // heaps over the corpus-sized weight frame — strictly better at
+      // scale than the old global rank window, which sorted the whole
+      // frame through one partition) + driver-side rank on the 50-row
+      // result (QueryUtil.withRank); the metadata join then
+      // broadcasts the 50-row side.
+      QueryUtil.withRank(
+          weighted.orderBy($"log_ratio".desc, $"doc_id".asc).limit(DsirTopK))
         .join(docs.select($"doc_id", $"source".isin("src0", "src1").as("from_target")),
           Seq("doc_id"))
         .select($"doc_id", $"n_feats", $"log_ratio", $"rank", $"from_target")
@@ -1153,12 +1156,25 @@ object TextQueries {
       val tokCounts = toks.crossJoin(broadcast(nd))
         .groupBy(expr("doc_id * 10 div n_docs").as("decile"))
         .agg(count(lit(1)).as("n_tokens"))
-      val w = Window.orderBy($"decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tokCounts.join(newTypes, Seq("decile"), "left")
+      val base = tokCounts.join(newTypes, Seq("decile"), "left")
         .select($"decile", coalesce($"new_types", lit(0L)).as("new_types"), $"n_tokens")
-        .withColumn("cum_types", sum($"new_types").over(w))
-        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .orderBy($"decile")
+      // running totals over the ≤10-row decile frame are driver
+      // arithmetic (the q13/q54 pattern) — the old unpartitioned
+      // cumulative window was a needless single-partition barrier
+      // logging the WindowExec WARN on every run
+      val rows = base.collect()
+      var (ct, ctk) = (0L, 0L)
+      val out = rows.map { r =>
+        ct += r.getLong(1); ctk += r.getLong(2)
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2), ct, ctk)
+      }
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      s.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava),
+        StructType(Seq("decile", "new_types", "n_tokens", "cum_types", "cum_tokens")
+          .map(StructField(_, LongType, nullable = false))))
     },
     Some(s"""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
       toks AS (
