@@ -358,7 +358,7 @@ object MultimodalQueries {
     },
     headline = true)
 
-  private val HamT = 5 // within the 6x10-bit banding guarantee (<= 5)
+  private[graft] val HamT = 5 // within the 6x10-bit banding guarantee (<= 5)
   private val PngHdrLen = Multimodal.pngHeader(0, 0).length // 29
 
   /** d04's banded blocking over a 60-bit signature frame (item, h):
@@ -372,7 +372,7 @@ object MultimodalQueries {
     * guard (d02's salting or d13's frequency cap) exactly as
     * documented for the text banders.
     */
-  private def bandedHammingPairs(
+  private[graft] def bandedHammingPairs(
       hashes: org.apache.spark.sql.DataFrame,
       nBands: Int, bandBits: Int, thresh: Int): org.apache.spark.sql.DataFrame = {
     require(nBands * bandBits == 60 && thresh < nBands,
@@ -425,21 +425,29 @@ object MultimodalQueries {
     * nearest-sample fallback, exact cross-product bit decisions — so
     * the kernel arithmetic, not just the pair set, is oracle-checked.
     */
+  /** m05's three aHash variants (original / 2:1 box resize /
+    * re-encode perturbation) over an arbitrary (media_id, payload,
+    * kind) media frame — factored out so MultimodalScaleSpec can run
+    * the identical pipeline on a 10× synthetic blow-up.
+    */
+  private[graft] def m05Hashes(media: org.apache.spark.sql.DataFrame) = {
+    val s = media.sparkSession
+    import s.implicits._
+    import graft.functions.exprs
+    val imgs = media.filter($"kind" === "image").select($"media_id", $"payload")
+    def variant(v: Int, down: Int, perturb: Int) =
+      imgs.select(($"media_id" * 4 + v).as("item"),
+        exprs.ahash60($"payload", PngHdrLen, down, perturb).as("h"))
+    variant(0, 0, 0)
+      .unionByName(variant(1, 1, 0))
+      .unionByName(variant(2, 0, 16))
+  }
+
   val m05PerceptualNearDup = Q(
     "m05_perceptual_neardup",
     (s, dir) => {
-      import s.implicits._
-      import graft.functions.exprs
       ensureFixture(s)
-      val imgs = s.read.parquet(FixturePath)
-        .filter($"kind" === "image").select($"media_id", $"payload")
-      def variant(v: Int, down: Int, perturb: Int) =
-        imgs.select(($"media_id" * 4 + v).as("item"),
-          exprs.ahash60($"payload", PngHdrLen, down, perturb).as("h"))
-      val hashes = variant(0, 0, 0)
-        .unionByName(variant(1, 1, 0))
-        .unionByName(variant(2, 0, 16))
-      bandedHammingPairs(hashes, 6, 10, HamT)
+      bandedHammingPairs(m05Hashes(s.read.parquet(FixturePath)), 6, 10, HamT)
     },
     Some(s"""WITH imgs AS (
         SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n
@@ -486,7 +494,7 @@ object MultimodalQueries {
     headline = true)
 
   private val WavHdrLen = Multimodal.wavHeader(8000).length // 36
-  private val AudioHamT = 9 // within the 10x6-bit banding guarantee (<= 9)
+  private[graft] val AudioHamT = 9 // within the 10x6-bit banding guarantee (<= 9)
 
   /** m06: audio near-dup — 60-bit Haitsma–Kalker fingerprint
     * ([[graft.functions.AudioFp60]]: 16 fractional frames × 5
@@ -527,21 +535,28 @@ object MultimodalQueries {
     * bits — so the kernel arithmetic, not just the pair set, is
     * oracle-checked.
     */
+  /** m06's three audio-fingerprint variants (original / gain+DC-shift
+    * with a mild perturb / sparse byte perturbation) — factored out
+    * for MultimodalScaleSpec's 10x blow-up run.
+    */
+  private[graft] def m06Hashes(media: org.apache.spark.sql.DataFrame) = {
+    val s = media.sparkSession
+    import s.implicits._
+    import graft.functions.exprs
+    val auds = media.filter($"kind" === "audio").select($"media_id", $"payload")
+    def variant(v: Int, perturb: Int, gain: Int, off: Int) =
+      auds.select(($"media_id" * 4 + v).as("item"),
+        exprs.audio_fp60($"payload", WavHdrLen, perturb, gain, off).as("h"))
+    variant(0, 0, 1, 0)
+      .unionByName(variant(1, 2, 3, 7))
+      .unionByName(variant(2, 32, 1, 0))
+  }
+
   val m06AudioFingerprint = Q(
     "m06_audio_fingerprint",
     (s, dir) => {
-      import s.implicits._
-      import graft.functions.exprs
       ensureFixture(s)
-      val auds = s.read.parquet(FixturePath)
-        .filter($"kind" === "audio").select($"media_id", $"payload")
-      def variant(v: Int, perturb: Int, gain: Int, off: Int) =
-        auds.select(($"media_id" * 4 + v).as("item"),
-          exprs.audio_fp60($"payload", WavHdrLen, perturb, gain, off).as("h"))
-      val hashes = variant(0, 0, 1, 0)
-        .unionByName(variant(1, 2, 3, 7))
-        .unionByName(variant(2, 32, 1, 0))
-      bandedHammingPairs(hashes, 10, 6, AudioHamT)
+      bandedHammingPairs(m06Hashes(s.read.parquet(FixturePath)), 10, 6, AudioHamT)
     },
     Some {
       val fp = graft.functions.AudioFp60
@@ -645,46 +660,56 @@ object MultimodalQueries {
     * 3-gram shingles, the md5-prefix shingle hash, df cap, pair
     * census and the rounded Jaccard gate.
     */
+  /** m07's full frame-token shingle-Jaccard pipeline over an
+    * arbitrary media frame — factored out for MultimodalScaleSpec's
+    * 10x blow-up run.
+    */
+  private[graft] def m07Pairs(
+      media: org.apache.spark.sql.DataFrame,
+      dfCap: Long = VDfCap) = {
+    val s = media.sparkSession
+    import s.implicits._
+    import graft.functions.exprs
+    val vids = media.filter($"kind" === "video").select($"media_id", $"payload")
+    def variant(v: Int, trim: Int, perturb: Int) =
+      vids.select(($"media_id" * 4 + v).as("doc_id"),
+        exprs.video_sig($"payload", Mp4HdrLen, VFrameBytes, trim, perturb, VQuant)
+          .as("sg"))
+    val fdocs = variant(0, 0, 0)
+      .unionByName(variant(1, VTrim, 0))
+      .unionByName(variant(2, 0, 16))
+      .select($"doc_id",
+        concat_ws(" ", transform($"sg", _.cast("string"))).as("text"))
+    // distinct (doc, shingle-hash) set; checkpointed because sizes,
+    // the df census and BOTH sides of the pair join consume it
+    val sh = fdocs
+      .select($"doc_id",
+        explode(graft.operators.TextDedup.shingles($"text", 3)).as("s"))
+      .select($"doc_id", exprs.token_hash60($"s").as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val kept = sh.join(
+      sh.groupBy($"h").agg(count(lit(1)).as("dfc"))
+        .filter($"dfc" <= dfCap).select($"h"),
+      Seq("h"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round($"shared" / ($"sza" + $"szb" - $"shared"), 4).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+  }
+
   val m07VideoNearDup = Q(
     "m07_video_neardup",
     (s, dir) => {
-      import s.implicits._
-      import graft.functions.exprs
       ensureFixture(s)
-      val vids = s.read.parquet(FixturePath)
-        .filter($"kind" === "video").select($"media_id", $"payload")
-      def variant(v: Int, trim: Int, perturb: Int) =
-        vids.select(($"media_id" * 4 + v).as("doc_id"),
-          exprs.video_sig($"payload", Mp4HdrLen, VFrameBytes, trim, perturb, VQuant)
-            .as("sg"))
-      val fdocs = variant(0, 0, 0)
-        .unionByName(variant(1, VTrim, 0))
-        .unionByName(variant(2, 0, 16))
-        .select($"doc_id",
-          concat_ws(" ", transform($"sg", _.cast("string"))).as("text"))
-      // distinct (doc, shingle-hash) set; checkpointed because sizes,
-      // the df census and BOTH sides of the pair join consume it
-      val sh = fdocs
-        .select($"doc_id",
-          explode(graft.operators.TextDedup.shingles($"text", 3)).as("s"))
-        .select($"doc_id", exprs.token_hash60($"s").as("h"))
-        .distinct()
-        .localCheckpoint(true)
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-      val kept = sh.join(
-        sh.groupBy($"h").agg(count(lit(1)).as("dfc"))
-          .filter($"dfc" <= VDfCap).select($"h"),
-        Seq("h"))
-      val pairs = kept.as("a").join(kept.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
-        .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sza")), "doc_a")
-        .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("szb")), "doc_b")
-        .select($"doc_a", $"doc_b",
-          round($"shared" / ($"sza" + $"szb" - $"shared"), 4).as("jaccard"))
-        .filter($"jaccard" >= 0.5)
+      m07Pairs(s.read.parquet(FixturePath))
     },
     Some {
       val shingles3 = DedupQueries.shinglesSql(3)
