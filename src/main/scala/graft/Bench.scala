@@ -205,16 +205,21 @@ object Bench {
     // headline registry grew to 58 queries).
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = {
+      // cap 2 (was 8, then 4, then 3): each registry growth spends
+      // line budget; full per-query failure detail lives in
+      // BENCH_DETAIL.json
       val failed = failedReps.filter(_._2 > 0)
       if (failed.isEmpty) ""
       else {
-        val shown = failed.take(4).map { case (k, n) => "\"" + k + "\":" + n }
+        val shown = failed.take(2).map { case (k, n) => "\"" + k + "\":" + n }
           .mkString(""","failed_reps":{""", ",", "}")
-        val more = failed.length - 4
+        val more = failed.length - 2
         if (more > 0) shown + s""","failed_more":$more""" else shown
       }
     }
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"$failedJson}"""
+    // total at 3 dp: a raw double's 17-digit repr alone is ~1% of the
+    // driver's tail window
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"$failedJson}"""
   }
 
   // ---- ambient-load self-defense plumbing (pinned by BenchDefenseSpec) ----
