@@ -37,6 +37,12 @@ object BpeTrainer {
     */
   private def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs
+      // spread the corpus first (CLAUDE.md s01/s12 pattern): the
+      // explode + regex + census below are map-side on the scan's
+      // partitioning, and a single-file corpus scans 1-2 wide — at
+      // sf0.1 this stage ran ~2 cores wide and was most of t24's
+      // training wall-clock
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(wsTokens(col(textCol))).as("w"))
       .filter(col("w").rlike("^[A-Za-z0-9]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -129,7 +135,14 @@ object BpeTrainer {
       numMerges: Int,
       batched: Boolean = false,
       candPool: Int = 256): Seq[Merge] = {
-    var cur = wordTable(docs, textCol).localCheckpoint(true)
+    // LAZY checkpoint when batched: the word census then materializes
+    // inside round 1's pair-census job instead of paying its own
+    // barrier action first — a one-batch training run (small-merge
+    // queries like t16/t24) costs ONE job for census+selection, and
+    // multi-round runs still get flat lineage when the lazy
+    // checkpoint lands. Sequential mode keeps the eager checkpoint
+    // (its per-merge loop re-reads `cur` numMerges times).
+    var cur = wordTable(docs, textCol).localCheckpoint(!batched)
     val merges = Seq.newBuilder[Merge]
     var step = 1L
     var exhausted = false
