@@ -422,7 +422,12 @@ object AnalyticQueries {
     (s, dir) => {
       import s.implicits._
       import graft.functions.CountMinSketch
+      // spread the corpus first (CLAUDE.md s01/s12 pattern): the token
+      // explode + 4 md5 bucket hashes per token below are map-side on
+      // the scan's 1-2 single-row-group partitions otherwise —
+      // measured as the whole query running ~2 cores wide at sf1
       val toks = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(graft.functions.TextFunctions.wsTokens($"text")).as("t"))
       val cms = udaf(CountMinSketch)
       val sketch = toks
@@ -484,7 +489,12 @@ object AnalyticQueries {
     (s, dir) => {
       import s.implicits._
       import graft.functions.CountMinSketch
+      // spread the corpus first (CLAUDE.md s01/s12 pattern): the token
+      // explode + 4 md5 bucket hashes per token below are map-side on
+      // the scan's 1-2 single-row-group partitions otherwise —
+      // measured as the whole query running ~2 cores wide at sf1
       val toks = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(graft.functions.TextFunctions.wsTokens($"text")).as("t"))
       val cms = udaf(CountMinSketch)
       val sketch = toks
