@@ -342,4 +342,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"q53 must be pure aggregation:\n$p")
   }
+
+  test("d16 final plan reads checkpointed match-scale hits; no nested-loop anywhere") {
+    val p = plan("d16_ivf_decontaminate")
+    // d15's pin, inherited: the cell-blocked probe (the broadcast
+    // EQUI-join on c_id — the whole point of the IVF swap) lives in
+    // the checkpoint job; the final plan's argmax resolution must
+    // consume the materialized hits frame (match-scale), never
+    // re-scan the corpus, and unlike d15 there is NO declared BNLJ in
+    // the whole query — blocking replaced the nested-loop product
+    assert(count(p, "Scan parquet") == 0,
+      s"d16 re-scans the corpus in the argmax stage:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"d16's resolution degraded to a non-equi join:\n$p")
+  }
+
+  test("q55 ranks by estimate through TakeOrderedAndProject — no window barrier") {
+    val p = plan("q55_cms_topk")
+    // orderBy(est).limit(k) must plan per-partition heaps; a
+    // row_number window here would be a needless single-partition
+    // barrier (and the WindowExec WARN the r11 verdict flagged)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q55 lost its TakeOrderedAndProject truncation:\n$p")
+    assert(!p.contains("Window"),
+      s"q55 reintroduced a window barrier:\n$p")
+  }
+
+  test("pipe01 spreads the corpus once and stays equi-join end-to-end") {
+    val p = plan("pipe01_hygiene_ladder")
+    // the ladder's stages inherit ONE RoundRobin spread of the
+    // normalized corpus; the stage gates and the disposition frame
+    // are doc_id/term-keyed joins — no nested-loop pair expansion
+    // anywhere in the composed plan
+    assert(p.contains("RoundRobinPartitioning"),
+      s"pipe01 lost its corpus spread (scan-width trap):\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pipe01 plans a pair-expanding join:\n$p")
+  }
 }
