@@ -46,7 +46,7 @@ object BpeTrainer {
       .select(explode(wsTokens(col(textCol))).as("w"))
       .filter(col("w").rlike("^[A-Za-z0-9]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("w"), col("freq"),
         concat(lit("<"), array_join(split(col("w"), ""), "><"), lit(">")).as("s"),
         split(col("w"), "").as("syms"))
 
@@ -120,21 +120,43 @@ object BpeTrainer {
   /** Learn `numMerges` merges from the corpus. Stops early if the
     * vocabulary runs out of adjacent pairs.
     *
-    * `batched = true` is the production shape for 30–50k-merge runs:
-    * per pass, ONE pair census feeds a driver-side selection of a
-    * PROVABLY order-equivalent run of merges (see [[selectBatch]]),
-    * all applied in one map pass — so a pass costs 2 jobs however many
-    * merges it lands, instead of 2 jobs per merge. The learned merge
-    * table is identical to the sequential path's by construction
-    * (BpeTrainerSpec asserts it on the Sennrich fixture and the real
-    * corpus).
+    * Fast path first: BPE training is a pure function of the
+    * word-frequency census, and the census is VOCAB-sized, not
+    * corpus-sized — so when it fits on the driver (guarded by
+    * `take(collectVocabMax + 1)`, never an unbounded collect) the
+    * whole merge loop runs in driver memory off ONE cluster job
+    * (census + collect). This is how production tokenizer trainers
+    * work (word-count dict, then in-memory merges); the result is
+    * bit-identical to the distributed loop (BpeTrainerSpec pins
+    * in-memory ≡ sequential ≡ batched on the Sennrich fixture and the
+    * real corpus). A census too large to collect falls back to the
+    * distributed loop below — the shape that holds at 100 TB.
+    *
+    * `batched = true` is the distributed production shape for
+    * 30–50k-merge runs: per pass, ONE pair census feeds a driver-side
+    * selection of a PROVABLY order-equivalent run of merges (see
+    * [[selectBatch]]), all applied in one map pass — so a pass costs
+    * 2 jobs however many merges it lands, instead of 2 jobs per
+    * merge. The learned merge table is identical to the sequential
+    * path's by construction.
     */
   def learnMerges(
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
       batched: Boolean = false,
-      candPool: Int = 256): Seq[Merge] = {
+      candPool: Int = 256,
+      collectVocabMax: Int = 1 << 20): Seq[Merge] = {
+    if (collectVocabMax > 0) {
+      val census = wordTable(docs, textCol)
+        .select(col("syms"), col("freq"))
+        .take(collectVocabMax + 1)
+      if (census.length <= collectVocabMax)
+        return trainInMemory(
+          census.map(r => (r.getSeq[String](0).toArray, r.getLong(1))), numMerges)
+      // else: census exceeds the driver budget — fall through to the
+      // distributed loop (the extra census job is the fallback's cost)
+    }
     // LAZY checkpoint when batched: the word census then materializes
     // inside round 1's pair-census job instead of paying its own
     // barrier action first — a one-batch training run (small-merge
@@ -176,6 +198,108 @@ object BpeTrainer {
     }
     merges.result()
   }
+
+  /** The exact sequential merge loop on a collected (syms, freq)
+    * census: count every adjacent symbol pair weighted by word freq,
+    * take the max by (pf desc, l asc, r asc) — all symbols are
+    * alphanumeric ASCII, so Scala String ordering equals both
+    * engines' binary string order — apply it left-to-right
+    * non-overlapping (replace()'s scan semantics), repeat. The pair
+    * recount per merge is O(vocab × word length) — fine for the
+    * collectVocabMax × numMerges regimes routed here; a 30–50k-merge
+    * production run at the vocab cap would maintain pair counts
+    * incrementally (or take the distributed batched path).
+    */
+  private[operators] def trainInMemory(
+      words: Seq[(Array[String], Long)],
+      numMerges: Int): Seq[Merge] =
+    trainInMemoryFull(words, numMerges)._1
+
+  /** [[trainInMemory]] plus each input word's FINAL symbol list — the
+    * trained vocabulary applied to itself, which training computes
+    * anyway. For a sequentially-trained (collision-free) table this
+    * equals the greedy-rank kernel's segmentation (BpeTrainerSpec pins
+    * kernel ≡ chained ≡ training chain), so per-word token counts
+    * come out of training for free.
+    */
+  private[operators] def trainInMemoryFull(
+      words: Seq[(Array[String], Long)],
+      numMerges: Int): (Seq[Merge], Array[Array[String]]) = {
+    val merges = Seq.newBuilder[Merge]
+    var cur: Array[(Array[String], Long)] = words.toArray
+    var step = 1L
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      cur.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), pf) =
+          counts.minBy { case ((cl, cr), cpf) => (-cpf, cl, cr) }
+        merges += Merge(step, l, r, pf)
+        cur = cur.map { case (syms, f) => (mergePair(syms, l, r), f) }
+        step += 1
+      }
+    }
+    (merges.result(), cur.map(_._1))
+  }
+
+  /** Driver fast-path training that ALSO returns each census word's
+    * final token count under the learned merges — the t24 shape: the
+    * caller broadcast-joins the vocab-sized (word → n_tokens) map
+    * back onto the corpus instead of re-segmenting every occurrence.
+    * Returns None when the census exceeds `collectVocabMax` (the
+    * caller then takes its distributed path). `census` must carry
+    * (w, freq, syms) — pass [[wordCensus]] output, possibly derived
+    * from a reusable per-(doc, word) count frame so the corpus is
+    * exploded only once.
+    */
+  def learnMergesWithCounts(
+      census: DataFrame,
+      numMerges: Int,
+      collectVocabMax: Int = 1 << 20): Option[(Seq[Merge], Seq[(String, Int)])] = {
+    val rows = census.select(col("w"), col("freq"), col("syms"))
+      .take(collectVocabMax + 1)
+    if (rows.length > collectVocabMax) None
+    else {
+      val ws = rows.map(_.getString(0))
+      val (merges, finalSyms) = trainInMemoryFull(
+        rows.map(r => (r.getSeq[String](2).toArray, r.getLong(1))), numMerges)
+      Some((merges, ws.toSeq.zip(finalSyms.map(_.length).toSeq)))
+    }
+  }
+
+  /** The (w, freq, syms) census from any (w, freq) word-count frame —
+    * the seam that lets a caller build word counts once (e.g. from a
+    * per-(doc, word) frame it goes on to reuse) and train off them.
+    */
+  def wordCensus(wordCounts: DataFrame): DataFrame =
+    wordCounts.select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+
+  /** One merge applied to a symbol list, left-to-right non-overlapping
+    * — after a match the scan resumes AFTER the merged token, exactly
+    * `replace(s, '<l><r>', '<lr>')` on the self-delimited string.
+    */
+  private[operators] def mergePair(
+      syms: Array[String], l: String, r: String): Array[String] =
+    if (syms.length < 2) syms
+    else {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
 
   /** The longest prefix of this pass's census that sequential training
     * would PROVABLY pick in the same order. Candidates — sorted by the

@@ -1033,12 +1033,17 @@ object TextQueries {
     * segmented by the native greedy-rank kernel and per-document
     * token counts + chars-per-token compression ratios come out.
     *
-    * Scale shape: training is t16's driver-iterative vocab-sized
-    * loop; the APPLY pass is one explode (narrow) + one codegen'd
-    * `bpe_segment_word` call per word + one doc_id-partitioned
-    * aggregate — the merge table rides into the kernel as driver
-    * state (`PqEncodeCode`'s pattern), so the plan is O(1) nodes at
-    * any vocab size where the chained-replace form is O(merges).
+    * Scale shape: two map-side corpus passes — a vocab-partial word
+    * census for training, then one explode + broadcast (w → nt) join
+    * + doc_id aggregate. Training's driver fast path returns each
+    * census word's final token count for free, so no occurrence is
+    * ever segmented; past the driver-census budget the fallback
+    * trains distributed and runs the codegen'd `bpe_segment_word`
+    * kernel once per DISTINCT word (merge table as driver state,
+    * `PqEncodeCode`'s pattern — O(1) plan nodes at any vocab size).
+    * A shared per-(doc, word) count frame measured SLOWER than the
+    * second pass: its (doc_id, w) shuffle + checkpoint outweigh a
+    * map-only re-explode.
     *
     * Determinism: the kernel's greedy lowest-rank segmentation equals
     * the oracle's training-order chained replaces for collision-free
@@ -1052,22 +1057,39 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val merges = graft.operators.BpeTrainer
-        .learnMerges(docs, "text", BpeMerges, batched = true)
-      // spread the corpus first (CLAUDE.md s01/s12 pattern): the
-      // per-word kernel stage below is map-side on the scan's
-      // partitioning, and a single-file corpus scans 1-2 wide
-      val seg = docs
+      // spread the corpus first (CLAUDE.md s01/s12 pattern): both
+      // passes below are map-side on the scan's partitioning, and a
+      // single-file corpus scans 1-2 wide. A shared per-(doc, word)
+      // frame was measured SLOWER here: its (doc_id, w) shuffle +
+      // checkpoint cost more than the second map-only explode.
+      val words = docs
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id",
           explode(graft.functions.TextFunctions.wsTokens($"text")).as("w"))
         .filter($"w".rlike("^[A-Za-z0-9]+$"))
-        .select($"doc_id",
-          size(graft.functions.exprs.bpe_segment_word($"w",
-            merges.map(m => Array(m.left_sym, m.right_sym)).toArray))
-            .cast("long").as("nt"))
-      val agg = seg.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_words"), sum($"nt").as("n_bpe_tokens"))
+      val census = graft.operators.BpeTrainer.wordCensus(
+        words.groupBy($"w").agg(count(lit(1)).as("freq")))
+      // driver fast path: training also yields each word's final
+      // token count, broadcast-joined back — no per-occurrence
+      // segmentation. Census over the driver budget → distributed
+      // training + the greedy-rank kernel per DISTINCT word (both
+      // stay vocab-sized).
+      val perWord = graft.operators.BpeTrainer
+        .learnMergesWithCounts(census, BpeMerges) match {
+        case Some((_, counts)) => broadcast(counts.toDF("w", "nt"))
+        case None =>
+          val merges = graft.operators.BpeTrainer
+            .learnMerges(docs, "text", BpeMerges, batched = true,
+              collectVocabMax = 0)
+          broadcast(census.select($"w",
+            size(graft.functions.exprs.bpe_segment_word($"w",
+              merges.map(m => Array(m.left_sym, m.right_sym)).toArray))
+              .as("nt")))
+      }
+      val agg = words.join(perWord, Seq("w"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum($"nt").cast("long").as("n_bpe_tokens"))
       docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"n_words", lit(0L)).as("n_words"),

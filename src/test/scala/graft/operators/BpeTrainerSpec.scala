@@ -51,9 +51,22 @@ class BpeTrainerSpec extends SparkSpec {
   }
 
   test("batched == sequential on the Sennrich fixture") {
-    val seq = BpeTrainer.learnMerges(corpus, "text", 6)
-    val bat = BpeTrainer.learnMerges(corpus, "text", 6, batched = true)
+    // collectVocabMax = 0 forces the DISTRIBUTED paths — this pin is
+    // about the two cluster loops agreeing, not the driver fast path
+    val seq = BpeTrainer.learnMerges(corpus, "text", 6, collectVocabMax = 0)
+    val bat = BpeTrainer.learnMerges(corpus, "text", 6, batched = true,
+      collectVocabMax = 0)
     assert(bat == seq, s"batched $bat != sequential $seq")
+  }
+
+  test("in-memory fast path == distributed loop, fixture and fallback") {
+    val fast = BpeTrainer.learnMerges(corpus, "text", 6)
+    val dist = BpeTrainer.learnMerges(corpus, "text", 6, collectVocabMax = 0)
+    assert(fast == dist, s"in-memory $fast != distributed $dist")
+    // a census LARGER than the budget must fall back to the
+    // distributed loop and still produce the same table
+    val fallback = BpeTrainer.learnMerges(corpus, "text", 6, collectVocabMax = 1)
+    assert(fallback == dist, s"fallback $fallback != distributed $dist")
   }
 
   test("selectBatch stops at the first unprovable candidate") {
@@ -206,10 +219,32 @@ class BpeTrainerSpec extends SparkSpec {
     assert(out("alob") == Seq("a", "lo", "b"))
   }
 
+  test("learnMergesWithCounts: merges and final counts == kernel, real corpus") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val census = BpeTrainer.wordCensus(
+      docs.select(explode(graft.functions.TextFunctions.wsTokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+        .groupBy("w").agg(count(lit(1)).as("freq")))
+    val (merges, counts) = BpeTrainer.learnMergesWithCounts(census, 6).get
+    assert(merges == BpeTrainer.learnMerges(docs, "text", 6),
+      "census-seam training diverged from learnMerges")
+    val seg = BpeTrainer.segment(counts.map(_._1).toDF("w"), "w", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).length).toMap
+    counts.foreach { case (w, n) =>
+      assert(seg(w) == n, s"final-count $n != kernel ${seg(w)} for '$w'")
+    }
+    // over-budget census routes to the fallback (None), never truncates
+    assert(BpeTrainer.learnMergesWithCounts(census, 6, collectVocabMax = 1).isEmpty)
+  }
+
   test("batched == sequential on the real corpus, at fewer jobs per merge") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val n = 60
-    val seq = BpeTrainer.learnMerges(docs, "text", n)
+    val seq = BpeTrainer.learnMerges(docs, "text", n, collectVocabMax = 0)
+    // ...and the driver fast path agrees with both on the real corpus
+    assert(BpeTrainer.learnMerges(docs, "text", n) == seq,
+      "in-memory fast path diverged from the distributed loop on the real corpus")
 
     val sc = spark.sparkContext
     // measure the operator's scheduling economy, not AQE's accounting:
@@ -219,7 +254,8 @@ class BpeTrainerSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sc.setJobGroup("bpe-batched", "batched BPE job count", false)
     val bat =
-      try BpeTrainer.learnMerges(docs, "text", n, batched = true)
+      try BpeTrainer.learnMerges(docs, "text", n, batched = true,
+        collectVocabMax = 0)
       finally {
         sc.clearJobGroup()
         spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
