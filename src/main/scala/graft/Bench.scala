@@ -10,6 +10,12 @@ import graft.queries.Registry
   * Set SPARK_GRAFT_BENCH_ALL=1 to time the full registry instead.
   */
 object Bench {
+  // JSON numbers must be locale-independent: the f"" interpolator uses
+  // the JVM default locale, which on a comma-decimal host would emit
+  // "42,200" and break every parser downstream (ADVICE r12).
+  private[graft] def num(v: Double, dp: Int): String =
+    s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -163,14 +169,27 @@ object Bench {
         val oj = matched.map { case (k, _) =>
           "\"" + k + "\":" + oracleTimes(k) }.mkString("{", ",", "}")
         val rj = matched.map { case (k, v) =>
-          "\"" + k + "\":" + f"${v / oracleTimes(k)}%.2f" }.mkString("{", ",", "}")
+          "\"" + k + "\":" + num(v / oracleTimes(k), 2) }.mkString("{", ",", "}")
         parts += s""""oracle_sec":$oj,"spark_over_duckdb":$rj"""
       }
       if (reruns.nonEmpty)
         parts += reruns.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
-          "\"" + k + "\":{\"first\":" + f"$a%.3f" + ",\"rerun\":" + f"$b%.3f" + "}"
+          "\"" + k + "\":{\"first\":" + num(a, 3) + ",\"rerun\":" + num(b, 3) + "}"
         }.mkString(""""rerun":{""", ",", "}")
-      parts += f""""load1_start":$load1Start%.2f,"load1_end":${load1()}%.2f"""
+      val regressed = quietRegressions(results, quietTimes)
+      if (regressed.nonEmpty) {
+        parts += regressed.map { case (k, now, anchor) =>
+          "\"" + k + "\":{\"now\":" + num(now, 3) + ",\"anchor\":" + num(anchor, 3) + "}"
+        }.mkString(""""quiet_regressions":{""", ",", "}")
+        // stderr + pre-line stdout note so a regression is visible in
+        // the log even when only BENCH_DETAIL survives; printed BEFORE
+        // the metric line so the driver's 2000-char tail still parses
+        regressed.foreach { case (k, now, anchor) =>
+          Console.err.println(
+            f"[bench] QUIET REGRESSION $k: $now%.3f s vs anchor $anchor%.3f s (${now / anchor}%.1fx)")
+        }
+      }
+      parts += """"load1_start":""" + num(load1Start, 2) + ""","load1_end":""" + num(load1(), 2)
       parts.result().mkString("{", ",", "}")
     }
     try {
@@ -193,7 +212,7 @@ object Bench {
       failedReps: Seq[(String, Int)],
       sfDir: String): String = {
     val qJson = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     // total = sum of successful medians; failed queries are reported in
     // failed_reps (and as -1.0 in queries), not subtracted from total.
@@ -219,7 +238,7 @@ object Bench {
     }
     // total at 3 dp: a raw double's 17-digit repr alone is ~1% of the
     // driver's tail window
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"$failedJson}"""
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qJson,"sf":"$sfDir"$failedJson}"""
   }
 
   // ---- ambient-load self-defense plumbing (pinned by BenchDefenseSpec) ----
@@ -243,6 +262,28 @@ object Bench {
     *     0.055 s query is ambient load worth one retry, while sub-0.2 s
     *     deltas are genuine scheduler jitter.
     */
+  /** Post-rerun regression flags: queries whose FINAL reading (after
+    * the ambient-load rerun already took the lower of two medians)
+    * still exceeds 2x their recorded quiet anchor. The rerun machinery
+    * corrects ambient outliers but lets a REAL plan regression enter
+    * the record silently when it sits under every absolute bar —
+    * r12's t25 slipped 0.258 → 0.602 s (2.3x), invisible to the
+    * perf-weak gate (needs ≥1 s) and to best-prev drift (needs 3x),
+    * and was only caught at judging. Same 0.2 s floor as the quiet
+    * rerun trigger: quiet anchors are measured medians, so a 2x ratio
+    * above it is signal, while sub-0.2 s deltas are scheduler jitter.
+    * Returns (name, finalReading, anchor), emitted as
+    * `quiet_regressions` in BENCH_DETAIL.json and as a pre-line
+    * warning on stderr.
+    */
+  def quietRegressions(
+      results: Seq[(String, Double)],
+      quiet: Map[String, Double]): Seq[(String, Double, Double)] =
+    results.collect {
+      case (k, v) if v >= 0.2 &&
+        quiet.get(k).exists(a => a > 0 && v > 2 * a) => (k, v, quiet(k))
+    }
+
   def needsRerun(
       name: String,
       median: Double,

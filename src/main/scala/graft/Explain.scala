@@ -26,6 +26,19 @@ object Explain {
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // The pre-execution print above shows AQE's INITIAL plan, where
+      // stage reuse (ReusedExchange across canonically-equal subtrees)
+      // is not yet decided — set SPARK_GRAFT_EXPLAIN_FINAL=1 to also
+      // print the executed plan AQE actually ran.
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FINAL")) {
+        // count() and write() each build a NEW QueryExecution, so df's
+        // own AdaptiveSparkPlan stays un-executed (isFinalPlan=false)
+        // and would print without runtime reuse markers — collect()
+        // is the one action that runs df.queryExecution itself.
+        df.collect()
+        println(s"---------- $name (final adaptive plan) ----------")
+        df.explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -49,6 +49,31 @@ object CountMinSketch extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 
+  /** Weighted insert: (buckets, weight) adds `weight` to one cell per
+    * depth row. Because every grid cell is a plain sum, inserting the
+    * vocab-sized census (token → count) yields BIT-IDENTICAL grids to
+    * inserting each occurrence — which lets q41/q55 build the sketch
+    * from the exact census they aggregate anyway, deleting the second
+    * full corpus pass (and its 4 md5s per OCCURRENCE; the weighted
+    * build hashes each token once per TYPE). The per-occurrence
+    * aggregator above stays the streaming face's insert path, where
+    * no census exists.
+    */
+  object Weighted extends Aggregator[(Seq[Int], Long), Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = CountMinSketch.zero
+    override def reduce(buf: Array[Long], in: (Seq[Int], Long)): Array[Long] = {
+      val (buckets, w) = in
+      var i = 0
+      while (i < Depth) { buf(i * Width + buckets(i)) += w; i += 1 }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      CountMinSketch.merge(a, b)
+    override def finish(s: Array[Long]): Seq[Long] = s.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 

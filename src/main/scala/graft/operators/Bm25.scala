@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The BM25 scoring stage, factored out of s12 so the one-shot query
@@ -88,8 +87,6 @@ object Bm25 {
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .select(col("term"), col("df"), col("s_tok"), col("n_docs"), col("idf"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
     tf.join(broadcast(dfreq), "term")
       // the BM25 term-frequency saturation num/denom are per-POSTING
       // values: compute them on the posting frame (before the qt join
@@ -111,12 +108,29 @@ object Bm25 {
           .cast("long").as("c"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("sum_c"))
-      // 4-dp half-up entirely in bigint arithmetic, then ONE exact
-      // integer / 1e4 division
+      // 4-dp half-up entirely in bigint arithmetic — score_i is the
+      // rounded score in 1e-4 units, a bigint, so the top-k order
+      // (score desc, doc_id asc) is the integer order (-score_i asc,
+      // doc_id asc)
       .select(col("query_id"), col("doc_id"),
-        (expr("(sum_c + 50) div 100") / lit(10000.0)).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+        expr("(sum_c + 50) div 100").as("score_i"))
+      // Per-query top-k folded INTO the aggregation (the q54
+      // BottomKPairsAgg pattern): a native bottom-k heap per query
+      // keeps k pairs ordered by (-score_i, doc_id) — partial
+      // aggregation truncates map-side, so the final exchange moves
+      // only k-sized heaps per query per partition, where the old
+      // pair-agg → row_number window shape exchanged EVERY scored
+      // (query, doc) pair and then paid a sort + window stage (r12's
+      // one remaining perf barrier). doc_id rides as the double
+      // payload (exact to 2^53).
+      .groupBy(col("query_id"))
+      .agg(graft.functions.BottomKPairsAgg.bottomKPairs(
+        -col("score_i"), col("doc_id").cast("double"), k).as("top"))
+      // eval() returns the pairs already sorted by (h asc, v asc) =
+      // (score desc, doc_id asc) — rank is the array position
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.v").cast("long").as("doc_id"),
+        (-col("col.h") / lit(10000.0)).as("score"))
   }
 }

@@ -214,6 +214,19 @@ object Decontaminate {
     * a per-bench-item window ranks them — sim DESC NULLS LAST, cell
     * ASC, exactly the kernel's tie-break, so a zero benchmark vector
     * probes cells 0..nprobe-1 on both engines.
+    *
+    * Broadcast budget: the probe frame carries the full benchmark
+    * vectors, so the broadcast is nprobe × |bench| × (dim × 4 B +
+    * ~24 B) — at nprobe 8, dim 768, a 1 M-item benchmark is ~25 GB
+    * and does NOT fit. The bound is what this operator is sized for:
+    * benchmark suites are split-sized (10³–10⁶ rows; at 10⁵ ×
+    * nprobe 8 × dim 64 the probe frame is ~0.2 GB, inside Spark's 8 GB
+    * broadcast ceiling with default driver memory the binding limit).
+    * Past it, drop the `broadcast()` hint and let the cell-id
+    * equi-join shuffle BOTH sides on c_id — same semantics, same
+    * output, one extra corpus-side exchange (hash on the already
+    * computed cell id), which is exactly the fallback a planner with
+    * statistics would pick on its own.
     */
   def semanticHitsIvf(
       corpus: DataFrame,

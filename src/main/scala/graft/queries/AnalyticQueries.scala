@@ -429,11 +429,20 @@ object AnalyticQueries {
       val toks = Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(explode(graft.functions.TextFunctions.wsTokens($"text")).as("t"))
-      val cms = udaf(CountMinSketch)
-      val sketch = toks
-        .select(CountMinSketch.buckets($"t").as("bks"))
-        .agg(cms($"bks").as("sketch"))
-      val top = toks.groupBy($"t").agg(count(lit(1)).as("exact_cnt"))
+      // ONE corpus pass: the exact census the query needs anyway also
+      // feeds the sketch via WEIGHTED insert ((token, count) → grid —
+      // bit-identical to per-occurrence insert because every cell is a
+      // plain sum; the oracle's own bux/cells shape). Both consumers
+      // read identical aggregate output, so the census exchange is
+      // planned once and reused — the old per-occurrence sketch build
+      // re-scanned and re-hashed the whole corpus (4 md5s per
+      // occurrence vs per TYPE here).
+      val census = toks.groupBy($"t").agg(count(lit(1)).as("exact_cnt"))
+      val cmsW = udaf(CountMinSketch.Weighted)
+      val sketch = census
+        .select(CountMinSketch.buckets($"t").as("bks"), $"exact_cnt")
+        .agg(cmsW($"bks", $"exact_cnt").as("sketch"))
+      val top = census
         .orderBy($"exact_cnt".desc, $"t".asc).limit(10)
       top.crossJoin(sketch)
         .select($"t".as("word"), $"exact_cnt",
@@ -496,11 +505,16 @@ object AnalyticQueries {
       val toks = Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(explode(graft.functions.TextFunctions.wsTokens($"text")).as("t"))
-      val cms = udaf(CountMinSketch)
-      val sketch = toks
-        .select(CountMinSketch.buckets($"t").as("bks"))
-        .agg(cms($"bks").as("sketch"))
-      toks.groupBy($"t").agg(count(lit(1)).as("exact_cnt"))
+      // ONE corpus pass (see q41): the census feeds BOTH the candidate
+      // probe and the sketch (weighted insert, bit-identical grid),
+      // so the corpus is scanned and tokenized once and the census
+      // exchange is reused between the branches.
+      val census = toks.groupBy($"t").agg(count(lit(1)).as("exact_cnt"))
+      val cmsW = udaf(CountMinSketch.Weighted)
+      val sketch = census
+        .select(CountMinSketch.buckets($"t").as("bks"), $"exact_cnt")
+        .agg(cmsW($"bks", $"exact_cnt").as("sketch"))
+      census
         .crossJoin(broadcast(sketch))
         .select($"t".as("word"), $"exact_cnt",
           CountMinSketch.probe($"sketch", $"t").as("est_cnt"))

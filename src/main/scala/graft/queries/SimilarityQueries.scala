@@ -859,8 +859,11 @@ object SimilarityQueries {
     * would persist/write the compact posting lists once; here each
     * branch recomputes the cheap kernel scan instead — at one query
     * batch per corpus read, materialization costs more than it saves.)
-    * Top-10 via row_number + filter, which Spark pre-truncates with
-    * WindowGroupLimit before the final sort. At 100 TB the posting
+    * Top-10 is folded into a native bottom-k-per-query aggregate
+    * (the q54 BottomKPairsAgg pattern): partial aggregation truncates
+    * map-side, so the per-query exchange moves k-sized heaps instead
+    * of every scored pair, and the sort + window stage the old
+    * row_number shape paid is gone. At 100 TB the posting
     * lists are the big side and stopword terms are the skew — AQE's
     * skew-join split handles them; block-max WAND pruning is the next
     * rung and is deliberately out of scope.
@@ -1154,14 +1157,16 @@ object SimilarityQueries {
     * results that are relevant to the query but not redundant with
     * each other, score(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).
     * Greedy by definition — each pick changes the redundancy term for
-    * the rest — so the plan runs KSEL small model-sized rounds, the
-    * exact structure k-means (s06) and BPE training (t16) already use.
+    * the rest — and the greedy state is |Q|×CPOOL, so the rounds run
+    * as DRIVER arithmetic over the collected pool (the q13/q54/t16
+    * driver-model pattern), not as KSEL sequential Spark jobs.
     *
     * Scale shape: ONE corpus pass builds the top-CPOOL candidate pool
     * per query (s01's broadcast-queries scan + WindowGroupLimit), and
     * the pool is checkpointed WITH its embeddings so the pairwise
-    * similarity matrix (|Q| × CPOOL² rows) and every greedy round
-    * run on model-sized frames only — the corpus is never rescanned.
+    * similarity matrix (|Q| × CPOOL² rows) never rescans the corpus;
+    * both frames are then model-sized, collected once, and the KSEL
+    * greedy rounds cost zero job barriers.
     *
     * Determinism: rel and s_ab are round-6 cosines; λ = 0.5 makes
     * λ·rel and (1−λ)·ms EXACT FP products (power of two), and the
@@ -1195,31 +1200,46 @@ object SimilarityQueries {
         .select($"q_id", $"d_a", $"d_b",
           round(cosineSimilarity($"emb_a", $"emb_b"), 6).as("s_ab"))
         .localCheckpoint(true)
-      val pool = cand.select($"q_id", $"doc_id", $"rel")
-      // round 1: argmax relevance (ms = 0 over the empty selected set)
-      var selected = pool.withColumn("rk", row_number().over(wc)).filter($"rk" === 1)
-        .select($"q_id", $"doc_id", lit(1).as("sel_rank"),
-          (lit(MmrLambda) * $"rel").as("mmr_score"))
-      var remaining = pool
-        .join(selected.select($"q_id", $"doc_id"), Seq("q_id", "doc_id"), "left_anti")
-      for (i <- 2 to KSEL) {
-        val scored = remaining.as("r")
-          .join(ps.as("p"), $"r.q_id" === $"p.q_id" && $"r.doc_id" === $"p.d_a")
-          .join(selected.select($"q_id".as("sq"), $"doc_id".as("sd")),
-            $"p.q_id" === $"sq" && $"p.d_b" === $"sd")
-          .groupBy($"r.q_id", $"r.doc_id", $"r.rel")
-          .agg(max($"p.s_ab").as("ms"))
-          .select($"q_id", $"doc_id",
-            (lit(MmrLambda) * $"rel" - lit(1 - MmrLambda) * coalesce($"ms", lit(0.0)))
-              .as("mmr_score"))
-        val wi = Window.partitionBy($"q_id").orderBy($"mmr_score".desc, $"doc_id".asc)
-        val pick = scored.withColumn("rk", row_number().over(wi)).filter($"rk" === 1)
-          .select($"q_id", $"doc_id", lit(i).as("sel_rank"), $"mmr_score")
-        selected = selected.union(pick)
-        remaining = remaining
-          .join(pick.select($"q_id", $"doc_id"), Seq("q_id", "doc_id"), "left_anti")
+      // Greedy selection on the DRIVER (the q13/q54/withRank pattern):
+      // the pool (|Q|×CPOOL) and pairwise-sim (|Q|×CPOOL²) frames are
+      // model-sized and already checkpointed — running the KSEL rounds
+      // as Spark jobs paid ~3·KSEL sequential job barriers over
+      // few-thousand-row frames (r12's heaviest non-pipeline headliner
+      // at 3.2 s). Arithmetic is byte-identical to the oracle's CTE
+      // chain: score = λ·rel − (1−λ)·max s_ab with λ = 0.5 (both
+      // products exact powers-of-two scalings), max is order-free,
+      // ties break on doc_id asc. Round 1 (empty selected set) scores
+      // 0.5·rel, whose order equals the rel order the oracle's sel1
+      // uses (exact monotone scaling).
+      val poolRows = cand.select($"q_id", $"doc_id", $"rel").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val simByPair = ps.collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+        .toMap
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+      poolRows.groupBy(_._1).foreach { case (qid, cs) =>
+        var rem = cs.map(c => (c._2, c._3)).toVector // (doc_id, rel)
+        val sel = scala.collection.mutable.ArrayBuffer[Long]()
+        var i = 1
+        while (i <= KSEL && rem.nonEmpty) {
+          var bestDoc = -1L
+          var bestScore = Double.NegativeInfinity
+          rem.foreach { case (d, rel) =>
+            val score =
+              if (sel.isEmpty) MmrLambda * rel
+              else MmrLambda * rel -
+                (1 - MmrLambda) * sel.iterator.map(sd => simByPair((qid, d, sd))).max
+            if (score > bestScore || (score == bestScore && d < bestDoc)) {
+              bestDoc = d; bestScore = score
+            }
+          }
+          out += ((qid, i, bestDoc, bestScore))
+          sel += bestDoc
+          rem = rem.filter(_._1 != bestDoc)
+          i += 1
+        }
       }
-      selected.select($"q_id", $"sel_rank", $"doc_id", $"mmr_score")
+      out.toSeq.toDF("q_id", "sel_rank", "doc_id", "mmr_score")
     },
     Some {
       def cos(a: String, b: String) =

@@ -1153,39 +1153,63 @@ object TextQueries {
     * = decile of the FIRST document containing it, so the curve is
     * exactly "read the corpus in doc_id order, count first sightings".
     *
-    * Scale shape: two censuses over the token stream (first-sighting
-    * via min(doc_id) per type — one shuffle on the token; per-decile
-    * token totals — map-side partials into 10 cells); the corpus
-    * count rides as a 1-row broadcast (X10 pattern); cumulative sums
-    * run over the 10-row frame. All integers end-to-end: decile =
-    * (doc_id·10) div n_docs, exact on both engines.
+    * Scale shape: ONE census over the token stream — (type, decile)
+    * with map-side partials, the plan's only corpus-scale shuffle —
+    * localCheckpointed (vocab×10 rows) and consumed twice: min(decile)
+    * per type gives first sightings, a per-decile sum gives token
+    * totals. The corpus count rides as a 1-row broadcast (X10
+    * pattern); cumulative sums run over the 10-row frame. All
+    * integers end-to-end: decile = (doc_id·10) div n_docs, exact on
+    * both engines.
     */
-  val t25VocabGrowth = Q(
-    "t25_vocab_growth",
-    (s, dir) => {
+  /** t25's pre-collect decile frame, exposed for plan audits (the
+    * registry df itself is driver-built post-collect, so Explain and
+    * PlanShapeSpec would only ever see a LocalTableScan).
+    */
+  private[graft] def t25Base(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       val toks = docs
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id",
           explode(graft.functions.TextFunctions.wsTokens($"text")).as("tok"))
-      val newTypes = toks.groupBy($"tok").agg(min($"doc_id").as("first_doc"))
-        .crossJoin(broadcast(nd))
-        .groupBy(expr("first_doc * 10 div n_docs").as("decile"))
+      // ONE corpus pass: a (type, decile) census feeds BOTH frames —
+      // first sighting is min(decile) per type (decile is monotone in
+      // doc_id, so decile(min(doc_id)) = min(decile)), totals are a
+      // per-decile sum — r12's shape re-scanned and re-tokenized the
+      // corpus once per consumer. The census subtree is shared via
+      // AQE runtime stage reuse (ReusedExchange), which requires the
+      // two consumers' census aggregates to stay CANONICALLY EQUAL:
+      // the filter below references cnt (a tautology — counts are
+      // ≥ 1) so column pruning cannot drop the count from the
+      // first-sighting branch's census and specialize the subtrees
+      // (the s12 s_tok lesson).
+      val census = toks.crossJoin(broadcast(nd))
+        .groupBy($"tok", expr("doc_id * 10 div n_docs").as("decile"))
+        .agg(count(lit(1)).as("cnt"))
+      val newTypes = census.filter($"cnt" > 0)
+        .groupBy($"tok").agg(min($"decile").as("decile"))
+        .groupBy($"decile")
         .agg(count(lit(1)).as("new_types"))
-      val tokCounts = toks.crossJoin(broadcast(nd))
-        .groupBy(expr("doc_id * 10 div n_docs").as("decile"))
-        .agg(count(lit(1)).as("n_tokens"))
-      val base = tokCounts.join(newTypes, Seq("decile"), "left")
+      val tokCounts = census
+        .groupBy($"decile")
+        .agg(sum($"cnt").as("n_tokens"))
+      tokCounts.join(newTypes, Seq("decile"), "left")
         .select($"decile", coalesce($"new_types", lit(0L)).as("new_types"), $"n_tokens")
         .orderBy($"decile")
+  }
+
+  val t25VocabGrowth = Q(
+    "t25_vocab_growth",
+    (s, dir) => {
+      import s.implicits._
       // running totals over the ≤10-row decile frame are driver
       // arithmetic (the q13/q54 pattern) — the old unpartitioned
       // cumulative window was a needless single-partition barrier
       // logging the WindowExec WARN on every run
-      val rows = base.collect()
+      val rows = t25Base(s, dir).collect()
       var (ct, ctk) = (0L, 0L)
       val out = rows.map { r =>
         ct += r.getLong(1); ctk += r.getLong(2)

@@ -369,6 +369,53 @@ class PlanShapeSpec extends SparkSpec {
       s"q55 reintroduced a window barrier:\n$p")
   }
 
+  /** FINAL adaptive plan: runtime stage reuse (ReusedExchange across
+    * canonically-equal subtrees) is only decided during execution and
+    * never appears in the initial plan — collect() is the one action
+    * that runs df's own queryExecution (count()/write() each build a
+    * new one and leave df's AdaptiveSparkPlan isFinalPlan=false).
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    // the executed AdaptiveSparkPlan prints BOTH sections; keep only
+    // the final one (the initial plan legitimately repeats subtrees
+    // that runtime reuse then collapses)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q41/q55 build the CMS grid from the census — the corpus is tokenized ONCE at runtime") {
+    GraftExtensions.install(spark)
+    // the weighted-insert rework derives BOTH the sketch and the
+    // candidate/probe frame from one (token, count) census; AQE must
+    // see the two branches' census subtrees as canonically equal and
+    // replace the second with a ReusedExchange — a second Generate
+    // (explode) in the final plan means the corpus pass is duplicated
+    Seq("q41_countmin", "q55_cms_topk").foreach { name =>
+      val p = finalPlan(Registry.byName(name).run(spark, sfDir))
+      assert(count(p, "Generate") == 1,
+        s"$name tokenizes the corpus more than once at runtime:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"$name's census exchange is not shared between branches:\n$p")
+    }
+  }
+
+  test("t25's (type, decile) census is computed once and shared by both consumers") {
+    GraftExtensions.install(spark)
+    val p = finalPlan(graft.queries.TextQueries.t25Base(spark, sfDir))
+    assert(count(p, "Generate") == 1,
+      s"t25 tokenizes the corpus more than once at runtime:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"t25's census exchange is not shared between branches:\n$p")
+  }
+
+  test("s12 folds its per-query top-k into the native bottom-k aggregate — no window stage") {
+    val p = plan("s12_bm25_topk")
+    assert(p.contains("bottom_k_pairs"),
+      s"s12's top-k lost the native bottom-k aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"s12 reintroduced a window/sort barrier after the pair aggregation:\n$p")
+  }
+
   test("pipe01 spreads the corpus once and stays equi-join end-to-end") {
     val p = plan("pipe01_hygiene_ladder")
     // the ladder's stages inherit ONE RoundRobin spread of the

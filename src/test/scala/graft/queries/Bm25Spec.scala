@@ -36,12 +36,17 @@ class Bm25Spec extends SparkSpec {
     assert(!out.exists(_._3 == 3L), s"disjoint doc leaked into top-k: $out")
   }
 
-  test("query terms join broadcasts; top-10 keeps WindowGroupLimit") {
+  test("query terms join broadcasts; top-10 folds into the bottom-k aggregate") {
     val p = SimilarityQueries.s12Bm25.run(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       s"query-term join must broadcast, plan:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"top-10 must pre-truncate with WindowGroupLimit, plan:\n$p")
+    // per-query top-10 is the native bottom-k heap aggregate (partial
+    // aggregation truncates map-side); a window/sort stage here would
+    // re-exchange every scored pair (the r12 perf barrier)
+    assert(p.contains("bottom_k_pairs"),
+      s"top-10 must run as the native bottom-k aggregate, plan:\n$p")
+    assert(!p.contains("Window"),
+      s"s12 reintroduced a window barrier, plan:\n$p")
   }
 }
