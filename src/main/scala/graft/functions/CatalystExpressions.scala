@@ -1244,6 +1244,27 @@ object Sq8Encode {
 /** Static kernel for [[PqEncodeCode]]. */
 object PqExprImpl {
 
+  /** [[MatVecF]]'s row math: double-accumulated dots in j order, each
+    * output element rounded to binary32 — see the expression's
+    * Scaladoc for the cross-engine contract.
+    */
+  def matVecF(vec: ArrayData, rows: Array[Array[Float]]): ArrayData = {
+    if (vec.numElements() != rows(0).length)
+      throw new IllegalArgumentException(
+        s"mat_vec_f: vector has ${vec.numElements()} dims, expected ${rows(0).length}")
+    val out = new Array[Any](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      var s = 0.0
+      var j = 0
+      while (j < r.length) { s += r(j).toDouble * vec.getFloat(j).toDouble; j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Index of the nearest codeword to `vec`'s subspace slice
     * [start, start+subDim), by rounded squared L2 with first-min
     * tie-break — bit-identical to the declarative formula
@@ -1690,6 +1711,41 @@ case class BpeSegmentWord(child: Expression, merges: Array[Array[String]])
     copy(child = newChild)
 }
 
+/** Native dense matrix × float-vector product: y_i = float(Σ_j
+  * rows[i][j]·x_j), double accumulation in j order — the rotation
+  * kernel of [[graft.operators.Opq]] (one codegen'd call per corpus
+  * row; the matrix rides as a codegen reference object like
+  * CoarseAssignCell's centroids). Mirrors [[Opq.rotateVec]] and the
+  * oracle's `CAST(list_dot_product(x::DOUBLE[], row) AS FLOAT)`
+  * bit-for-bit. Fails loudly on a wrong-dimension vector — a silent
+  * truncation would rotate garbage.
+  */
+case class MatVecF(child: Expression, rows: Array[Array[Float]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"mat_vec_f requires ARRAY<FLOAT> input, got ${t.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def prettyName: String = "mat_vec_f"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqExprImpl.matVecF(v.asInstanceOf[ArrayData], rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matRows", rows, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.PqExprImpl.matVecF($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecF =
+    copy(child = newChild)
+}
+
 /** Native coarse-quantizer assignment: vector → nearest centroid's
   * cell id ([[PqExprImpl.assignCell]]). The centroid matrix rides as
   * driver-side constructor state (a codegen reference object), not a
@@ -1775,6 +1831,9 @@ object exprs {
 
   def coarse_assign_cell(c: Column, centroids: Array[Array[Float]]): Column =
     SparkShims.column(CoarseAssignCell(SparkShims.expression(c), centroids))
+
+  def mat_vec_f(c: Column, rows: Array[Array[Float]]): Column =
+    SparkShims.column(MatVecF(SparkShims.expression(c), rows))
 
   def pq_encode_code(
       c: Column, subStart: Int, subDim: Int, codes: Array[Array[Float]],

@@ -214,17 +214,22 @@ object SimilarityQueries {
     * oracles. Ends with `assigned` (vec_id, embedding, c_id), `q`, and
     * `probes` (q_id, q_emb, c_id).
     */
-  private def coarseSql: String =
+  private def coarseSql: String = coarseSqlOver("embeddings")
+
+  /** [[coarseSql]] over an arbitrary (vec_id, embedding) source CTE —
+    * s18 runs the identical chain over the ROTATED table.
+    */
+  private def coarseSqlOver(src: String): String =
     s"""cents AS (
-        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCENTROIDS),
+        SELECT vec_id AS c_id, embedding AS c_emb FROM $src WHERE vec_id < $NCENTROIDS),
       assigned AS (
         SELECT vec_id, embedding, c_id FROM (
           SELECT e.vec_id, e.embedding, c.c_id,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id ASC) AS arn
-          FROM embeddings e, cents c)
+          FROM $src e, cents c)
         WHERE arn = 1),
-      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM $src WHERE vec_id < $NQ),
       probes AS (
         SELECT q_id, q_emb, c_id FROM (
           SELECT q.q_id, q.q_emb, c.c_id,
@@ -1516,8 +1521,111 @@ object SimilarityQueries {
       FROM ranked WHERE rank <= $K"""),
     headline = true)
 
+  /** s18: rotated product quantization — the OPQ rung of the ANN
+    * ladder (Ge et al. 2013 "Optimized Product Quantization"; FAISS's
+    * `OPQ` pre-transform). PQ quantizes subspaces independently, so
+    * energy concentrated in a few dims wastes codewords; s18 applies
+    * a seeded structured orthogonal rotation R = H·D
+    * ([[graft.operators.Opq]] — exactly orthogonal by construction,
+    * closed-form, hash-seeded) and re-runs the ENTIRE s10 IVF×PQ
+    * pipeline in the rotated space: rotated centroids, rotated
+    * codebook seeds, rotated probes, cell-restricted ADC rank. OpqSpec
+    * pins R·Rᵀ = I bit-exactly, kernel ≡ driver rotation, norm
+    * preservation, and distortion PARITY with s08's unrotated
+    * codebooks on the real table (the testdata embeddings are
+    * near-isotropic, so there is nothing for a rotation to fix —
+    * measured ±2% of raw across SFs and Lloyd/ramp variants; OPQ's
+    * win lives on correlated/PCA-ordered real-world embeddings,
+    * attribution pinned the m07 way).
+    *
+    * Scale shape: the rotation is ONE codegen'd matvec kernel call
+    * per corpus row inside the same projection pass that assigns the
+    * coarse cell — zero extra shuffles over s10 (at production dim
+    * the H·D structure applies in O(d log d) via the fast
+    * Walsh–Hadamard transform). Model vectors (centroids, seeds,
+    * probe queries) rotate driver-side through the identical math —
+    * the first-k of the rotated table IS the rotation of the raw
+    * first-k, so no extra corpus job is paid.
+    *
+    * Determinism: every R entry is ±2⁻³·±1 (exact binary), the
+    * rotated coordinate is float(Σ R_ij·x_j) double-accumulated in j
+    * order — DuckDB replays it as CAST(list_dot_product(x::DOUBLE[],
+    * row) AS FLOAT) with the row list built in j order and signs from
+    * the md5-parity convention — and everything downstream is s10's
+    * already-pinned rank-on-rounded chain over the rotated table.
+    */
+  val s18OpqRotate = Q(
+    "s18_opq_rotate",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Opq
+      val R = Opq.rotation(64, "s18")
+      val rot = Tables.embeddings(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id",
+          graft.functions.exprs.mat_vec_f($"embedding", R).as("embedding"))
+      val cents = centroidArray(s, dir).map(Opq.rotateVec(_, R))
+      val seeds = graft.operators.AnnIndex
+        .firstVectors(Tables.embeddings(s, dir), "embedding", "vec_id", PqK)
+        .map(v => Opq.rotateVec(v._2, R))
+      val sd = 64 / PqM
+      val cb = graft.operators.ProductQuantizer.Codebook(sd,
+        Array.tabulate(PqM)(j => seeds.map(_.slice(j * sd, (j + 1) * sd))))
+      // coarse cell + PQ codes in ONE projection pass over the rotated
+      // corpus (s10's shape, rotation fused into the same stage)
+      val assigned = rot.select($"vec_id", $"embedding",
+        graft.functions.exprs.coarse_assign_cell($"embedding", cents).as("c_id"))
+      val enc = graft.operators.ProductQuantizer.encode(assigned, "embedding", cb)
+      val probes = queryVectors(s, dir).toSeq.flatMap { case (qid, q0) =>
+        val q = Opq.rotateVec(q0, R)
+        val ranked = cents.indices.map(i => (i.toLong, roundedCosine(q, cents(i))))
+          .sortWith(graft.functions.VectorFunctions.probeBefore)
+        ranked.take(NPROBE).map { case (cid, _) => (qid, cid) }
+      }.toDF("q_id", "c_id")
+      val q = rot.filter($"vec_id" < NQ)
+      graft.operators.ProductQuantizer
+        .adcSearchCells(enc, "vec_id", "c_id", probes, q, "vec_id", "embedding", cb, PqTopK)
+    },
+    Some {
+      s"""WITH sgn AS (
+        SELECT j, CASE WHEN CAST(('0x' || substr(md5('s18:' || j), 1, 8)) AS BIGINT) % 2 = 0
+          THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sg
+        FROM (SELECT unnest(range(64)) AS j)),
+      rrow AS (
+        SELECT i.i,
+          list(CASE WHEN bit_count(i.i & s.j) % 2 = 0 THEN s.sg ELSE -s.sg END / 8.0
+            ORDER BY s.j) AS rw
+        FROM (SELECT unnest(range(64)) AS i) i, sgn s
+        GROUP BY i.i),
+      remb AS MATERIALIZED (
+        SELECT e.vec_id,
+          list(CAST(list_dot_product(e.embedding::DOUBLE[], r.rw::DOUBLE[]) AS FLOAT)
+            ORDER BY r.i) AS embedding
+        FROM embeddings e, rrow r
+        GROUP BY e.vec_id),
+      ${coarseSqlOver("remb")},
+      ${pqSql("remb")},
+      pairs AS (
+        SELECT p.q_id, c.vec_id, t0.d + t1.d + t2.d + t3.d AS adc
+        FROM codesw c
+        JOIN assigned a ON a.vec_id = c.vec_id
+        JOIN probes p ON p.c_id = a.c_id
+        JOIN dtab t0 ON t0.q_id = p.q_id AND t0.j=0 AND t0.code=c.c0
+        JOIN dtab t1 ON t1.q_id = p.q_id AND t1.j=1 AND t1.code=c.c1
+        JOIN dtab t2 ON t2.q_id = p.q_id AND t2.j=2 AND t2.code=c.c2
+        JOIN dtab t3 ON t3.q_id = p.q_id AND t3.j=3 AND t3.code=c.c3
+        WHERE c.vec_id <> p.q_id),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, rank, vec_id AS neighbor_id, adc AS adc_dist
+      FROM ranked WHERE rank <= $PqTopK"""
+    },
+    headline = true)
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
     s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
     s11IvfPqResidual, s12Bm25, s13Sq8Adc, s14HybridRrf, s15MmrDiversify,
-    s16IvfRecallSweep, s17BinaryRerank)
+    s16IvfRecallSweep, s17BinaryRerank, s18OpqRotate)
 }
