@@ -224,15 +224,16 @@ object Bench {
     // headline registry grew to 58 queries).
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = {
-      // cap 2 (was 8, then 4, then 3): each registry growth spends
-      // line budget; full per-query failure detail lives in
+      // cap 1 (was 8, then 4, 3, 2): each registry growth spends
+      // line budget (s18 took the 62-headliner worst case to 1910
+      // chars at cap 2); full per-query failure detail lives in
       // BENCH_DETAIL.json
       val failed = failedReps.filter(_._2 > 0)
       if (failed.isEmpty) ""
       else {
-        val shown = failed.take(2).map { case (k, n) => "\"" + k + "\":" + n }
+        val shown = failed.take(1).map { case (k, n) => "\"" + k + "\":" + n }
           .mkString(""","failed_reps":{""", ",", "}")
-        val more = failed.length - 2
+        val more = failed.length - 1
         if (more > 0) shown + s""","failed_more":$more""" else shown
       }
     }

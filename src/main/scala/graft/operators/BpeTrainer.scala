@@ -30,6 +30,12 @@ import graft.functions.TextFunctions.wsTokens
   */
 object BpeTrainer {
 
+  /** Cap on numMerges × census-words for the in-memory training fast
+    * path (~seconds of driver recounts at word-visit cost); past it
+    * the distributed batched loop is faster than driver recounting.
+    */
+  val InMemoryWorkBudget: Long = 1L << 28
+
   final case class Merge(step: Long, left_sym: String, right_sym: String, pair_freq: Long)
 
   /** Words as (freq, s, syms): alphanumeric whitespace tokens only
@@ -151,11 +157,19 @@ object BpeTrainer {
       val census = wordTable(docs, textCol)
         .select(col("syms"), col("freq"))
         .take(collectVocabMax + 1)
-      if (census.length <= collectVocabMax)
+      // The in-memory loop recounts ALL pairs per merge — O(numMerges
+      // × census) — so fitting on the driver is not enough: a
+      // production 30-50k-merge run over a near-cap census would spend
+      // minutes in driver recounts while the batched distributed path
+      // lands many merges per 2-job pass. Gate on the loop's actual
+      // work product, not just on fit (ADVICE r12).
+      val inMemoryWork = numMerges.toLong * math.max(1, census.length)
+      if (census.length <= collectVocabMax && inMemoryWork <= InMemoryWorkBudget)
         return trainInMemory(
           census.map(r => (r.getSeq[String](0).toArray, r.getLong(1))), numMerges)
-      // else: census exceeds the driver budget — fall through to the
-      // distributed loop (the extra census job is the fallback's cost)
+      // else: census exceeds the driver budget (or the merge loop
+      // would) — fall through to the distributed loop (the extra
+      // census job is the fallback's cost)
     }
     // LAZY checkpoint when batched: the word census then materializes
     // inside round 1's pair-census job instead of paying its own

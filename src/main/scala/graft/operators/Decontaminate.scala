@@ -235,6 +235,24 @@ object Decontaminate {
       vecCol: String,
       tau: Double,
       cents: Array[Array[Float]],
+      nprobe: Int): DataFrame =
+    resolveHits(
+      semanticHitsIvfFrame(corpus, bench, idCol, vecCol, tau, cents, nprobe)
+        .localCheckpoint(true),
+      idCol)
+
+  /** [[semanticHitsIvf]]'s hit frame BEFORE the checkpoint — exposed
+    * so IvfDecontaminateSpec can pin that the probe join is a
+    * broadcast hash equi-join on the cell id (the plan property the
+    * checkpoint otherwise hides).
+    */
+  private[graft] def semanticHitsIvfFrame(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      cents: Array[Array[Float]],
       nprobe: Int): DataFrame = {
     import graft.functions.VectorFunctions.{cosineSimilarity, dot, l2Norm}
     val assigned = corpus.select(
@@ -252,12 +270,10 @@ object Decontaminate {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("bench_id"), col("bvec"), col("bnrm"), col("c_id").cast("long"))
-    val hits = assigned.join(broadcast(probes), Seq("c_id"))
+    assigned.join(broadcast(probes), Seq("c_id"))
       .select(col(idCol), col("bench_id"),
         round(try_divide(dot(col("cvec"), col("bvec")),
           col("cnrm") * col("bnrm")), 4).as("cos"))
       .filter(col("cos") >= tau)
-      .localCheckpoint(true)
-    resolveHits(hits, idCol)
   }
 }

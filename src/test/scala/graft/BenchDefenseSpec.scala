@@ -164,4 +164,22 @@ class BenchDefenseSpec extends AnyFunSuite {
     // no anchor recorded: trigger silent
     assert(!Bench.needsRerun("unanchored", 9.9, Map.empty, Map.empty, quiet))
   }
+
+  test("quiet-regression flag: r12's t25 slip would now be reported") {
+    // The rerun machinery corrects ambient outliers but lets a REAL
+    // sub-second plan regression enter the record silently: r12's t25
+    // went 0.258 -> 0.602s (2.3x) — under the perf-weak bar (>=1s),
+    // under best-prev drift (3x), caught only at judging. The
+    // post-rerun quietRegressions pass flags it.
+    val quiet = Map("t25_vocab_growth" -> 0.258, "q54_sample_quantiles" -> 0.657)
+    val results = Seq(
+      ("t25_vocab_growth", 0.602), // the r12 slip: flagged
+      ("q54_sample_quantiles", 0.69), // within 2x of anchor: silent
+      ("unanchored_query", 9.9)) // no anchor: nothing to judge against
+    assert(Bench.quietRegressions(results, quiet) ==
+      Seq(("t25_vocab_growth", 0.602, 0.258)))
+    // sub-0.2s readings are scheduler jitter, never regressions
+    assert(Bench.quietRegressions(
+      Seq(("q33_window_suite", 0.15)), Map("q33_window_suite" -> 0.055)).isEmpty)
+  }
 }

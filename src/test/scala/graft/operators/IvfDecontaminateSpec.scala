@@ -87,4 +87,20 @@ class IvfDecontaminateSpec extends SparkSpec {
         s"vec $v lost despite its argmax bench $bestBench probing cell ${assigned(v)}")
     }
   }
+
+  test("the probe join is a broadcast hash equi-join on the cell id") {
+    // the whole point of the IVF swap (d15 -> d16) is that the probe
+    // frame joins the assigned corpus on c_id under a broadcast within
+    // its documented budget (nprobe × |bench| × dim × 4B; Scaladoc) —
+    // a nested-loop or shuffle join here means the blocking or the
+    // hint regressed
+    val cents = AnnIndex.firstVectors(e, "embedding", "vec_id", DCells).map(_._2)
+    val p = Decontaminate
+      .semanticHitsIvfFrame(corpus, bench, "vec_id", "embedding", Tau, cents, DProbe)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[c_id".r.findFirstIn(p).isDefined,
+      s"d16's probe join is not a c_id-keyed broadcast hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"d16's probe degraded to a nested-loop product:\n$p")
+  }
 }
