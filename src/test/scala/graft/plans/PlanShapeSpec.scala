@@ -385,6 +385,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q41/q55 build the CMS grid from the census — the corpus is tokenized ONCE at runtime") {
     GraftExtensions.install(spark)
+    // runtime reuse needs UNCACHED scans: a suite-mate's .cache() of
+    // the table wraps each branch in its own TableCacheQueryStage,
+    // which do not canonicalize equal, and the ReusedExchange never
+    // forms (measured — the bench and production paths run uncached)
+    spark.catalog.clearCache()
     // the weighted-insert rework derives BOTH the sketch and the
     // candidate/probe frame from one (token, count) census; AQE must
     // see the two branches' census subtrees as canonically equal and
@@ -401,6 +406,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("t25's (type, decile) census is computed once and shared by both consumers") {
     GraftExtensions.install(spark)
+    spark.catalog.clearCache() // see q41/q55 pin: cached scans defeat runtime reuse
     val p = finalPlan(graft.queries.TextQueries.t25Base(spark, sfDir))
     assert(count(p, "Generate") == 1,
       s"t25 tokenizes the corpus more than once at runtime:\n$p")
