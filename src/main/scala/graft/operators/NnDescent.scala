@@ -107,4 +107,118 @@ object NnDescent {
     }
     g
   }
+
+  /** Beam search over a built kNN graph — the SERVE half of graph ANN
+    * (the query path of HNSW/NSG/DiskANN, deterministic flat-beam
+    * face): seed every query with the same md5-derived entry nodes,
+    * then for `hops` rounds expand the beam through the graph's
+    * out-edges, score every candidate against the query by rounded
+    * cosine, and keep the `beam` best. Because each hop's candidate
+    * set CONTAINS the previous beam, the per-query k-th-best
+    * similarity is non-decreasing in hops (the spec pins it) — the
+    * search can only improve. Returns (q_id, node, sim_micro, rank).
+    *
+    * Scale shape: the beam frame is |Q|×beam rows; each hop is one
+    * equi-join against the n×k edge list (hash-partitioned on node
+    * id), one embedding fetch join, one broadcast of the query
+    * vectors, and ONE partial-aggregating bottom-k — per-hop cost
+    * O(|Q|·beam·k) scorings, independent of n. At serving scale the
+    * edge list is the persisted index; queries stream through in
+    * batches of |Q|.
+    *
+    * `beam` is the exploration width (HNSW's ef_search) and should
+    * EXCEED the caller's k for high recall: with beam == k the search
+    * fixpoints the moment the current beam's neighborhood stops
+    * improving the top-k — hop-3 recall on the real embeddings
+    * measured 0.825 at beam = k = 10 vs 0.975 at beam = 2k
+    * (GraphSearchSpec). The full final beam (rank 1…beam) is
+    * returned; callers truncate to their k.
+    *
+    * Physical shape — driver-orchestrated scatter-gather (the s15/q54
+    * driver-arithmetic pattern, and the production serving shape: a
+    * query coordinator walking a persisted index): the graph and the
+    * corpus stay DISTRIBUTED and are only ever touched by per-hop
+    * candidate fetches — one job per hop joining the model-sized
+    * frontier id list (broadcast literal) against the edge list and
+    * the neighbor embeddings — while scoring, dedup and the top-beam
+    * cut run as driver arithmetic over the gathered
+    * |Q|·beam·(k+1)-sized candidate pool. Fetched adjacency and
+    * vectors are cached across hops, so each round fetches only the
+    * frontier's unseen nodes. An all-hops-in-one-lazy-plan variant is
+    * the fallback when |Q| outgrows the driver (score via the same
+    * kernel, rank via the bottom-k heap); at interactive |Q| it
+    * measured ~1.4 s of pure AQE stage barriers for the same answer.
+    *
+    * `graph` must carry (id, nbr); `emb` (vec_id, embedding);
+    * `queries` (q_id, q_emb), model-sized. Entry ids are
+    * md5(seedTag:e) mod n for e = 1…beam — engine-portable, so an
+    * external oracle replays the identical search; duplicate entries
+    * collapse via the candidate sets' set semantics on both engines.
+    * Driver scoring uses [[graft.functions.VectorFunctions.roundedCosine]],
+    * the scalar the cosine kernel implements, so driver ≡ kernel ≡
+    * oracle bit-for-bit (the s15 argument).
+    */
+  def beamSearch(
+      graph: DataFrame,
+      emb: DataFrame,
+      queries: DataFrame,
+      beam: Int,
+      hops: Int,
+      seedTag: String): DataFrame = {
+    import graft.functions.VectorFunctions.roundedCosine
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    def md5Mod(s: String, n: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16) % n
+
+    val n = emb.count()
+    val entryIds = (1 to beam).map(e => md5Mod(s"$seedTag:$e", n)).distinct
+    val qs = queries.select(col("q_id"), col("q_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+    val vecCache = scala.collection.mutable.Map[Long, Array[Float]]()
+    val adjCache = scala.collection.mutable.Map[Long, Seq[Long]]()
+    emb.join(broadcast(entryIds.toDF("vec_id")), Seq("vec_id"))
+      .collect()
+      .foreach(r => vecCache(r.getLong(0)) = r.getSeq[Float](1).toArray)
+
+    var beams: Map[Long, Seq[Long]] = qs.map { case (qid, _) => qid -> entryIds }.toMap
+    var ranked: Map[Long, Seq[(Long, Long)]] = Map.empty
+    (1 to hops).foreach { _ =>
+      val frontier = beams.valuesIterator.flatten.toSeq.distinct.filterNot(adjCache.contains)
+      if (frontier.nonEmpty) {
+        // ONE job: frontier edges + the neighbors' vectors, gathered
+        // together (the graph side is an id-keyed broadcast probe; the
+        // embedding fetch an id-keyed join — neither corpus shuffles).
+        graph.select(col("id"), col("nbr"))
+          .join(broadcast(frontier.toDF("id")), Seq("id"))
+          .join(emb.select(col("vec_id").as("nbr"), col("embedding")), Seq("nbr"))
+          .select(col("id"), col("nbr"), col("embedding"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .foreach { case (id, rows) =>
+            adjCache(id) = rows.map(_.getLong(1)).toSeq
+            rows.foreach(r => vecCache(r.getLong(1)) = r.getSeq[Float](2).toArray)
+          }
+        frontier.foreach(id => if (!adjCache.contains(id)) adjCache(id) = Nil)
+      }
+      ranked = qs.map { case (qid, qEmb) =>
+        val cands = (beams(qid) ++ beams(qid).flatMap(adjCache.getOrElse(_, Nil))).distinct
+        val scored = cands.flatMap { c =>
+          vecCache.get(c).flatMap(roundedCosine(qEmb, _))
+            .map(cos => (c, math.floor(cos * 1000000.0 + 0.5).toLong))
+        }
+        qid -> scored.sortBy { case (c, sim) => (-sim, c) }.take(beam)
+      }.toMap
+      beams = ranked.map { case (qid, rows) => qid -> rows.map(_._1) }
+    }
+    ranked.toSeq
+      .flatMap { case (qid, rows) =>
+        rows.zipWithIndex.map { case ((node, sim), i) => (qid, node, sim, i + 1) }
+      }
+      .toDF("q_id", "node", "sim_micro", "rank")
+  }
 }

@@ -1666,7 +1666,21 @@ object SimilarityQueries {
           ($"sim_micro" / lit(1000000.0)).as("cos_sim"))
     },
     Some {
-      def roundSql(r: Int) = s"""
+      s"""WITH $nnGraphChainSql
+      SELECT id AS q_id, rank, nbr AS neighbor_id,
+        sim_micro / 1000000.0 AS cos_sim
+      FROM nb$NnRounds WHERE id < $NQ"""
+    },
+    headline = true)
+
+  /** The s19 NN-descent graph as a DuckDB CTE chain (`nc`, `nb0`,
+    * cand/nb per round — ends at `nb{NnRounds}`), shared by the s19
+    * and s20 oracles so the searched graph IS the s19 graph, not a
+    * second derivation. Every chained/multi-read CTE is MATERIALIZED
+    * (the d12 2^k-inline lesson).
+    */
+  private def nnGraphChainSql: String = {
+    def roundSql(r: Int) = s"""
       cand$r AS MATERIALIZED (
         SELECT id, cand FROM (
           SELECT id, nbr AS cand FROM nb$r
@@ -1687,21 +1701,94 @@ object SimilarityQueries {
             JOIN embeddings eb ON eb.vec_id = c.cand)
           WHERE sim_micro IS NOT NULL)
         WHERE rn <= $NnK)"""
-      val rounds = (0 until NnRounds).map(roundSql).mkString(",")
-      s"""WITH nc AS (SELECT count(*) AS c FROM embeddings),
+    val rounds = (0 until NnRounds).map(roundSql).mkString(",")
+    s"""nc AS (SELECT count(*) AS c FROM embeddings),
       nb0 AS MATERIALIZED (
         SELECT e.vec_id AS id,
           (e.vec_id + 1 + (CAST(('0x' || substr(md5('s19:' || j.j), 1, 8)) AS BIGINT)
             % (nc.c - 1))) % nc.c AS nbr
-        FROM embeddings e, (SELECT unnest(range(1, ${NnK + 1})) AS j) j, nc),$rounds
-      SELECT id AS q_id, rank, nbr AS neighbor_id,
-        sim_micro / 1000000.0 AS cos_sim
-      FROM nb$NnRounds WHERE id < $NQ"""
+        FROM embeddings e, (SELECT unnest(range(1, ${NnK + 1})) AS j) j, nc),$rounds"""
+  }
+
+  private val BeamHops = 3 // s20 search hops (candidate set ⊇ beam ⇒ monotone)
+  private val BeamWidth = 2 * NnK // exploration width (ef_search > k — see beamSearch)
+
+  /** s20: beam search over the s19 NN-descent graph — the SERVE half
+    * of graph ANN (the query path of HNSW/NSG/DiskANN, deterministic
+    * flat-beam face; s19 is the build half). Every query starts from
+    * the same md5-seeded entry nodes, then BeamHops rounds of "expand
+    * the beam through the graph's out-edges, score candidates by
+    * rounded cosine vs the query, keep the BeamWidth best", output
+    * truncated to the NnK best — BeamWidth = 2k is the ef_search
+    * exploration slack (beam = k measurably fixpoints early; see
+    * beamSearch's Scaladoc). Because each hop's candidate set
+    * contains the previous beam, the k-th-best similarity per query
+    * is non-decreasing in hops (GraphSearchSpec pins it, plus recall
+    * vs s01's exact ranking on both the real and clustered
+    * embeddings).
+    *
+    * Scale shape: per-hop cost is O(|Q|·beam·k) scorings independent
+    * of corpus size — the graph (n×k edges, the persisted index) is
+    * touched only by an id-keyed equi-join; query vectors broadcast
+    * (the s01 budget argument); ranking is the native bottom-k heap,
+    * no window/sort. See [[graft.operators.NnDescent.beamSearch]].
+    *
+    * Determinism: the searched graph IS s19's (the oracle reuses the
+    * identical CTE chain via [[nnGraphChainSql]]); integer-micro
+    * scores, id tie-breaks, UNION-set candidates; each hop replayed
+    * as a MATERIALIZED CTE.
+    */
+  val s20GraphSearch = Q(
+    "s20_graph_search",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.NnDescent
+        .knnGraph(e, "vec_id", "embedding", NnK, NnRounds)
+      val q = e.filter($"vec_id" < NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      graft.operators.NnDescent
+        .beamSearch(g.select($"id", $"nbr"),
+          e.select($"vec_id", $"embedding"), q, BeamWidth, BeamHops, "s20")
+        .filter($"rank" <= NnK)
+        .select($"q_id", $"rank", $"node".as("neighbor_id"),
+          ($"sim_micro" / lit(1000000.0)).as("cos_sim"))
+    },
+    Some {
+      def hopSql(h: Int) = s"""
+      bc$h AS (
+        SELECT q_id, node FROM beam$h
+        UNION
+        SELECT b.q_id, g.nbr AS node
+        FROM beam$h b JOIN nb$NnRounds g ON b.node = g.id),
+      beam${h + 1} AS MATERIALIZED (
+        SELECT q_id, node, sim_micro, rn AS rank FROM (
+          SELECT q_id, node, sim_micro,
+            row_number() OVER (PARTITION BY q_id ORDER BY sim_micro DESC, node ASC) AS rn
+          FROM (
+            SELECT c.q_id, c.node,
+              CAST(floor(${cosSql("q.q_emb", "e.embedding")} * 1000000.0 + 0.5) AS BIGINT) AS sim_micro
+            FROM bc$h c
+            JOIN qv q ON q.q_id = c.q_id
+            JOIN embeddings e ON e.vec_id = c.node)
+          WHERE sim_micro IS NOT NULL)
+        WHERE rn <= $BeamWidth)"""
+      val hops = (0 until BeamHops).map(hopSql).mkString(",")
+      s"""WITH $nnGraphChainSql,
+      qv AS MATERIALIZED (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQ),
+      ent AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5('s20:' || e.e), 1, 8)) AS BIGINT) % nc.c AS node
+        FROM (SELECT unnest(range(1, ${BeamWidth + 1})) AS e) e, nc),
+      beam0 AS MATERIALIZED (SELECT q.q_id, ent.node FROM qv q, ent),$hops
+      SELECT q_id, rank, node AS neighbor_id, sim_micro / 1000000.0 AS cos_sim
+      FROM beam$BeamHops WHERE rank <= $NnK"""
     },
     headline = true)
 
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
     s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
     s11IvfPqResidual, s12Bm25, s13Sq8Adc, s14HybridRrf, s15MmrDiversify,
-    s16IvfRecallSweep, s17BinaryRerank, s18OpqRotate, s19NnDescent)
+    s16IvfRecallSweep, s17BinaryRerank, s18OpqRotate, s19NnDescent,
+    s20GraphSearch)
 }

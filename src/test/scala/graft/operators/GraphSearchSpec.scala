@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Beam-search audit (the serve half of the s19/s20 graph-ANN pair):
+  * results must be structurally valid, deterministic, element-wise
+  * MONOTONE in hops (each hop's candidate set contains the previous
+  * beam, so the returned top-k can only improve), and measurably
+  * recall-bearing against the exact ranking — on the clustered
+  * synthetic where graph navigation actually works, near-perfect.
+  */
+class GraphSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 10
+  private val NQ = 8
+
+  private def cos(a: Array[Float], b: Array[Float]): Option[Double] =
+    graft.functions.VectorFunctions.roundedCosine(a, b)
+
+  /** Exact top-K neighbor ids (self excluded) per query id. */
+  private def exactOf(vecs: Map[Long, Array[Float]], nq: Int): Map[Long, Set[Long]] =
+    vecs.keys.filter(_ < nq).map { i =>
+      i -> vecs.keys.filter(_ != i)
+        .flatMap(j => cos(vecs(i), vecs(j)).map(c => (j, c)))
+        .toSeq.sortBy { case (j, c) => (-c, j) }
+        .take(K).map(_._1).toSet
+    }.toMap
+
+  /** (q_id -> rank-ordered (node, sim_micro), truncated to K) after
+    * `hops` over a prebuilt graph, searched at the s20 exploration
+    * width (beam = 2K, the ef_search slack).
+    */
+  private def searchAt(
+      graph: DataFrame, emb: DataFrame, hops: Int, nq: Int): Map[Long, Seq[(Long, Long)]] = {
+    val q = emb.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    NnDescent.beamSearch(graph, emb, q, 2 * K, hops, "s20")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+      // drop the query's own node (cos 1.0 once visited — exactOf
+      // excludes self) before truncating to the K compared neighbors
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_._4).filter(_._2 != id).take(K).map(r => (r._2, r._3)).toSeq
+      }
+  }
+
+  private def recall(
+      found: Map[Long, Seq[(Long, Long)]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (id, ex) =>
+      ex.intersect(found.getOrElse(id, Nil).map(_._1).toSet).size.toDouble / ex.size
+    }
+    per.sum / per.size
+  }
+
+  private lazy val realEmb = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding"))
+  private lazy val realGraph = NnDescent
+    .knnGraph(realEmb, "vec_id", "embedding", K, 3)
+    .select(col("id"), col("nbr"))
+    .localCheckpoint(true)
+
+  test("search results are valid: dense ranks, sims descending, no more than K per query") {
+    val res = searchAt(realGraph, realEmb, 3, NQ)
+    assert(res.keys == (0L until NQ.toLong).toSet, s"missing queries: ${res.keys}")
+    res.foreach { case (q, rows) =>
+      assert(rows.length <= K, s"query $q got ${rows.length} results")
+      val sims = rows.map(_._2)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"query $q sims not descending")
+      assert(rows.map(_._1).distinct.length == rows.length, s"query $q duplicate nodes")
+    }
+  }
+
+  test("each hop element-wise improves the beam: rank-r similarity never decreases") {
+    val byHops = (1 to 3).map(h => searchAt(realGraph, realEmb, h, NQ))
+    byHops.zip(byHops.tail).zipWithIndex.foreach { case ((prev, next), h) =>
+      prev.foreach { case (q, rows) =>
+        val nextRows = next(q)
+        rows.indices.foreach { i =>
+          assert(nextRows(i)._2 >= rows(i)._2,
+            s"query $q rank ${i + 1} degraded at hop ${h + 2}: ${rows(i)} -> ${nextRows(i)}")
+        }
+      }
+    }
+  }
+
+  test("recall vs the exact top-K climbs with hops on the real embeddings") {
+    val exact = exactOf(
+      realEmb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap, NQ)
+    val rs = (1 to 3).map(h => recall(searchAt(realGraph, realEmb, h, NQ), exact))
+    info(s"real-embedding search recall by hops: ${rs.mkString(", ")}")
+    assert(rs(0) <= rs(1) && rs(1) <= rs(2), s"recall not monotone: $rs")
+    // measured 0.41 → 0.79 → 0.975 on the sf0.001 fixture at
+    // beam = 2K (beam = K measured 0.25 → 0.51 → 0.83 — the ef_search
+    // argument in beamSearch's Scaladoc); the floor carries slack for
+    // testdata regeneration but catches a broken expansion or a
+    // silently shrunk candidate set.
+    assert(rs(2) >= 0.70, s"hop-3 recall ${rs(2)} below floor")
+  }
+
+  test("clustered vectors: navigation is near-perfect within reach, and the only " +
+    "shortfall is entry-point cluster coverage") {
+    // Tight well-separated clusters make the kNN graph (top-k edges
+    // only) nearly DISCONNECTED across clusters — the structural
+    // weakness of flat beam search that HNSW's hierarchy / diverse
+    // entry points exist to fix. So the honest pin is conditional:
+    // queries whose cluster contains (or neighbors) an entry point
+    // must recall ~1 by hop 3 (navigation works where a path exists),
+    // while uncovered queries are the known coverage shortfall — NOT
+    // a search bug. Entry ids replicate the operator's md5 seeds.
+    def h(s2: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    val dim = 8
+    val n = 500L
+    val centers = Array.tabulate(10)(c =>
+      Array.tabulate(dim)(d => ((h(s"c$c:$d") % 2000) - 1000) / 1000.0f))
+    val pts = (0L until n).map { i =>
+      val c = (i % 10).toInt
+      i -> Array.tabulate(dim)(d =>
+        centers(c)(d) + ((h(s"p$i:$d") % 200) - 100) / 2000.0f)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val g = NnDescent.knnGraph(emb, "vec_id", "embedding", K, 3)
+      .select(col("id"), col("nbr")).localCheckpoint(true)
+    val coveredClusters = (1 to K).map(e => (h(s"s20:$e") % n) % 10).toSet
+    val (covered, uncovered) = (0L until NQ.toLong).partition(q => coveredClusters(q % 10))
+    assert(covered.nonEmpty, "fixture degenerate: no query cluster seeded")
+    val exact = exactOf(pts.toMap, NQ)
+    val found3 = searchAt(g, emb, 3, NQ)
+    val found4 = searchAt(g, emb, 4, NQ)
+    def recallOver(found: Map[Long, Seq[(Long, Long)]], qs: Seq[Long]) =
+      if (qs.isEmpty) 1.0 else recall(found.filter(kv => qs.contains(kv._1)),
+        exact.filter(kv => qs.contains(kv._1)))
+    info(s"covered-cluster recall hop3: ${recallOver(found3, covered)}, " +
+      s"hop4: ${recallOver(found4, covered)} over ${covered.length} queries; " +
+      s"uncovered hop4: ${recallOver(found4, uncovered)} over ${uncovered.length}")
+    assert(recallOver(found3, covered) >= 0.85,
+      s"covered-cluster hop-3 recall only ${recallOver(found3, covered)}")
+    assert(recallOver(found4, covered) >= 0.95,
+      s"covered-cluster hop-4 recall only ${recallOver(found4, covered)}")
+  }
+
+  test("the search is deterministic: two runs produce identical results") {
+    assert(searchAt(realGraph, realEmb, 2, NQ) == searchAt(realGraph, realEmb, 2, NQ))
+  }
+}
