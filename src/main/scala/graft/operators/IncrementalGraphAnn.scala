@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental graph-ANN index maintenance — the streaming face of the
+  * s19/s20 pair ([[NnDescent.knnGraph]] build, [[NnDescent.beamSearch]]
+  * serve). A production vector index is built once and then MAINTAINED:
+  * new embeddings arrive continuously and must become searchable
+  * without rebuilding the n×k graph from scratch (the HNSW/DiskANN
+  * insertion path: each new vector SEARCHES the current graph for its
+  * neighbors, links to what it finds, and the found nodes link back).
+  *
+  * State layout and delivery semantics (the [[IncrementalHll]] /
+  * [[IncrementalQuantiles]] contract): per-batch segments under
+  * `stateDir/batch=<id>/` — immutable, committed iff Spark's
+  * `_SUCCESS` marker exists; exactly one appending driver
+  * (single-writer, the Structured Streaming model). Each segment holds
+  * the batch's vectors plus its OUT-EDGES only (new id → k best
+  * neighbors found at insert time). Nothing already committed is ever
+  * rewritten — the serving graph is a PURE FUNCTION of the committed
+  * segments, derived at read time by [[currentGraph]]: forward ∪
+  * reversed edges (cosine is symmetric, so a reversed edge reuses the
+  * stored similarity — no re-scoring), deduplicated, per-node
+  * bottom-k. Reverse-edge re-truncation — the mutation HNSW performs
+  * in place when an inserted node displaces an old neighbor — thereby
+  * happens declaratively at read time, which is what makes the state
+  * append-only and the whole protocol idempotent: a batch re-delivered
+  * after a crash overwrites a partial segment with identical
+  * deterministic contents (insertion is a pure function of the batch
+  * and the PRIOR committed state — segment reads filter to batch ids
+  * strictly below the appending id, so a retry after later appends
+  * still derives the same frame) or no-ops when already committed.
+  *
+  * Insertion = the s20 search: batch vectors beam-search the current
+  * graph (md5-seeded entries, the documented scatter-gather driver
+  * shape — the batch is micro-batch-sized, the coordinator walks the
+  * distributed index); candidates additionally include the OTHER
+  * members of the same batch (scored driver-side, |B|² bounded by the
+  * micro-batch size) so intra-batch near-duplicates link to each other
+  * instead of waiting for a later rebuild. Out-edges are the k best by
+  * (−sim_micro, id) — integer-micro rounded-cosine scores, the s19
+  * convention, so incremental ≡ batch scoring bit-for-bit per edge.
+  *
+  * Approximation contract: unlike the value-sketch faces (HLL, KMV,
+  * quantiles) whose merge is EXACT, graph insertion is the standard
+  * ANN approximation — incremental ≢ batch NN-descent graph
+  * edge-for-edge. What IS pinned (IncrementalGraphAnnSpec):
+  * determinism (same batch sequence → identical graph), structural
+  * validity (≤ k ranked out-edges, no self-edges, every committed id
+  * present and reachable as a search result), crash/re-delivery
+  * idempotence, and search recall over the incrementally grown graph
+  * within noise of the batch-built s19 graph on the same corpus.
+  *
+  * Scale shape: a segment is ≤ |B|·k edge rows + |B| vectors; the
+  * read-time merge is one union + one partial-aggregating bottom-k
+  * over n·2k edges — the same single-pass shape as one s19 round,
+  * O(n·k) not O(n·k²), and cacheable per refresh. Insert cost per
+  * batch is the s20 search cost: O(|B|·beam·k) scorings + |B|²
+  * intra-batch, independent of n. Compact segments with
+  * [[Compaction.compact]] when the count grows.
+  */
+object IncrementalGraphAnn {
+
+  private def committedBatches(
+      fs: org.apache.hadoop.fs.FileSystem,
+      statePath: Path): Seq[(Long, Path)] =
+    if (!fs.exists(statePath)) Seq.empty
+    else fs.listStatus(statePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .flatMap(st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("batch=").toLong)
+          .toOption.map(id => (id, st.getPath)))
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+
+  private def segPath(statePath: Path, batchId: Long, kind: String): Path =
+    new Path(new Path(statePath, s"batch=$batchId"), kind)
+
+  private def fsOf(spark: SparkSession, stateDir: String) = {
+    val p = new Path(stateDir)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** Bootstrap the index from the initial corpus: the s19 NN-descent
+    * graph becomes segment `batch=0` (vectors + its full edge list).
+    * `emb` must carry (vec_id, embedding).
+    */
+  def createIndex(
+      emb: DataFrame,
+      stateDir: String,
+      k: Int,
+      rounds: Int): Unit = {
+    val spark = emb.sparkSession
+    val (statePath, fs) = fsOf(spark, stateDir)
+    require(committedBatches(fs, statePath).isEmpty,
+      s"$stateDir already holds committed segments")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    writeSegment(spark, statePath, 0L,
+      NnDescent.knnGraph(e, "vec_id", "embedding", k, rounds)
+        .select(col("id"), col("nbr"), col("sim_micro")),
+      e)
+  }
+
+  /** Both halves of a segment, then the `_SUCCESS` marker LAST — the
+    * marker commits the pair, so a crash between writes leaves an
+    * uncommitted (ignored, overwritable) segment.
+    */
+  private def writeSegment(
+      spark: SparkSession,
+      statePath: Path,
+      batchId: Long,
+      edges: DataFrame,
+      vecs: DataFrame): Unit = {
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(statePath, s"batch=$batchId")
+    fs.delete(dir, true)
+    edges.write.parquet(segPath(statePath, batchId, "edges").toString)
+    vecs.write.parquet(segPath(statePath, batchId, "vectors").toString)
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  /** All committed vectors (vec_id, embedding), optionally only from
+    * batches with id < `belowBatch` (the retry-stability read — see
+    * class doc).
+    */
+  def vectors(
+      spark: SparkSession,
+      stateDir: String,
+      belowBatch: Long = Long.MaxValue): DataFrame = {
+    val (statePath, fs) = fsOf(spark, stateDir)
+    val dirs = committedBatches(fs, statePath)
+      .filter(_._1 < belowBatch)
+      .map { case (id, _) => segPath(statePath, id, "vectors").toString }
+    require(dirs.nonEmpty, s"no committed batches under $stateDir")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** The serving graph from committed state alone: stored out-edges ∪
+    * their reversals (symmetric similarity reused), deduplicated,
+    * per-node k best by (−sim_micro, nbr) — (id, nbr, sim_micro,
+    * rank), the s19/s20 graph schema. One union + one bottom-k pass
+    * over the edge segments; never touches vectors.
+    */
+  def currentGraph(
+      spark: SparkSession,
+      stateDir: String,
+      k: Int,
+      belowBatch: Long = Long.MaxValue): DataFrame = {
+    val (statePath, fs) = fsOf(spark, stateDir)
+    val dirs = committedBatches(fs, statePath)
+      .filter(_._1 < belowBatch)
+      .map { case (id, _) => segPath(statePath, id, "edges").toString }
+    require(dirs.nonEmpty, s"no committed batches under $stateDir")
+    val stored = spark.read.parquet(dirs: _*)
+    val undirected = stored
+      .select(col("id"), col("nbr"), col("sim_micro"))
+      .union(stored.select(col("nbr").as("id"), col("id").as("nbr"), col("sim_micro")))
+      // a pair inserted from both sides (or re-linked by a later
+      // batch at the same rounded score) is THE SAME undirected edge
+      .dropDuplicates("id", "nbr", "sim_micro")
+    undirected
+      .groupBy(col("id"))
+      .agg(graft.functions.BottomKPairsAgg.bottomKPairs(
+        -col("sim_micro"), col("nbr").cast("double"), k).as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), col("col.v").cast("long").as("nbr"),
+        (-col("col.h")).as("sim_micro"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Insert one batch of new vectors: beam-search the current graph
+    * for each new vector's neighborhood (plus intra-batch candidates),
+    * keep the k best as the batch's out-edges, commit both as segment
+    * `batchId`. Idempotent per batch id; new ids must be disjoint from
+    * committed ids (enforced). `batch` must carry (vec_id, embedding).
+    */
+  def appendBatch(
+      batch: DataFrame,
+      stateDir: String,
+      batchId: Long,
+      k: Int,
+      beam: Int,
+      hops: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (statePath, fs) = fsOf(spark, stateDir)
+    require(batchId > 0, "batch 0 is the createIndex bootstrap segment")
+    if (committedBatches(fs, statePath).exists(_._1 == batchId)) return
+
+    val newVecs = batch.select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    require(newVecs.map(_._1).distinct.length == newVecs.length,
+      "duplicate vec_id within batch")
+
+    val graph = currentGraph(spark, stateDir, k, belowBatch = batchId)
+    val existing = vectors(spark, stateDir, belowBatch = batchId)
+    val newIdSet = newVecs.map(_._1).toSet
+    val clash = existing.filter(col("vec_id").isInCollection(newIdSet)).count()
+    require(clash == 0, s"$clash batch ids already committed")
+
+    // The s20 search, one query per new vector, over the PRIOR state.
+    val queries = newVecs.toSeq.toDF("q_id", "q_emb")
+    val found = NnDescent
+      .beamSearch(graph.select(col("id"), col("nbr")), existing, queries,
+        beam, hops, s"iga:$batchId")
+      .select(col("q_id"), col("node"), col("sim_micro"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // Intra-batch candidates: |B|² driver scorings (micro-batch-sized
+    // by contract) through the same rounded-cosine scalar.
+    import graft.functions.VectorFunctions.roundedCosine
+    val intra = for {
+      (u, ue) <- newVecs
+      (v, ve) <- newVecs
+      if u != v
+      c <- roundedCosine(ue, ve)
+    } yield (u, v, math.floor(c * 1000000.0 + 0.5).toLong)
+
+    val edges = (found ++ intra)
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (u, cands) =>
+        cands.map(c => (c._2, c._3)).distinct
+          .sortBy { case (v, s) => (-s, v) }
+          .take(k)
+          .map { case (v, s) => (u, v, s) }
+      }
+    writeSegment(spark, statePath, batchId,
+      edges.toDF("id", "nbr", "sim_micro"),
+      queries.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")))
+  }
+
+  /** Top-k search over the maintained index — [[NnDescent.beamSearch]]
+    * over [[currentGraph]] and the committed vectors. `queries` must
+    * carry (q_id, q_emb).
+    */
+  def searchTopK(
+      spark: SparkSession,
+      stateDir: String,
+      queries: DataFrame,
+      k: Int,
+      beam: Int,
+      hops: Int,
+      seedTag: String = "s20"): DataFrame =
+    NnDescent.beamSearch(
+      currentGraph(spark, stateDir, k).select(col("id"), col("nbr")),
+      vectors(spark, stateDir), queries, beam, hops, seedTag)
+      .filter(col("rank") <= k)
+}
