@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   * IvfPqSpec's pruning test) and scores through the same
   * [[ProductQuantizer.adcSearchCells]] stage as the one-shot s10
   * query. Segment compaction per cell composes orthogonally
-  * (`Compaction.compact`); deletes would ride a tombstone segment.
+  * ([[SegmentCompaction.compactedCopy]]); deletes would ride a
+  * tombstone segment.
   */
 object IncrementalAnn {
 

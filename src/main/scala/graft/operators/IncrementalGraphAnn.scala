@@ -59,7 +59,8 @@ import org.apache.spark.sql.functions._
   * O(n·k) not O(n·k²), and cacheable per refresh. Insert cost per
   * batch is the s20 search cost: O(|B|·beam·k) scorings + |B|²
   * intra-batch, independent of n. Compact segments with
-  * [[Compaction.compact]] when the count grows.
+  * [[SegmentCompaction.compactedCopy]] when the count grows (swap at
+  * a quiescent batch boundary — see its Scaladoc).
   */
 object IncrementalGraphAnn {
 

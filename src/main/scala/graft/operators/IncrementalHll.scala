@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   * Scale shape: a batch segment is ≤ groups × 256 rows of three longs
   * regardless of batch size; the merge is one groups×256-keyed max
   * aggregate over segment-count × that — compact with
-  * [[Compaction.compact]] when segment count grows. The raw values
+  * [[SegmentCompaction.compactedCopy]] when segment count grows. The raw values
   * never persist, which is the sketch's point: distinct-so-far over an
   * unbounded stream in O(groups × 256) state.
   */

@@ -33,8 +33,8 @@ import org.apache.spark.sql.functions._
   * `batch=` when a time-bounded search wants it) and everything
   * downstream is s12's plan — broadcast query terms, broadcast
   * query-vocabulary df census, one partial-aggregating exchange.
-  * Segment COMPACTION (folding many small segments into one, the
-  * `Compaction.compact` pattern) composes orthogonally when batch
+  * Segment COMPACTION (folding many small segments into one —
+  * [[SegmentCompaction.compactedCopy]]) composes orthogonally when batch
   * counts grow; deletes would ride a tombstone segment — both
   * documented as the production follow-on, neither needed for the
   * stream ≡ batch contract.

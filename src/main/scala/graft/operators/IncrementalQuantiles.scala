@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   * Scale shape: a segment is ≤ groups × k rows of (g, v, h); the
   * merge is one distinct + one [[graft.functions.BottomKPairsAgg]]
   * pass over segment-count × that — compact with
-  * [[Compaction.compact]] when segment count grows. Estimation runs
+  * [[SegmentCompaction.compactedCopy]] when segment count grows. Estimation runs
   * driver-side on the groups × k merged sample
   * ([[SampleQuantiles.estimateFromSample]], the q13 pattern).
   */

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Offline compaction for the incremental faces' segment stores — the
+  * small-file answer every `Incremental*` Scaladoc defers to.
+  *
+  * A segment store is `stateDir/batch=<id>/`, one immutable segment
+  * per processed batch, committed iff its `_SUCCESS` marker exists
+  * ([[IncrementalHll]] / [[IncrementalQuantiles]] /
+  * [[IncrementalGraphAnn]] / [[IncrementalHygieneLadder]]'s shared
+  * contract). Every reader of such a store is a PURE FUNCTION of the
+  * union of committed segment rows (register max-merge, KMV set-dedup
+  * + re-bottom-k, fwd ∪ rev edge bottom-k, census sum) — so the raw
+  * row union of N segments rewritten as ONE segment is
+  * indistinguishable to every read path, no face-specific merge logic
+  * needed. [[compactedCopy]] does exactly that, into a FRESH store:
+  *
+  *   - flat segments (the sketch faces: parquet files directly under
+  *     `batch=<id>/`) → one union read, written as `batch=0`;
+  *   - multi-part segments ([[IncrementalGraphAnn]]: named parquet
+  *     subdirs `edges/`, `vectors/` + a manual marker) → one union
+  *     read PER PART, written under `batch=0/<part>/`, the marker
+  *     created last (the face's own crash protocol).
+  *
+  * Output files are sized to `targetBytesPerFile` from actual input
+  * bytes (the [[Compaction]] sizing rule) — at 100 TB the point is
+  * turning thousands of micro-batch files into scan-sized ones.
+  *
+  * Writing to a NEW directory side-steps every in-place hazard: the
+  * copy is valid once its single segment commits, the old store stays
+  * intact until the caller swaps paths, and a crash mid-copy leaves an
+  * uncommitted (ignored, re-runnable) target. The swap itself is the
+  * caller's single-writer duty: do it at a QUIESCENT batch boundary —
+  * the engine's checkpoint committed past every folded batch — because
+  * the copy renumbers history to segment 0, so a pre-compaction batch
+  * id re-delivered against the new store would not be recognized as
+  * committed. (For the value-idempotent sketch faces even that is
+  * harmless — re-appending is absorbed by the merge algebra; for
+  * [[IncrementalGraphAnn]] the id-clash guard turns it into an error
+  * rather than silent corruption.)
+  *
+  * Uncommitted (crashed) segments in the source are excluded, exactly
+  * as every read path excludes them.
+  */
+object SegmentCompaction {
+
+  private def committedBatches(fs: FileSystem, statePath: Path): Seq[(Long, Path)] =
+    if (!fs.exists(statePath)) Seq.empty
+    else fs.listStatus(statePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .flatMap(st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("batch=").toLong)
+          .toOption.map(id => (id, st.getPath)))
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+
+  private def partsOf(fs: FileSystem, seg: Path): Seq[String] =
+    fs.listStatus(seg).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName)
+
+  private def sizedPartitions(
+      fs: FileSystem, dirs: Seq[Path], targetBytesPerFile: Long): Int = {
+    val bytes = dirs.map(d => fs.getContentSummary(d).getLength).sum
+    math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
+  }
+
+  /** Fold every committed segment of `inStore` into a fresh store at
+    * `outStore` holding the identical rows as ONE committed segment
+    * `batch=0`. `outStore` must not already hold committed segments.
+    *
+    * @return number of committed segments folded
+    */
+  def compactedCopy(
+      spark: SparkSession,
+      inStore: String,
+      outStore: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024): Int = {
+    val inPath = new Path(inStore)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = committedBatches(fs, inPath)
+    require(segs.nonEmpty, s"no committed batches under $inStore")
+    val outPath = new Path(outStore)
+    require(committedBatches(fs, outPath).isEmpty,
+      s"$outStore already holds committed segments")
+    val outSeg = new Path(outPath, "batch=0")
+    fs.delete(outSeg, true) // a crashed (uncommitted) prior attempt
+
+    val parts = partsOf(fs, segs.head._2)
+    if (parts.isEmpty) {
+      // flat segments: Spark's own _SUCCESS commits the copy
+      val dirs = segs.map(_._2)
+      spark.read.parquet(dirs.map(_.toString): _*)
+        .repartition(sizedPartitions(fs, dirs, targetBytesPerFile))
+        .write.parquet(outSeg.toString)
+    } else {
+      parts.foreach { part =>
+        val dirs = segs.map { case (_, p) => new Path(p, part) }
+          .filter(fs.exists(_))
+        spark.read.parquet(dirs.map(_.toString): _*)
+          .repartition(sizedPartitions(fs, dirs, targetBytesPerFile))
+          .write.parquet(new Path(outSeg, part).toString)
+      }
+      // marker LAST — commits the multi-part segment atomically
+      fs.create(new Path(outSeg, "_SUCCESS"), true).close()
+    }
+    segs.size
+  }
+}
