@@ -643,11 +643,17 @@ object EventQueries {
     * each session's path collapses row-locally to a string of event
     * tokens, and the n-grams come from the SAME codegen'd
     * `word_shingles` kernel as the text ladder (a session path IS a
-    * tiny document — m07's lesson applied back to events). Support
-    * dedup is one distinct on (session, gram); the census is
-    * pattern-alphabet-sized with map-side partials; per-n top-10 goes
-    * through the WindowGroupLimit rank shape. All counts are exact
-    * bigints.
+    * tiny document — m07's lesson applied back to events). All three
+    * n sizes are emitted in ONE pass — per session the three shingle
+    * arrays are tagged with n and flattened row-locally, so the paths
+    * frame is scanned once instead of once per n (the r12
+    * duplicate-subtree lesson; this also retires the localCheckpoint
+    * the three passes needed). Support dedup is one distinct on
+    * (n, session, gram); the census is pattern-alphabet-sized with
+    * map-side partials; the per-n top-10 is one rank window
+    * PARTITIONED BY n over that alphabet-sized census — a real
+    * partition key, so no single-partition barrier. All counts are
+    * exact bigints.
     */
   val q52SequenceMining = Q(
     "q52_sequence_mining",
@@ -667,25 +673,23 @@ object EventQueries {
         .agg(array_join(transform(
           array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
           _.getField("event_type")), " ").as("path"))
-        .localCheckpoint(true) // three n-gram passes consume it
-      val perN = (2 to 4).map { n =>
-        val grams = paths
-          .select($"user_id", $"session_id",
-            explode(graft.operators.TextDedup.shingles($"path", n)).as("g"))
-          // sessions shorter than n emit their whole path as one
-          // degenerate shingle — not an n-gram; drop on both sides
-          .filter(size(split($"g", " ")) === n)
-          .distinct()
-        val census = grams.groupBy($"g").agg(count(lit(1)).as("support"))
-        // per-n top-10 via TakeOrderedAndProject + driver-side rank
-        // (q47's pattern) — the old global rank window was a needless
-        // single-partition barrier per n, each logging the
-        // unpartitioned-window WARN
-        QueryUtil.withRank(census.orderBy($"support".desc, $"g".asc).limit(10))
-          .select(lit(n.toLong).as("n"), $"rank",
-            regexp_replace($"g", " ", ">").as("pattern"), $"support")
-      }
-      perN.reduce(_ unionByName _)
+      val grams = paths
+        .select($"user_id", $"session_id",
+          explode(flatten(array((2 to 4).map(n =>
+            transform(graft.operators.TextDedup.shingles($"path", n),
+              g => struct(lit(n.toLong).as("n"), g.as("g")))): _*))).as("t"))
+        // sessions shorter than n emit their whole path as one
+        // degenerate shingle — not an n-gram; drop on both sides
+        .select($"user_id", $"session_id", $"t.n".as("n"), $"t.g".as("g"))
+        .filter(size(split($"g", " ")) === $"n")
+        .distinct()
+      val census = grams.groupBy($"n", $"g").agg(count(lit(1)).as("support"))
+      val byN = Window.partitionBy($"n").orderBy($"support".desc, $"g".asc)
+      census
+        .withColumn("rank", row_number().over(byN))
+        .filter($"rank" <= 10)
+        .select($"n", $"rank",
+          regexp_replace($"g", " ", ">").as("pattern"), $"support")
     },
     Some {
       val perN = (2 to 4).map { n =>

@@ -422,6 +422,17 @@ class PlanShapeSpec extends SparkSpec {
       s"s12 reintroduced a window/sort barrier after the pair aggregation:\n$p")
   }
 
+  test("q52 emits all three n-gram sizes in one pass — one scan, one Generate, " +
+    "rank-limited window") {
+    val p = plan("q52_sequence_mining")
+    assert(count(p, "Scan parquet") == 1,
+      s"q52 should scan events exactly once:\n$p")
+    assert(count(p, "Generate") == 1,
+      s"q52 should explode ONE tagged shingle array, not one per n:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"q52's per-n top-10 should push the rank limit below the window:\n$p")
+  }
+
   test("pipe01 spreads the corpus once and stays equi-join end-to-end") {
     val p = plan("pipe01_hygiene_ladder")
     // the ladder's stages inherit ONE RoundRobin spread of the
