@@ -217,9 +217,10 @@ object SimilarityQueries {
   private def coarseSql: String = coarseSqlOver("embeddings")
 
   /** [[coarseSql]] over an arbitrary (vec_id, embedding) source CTE —
-    * s18 runs the identical chain over the ROTATED table.
+    * s18 runs the identical chain over the ROTATED table; s21 widens
+    * the probe set (`nprobe`) to offset its metadata filter.
     */
-  private def coarseSqlOver(src: String): String =
+  private def coarseSqlOver(src: String, nprobe: Int = NPROBE): String =
     s"""cents AS (
         SELECT vec_id AS c_id, embedding AS c_emb FROM $src WHERE vec_id < $NCENTROIDS),
       assigned AS (
@@ -236,7 +237,7 @@ object SimilarityQueries {
             row_number() OVER (PARTITION BY q.q_id
               ORDER BY ${cosSql("q.q_emb", "c.c_emb")} DESC, c.c_id ASC) AS prn
           FROM q, cents c)
-        WHERE prn <= $NPROBE)"""
+        WHERE prn <= $nprobe)"""
 
   /** Scalar int8 quantization of embeddings (max-abs symmetric): the
     * 4× storage/shuffle reduction every 100 TB embedding corpus takes.
@@ -1786,9 +1787,81 @@ object SimilarityQueries {
     },
     headline = true)
 
+  private val NPROBE_F = 2 * NPROBE // filtered search widens the probe set
+
+  /** s21: FILTERED ANN — top-k restricted to corpus vectors satisfying
+    * a metadata predicate (here: the query's own `label` class, the
+    * "nearest same-language/same-source neighbors" read). The
+    * production problem this solves: post-filtering a plain top-k
+    * starves under a selective predicate (a 10%-selective filter
+    * leaves ~1 of 10 results), while brute-force pre-filtering
+    * re-scans the corpus per predicate. The scale shape is
+    * PRE-FILTERED IVF: the s02 cell-probe scan with the predicate
+    * applied to candidates BEFORE scoring — the filter rides the same
+    * cell-pruned scan, cutting score work by the filter's selectivity
+    * — and the probe set widened ([[NPROBE_F]] = 2×[[NPROBE]], the
+    * ef-style slack every production filtered search applies) so the
+    * per-cell candidate loss to the filter doesn't starve recall.
+    * Labels here are ~10-way, so the filter keeps ~10% of candidates
+    * — exactly the regime where the widening matters. The oracle
+    * replays the identical quantization, probes, and predicate, so
+    * results hash-match exactly; recall vs the FILTERED brute force
+    * is pinned in IvfPqSpec.
+    */
+  val s21FilteredAnn = Q(
+    "s21_filtered_ann",
+    (s, dir) => {
+      import s.implicits._
+      val cents = centroidArray(s, dir)
+      // coarseAssign + the predicate column: same zero-shuffle argmax
+      // projection, label carried through the scan (no self-join)
+      val assigned = Tables.embeddings(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", $"embedding", $"label",
+          graft.functions.exprs.coarse_assign_cell($"embedding", cents).as("c_id"))
+      val qlab = Tables.embeddings(s, dir).filter($"vec_id" < NQ)
+        .select($"vec_id", $"label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val probes = queryVectors(s, dir).toSeq.flatMap { case (qid, qv) =>
+        val ranked = cents.indices.map(i => (i.toLong, roundedCosine(qv, cents(i))))
+          .sortWith(graft.functions.VectorFunctions.probeBefore)
+        ranked.take(NPROBE_F).map { case (cid, _) => (qid, qv, qlab(qid), cid) }
+      }.toDF("q_id", "q_emb", "q_label", "c_id")
+      val wRank = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
+      assigned.join(broadcast(probes), Seq("c_id"))
+        // predicate BEFORE scoring — candidates that fail the filter
+        // never reach the cosine
+        .filter($"vec_id" =!= $"q_id" && $"label" === $"q_label")
+        .select($"q_id", $"vec_id",
+          round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos_sim")
+    },
+    Some {
+      s"""WITH ${coarseSqlOver("embeddings", NPROBE_F)},
+      qlab AS (
+        SELECT vec_id AS q_id, label AS q_label FROM embeddings WHERE vec_id < $NQ),
+      pairs AS (
+        SELECT p.q_id, a.vec_id,
+          ${cosSql("a.embedding", "p.q_emb")} AS cos_sim
+        FROM assigned a
+        JOIN embeddings l ON a.vec_id = l.vec_id
+        JOIN probes p ON a.c_id = p.c_id
+        JOIN qlab ql ON p.q_id = ql.q_id
+        WHERE a.vec_id <> p.q_id AND l.label = ql.q_label),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM pairs)
+      SELECT q_id, rank, vec_id AS neighbor_id, cos_sim
+      FROM ranked WHERE rank <= $K"""
+    },
+    headline = true)
+
   val all: Seq[Q] = Seq(s01BruteForce, s02IvfAnn, s03Quantize, s04LshAnn,
     s05LabelCentroids, s06KMeans, s07SemDedup, s08PqAdc, s09PqRecall, s10IvfPq,
     s11IvfPqResidual, s12Bm25, s13Sq8Adc, s14HybridRrf, s15MmrDiversify,
     s16IvfRecallSweep, s17BinaryRerank, s18OpqRotate, s19NnDescent,
-    s20GraphSearch)
+    s20GraphSearch, s21FilteredAnn)
 }

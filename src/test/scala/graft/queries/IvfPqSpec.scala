@@ -175,6 +175,39 @@ class IvfPqSpec extends SparkSpec {
       f"residual IVFPQ recall $residual%.4f at chance level ($chance%.4f)")
   }
 
+  test("s21 filtered ANN: every neighbor satisfies the predicate; recall vs the " +
+    "FILTERED brute force beats unwidened probing's worst case and chance") {
+    val res = Registry.byName("s21_filtered_ann").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val vecs = e.select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    // predicate holds on every returned row
+    res.foreach { case (q, n) =>
+      assert(byId(n)._3 == byId(q)._3,
+        s"neighbor $n of query $q crosses the label predicate")
+    }
+    // filtered brute force: exact top-k among the SAME-label corpus
+    val k = 10
+    val exact = (0L until NQ.toLong).map { q =>
+      val (_, qv, ql) = byId(q)
+      q -> vecs.filter(v => v._1 != q && v._3 == ql)
+        .flatMap(v => graft.functions.VectorFunctions
+          .roundedCosine(qv, v._2).map(c => (v._1, c)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).map(_._1).toSet
+    }.toMap
+    val found = res.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val per = exact.map { case (q, ex) =>
+      ex.intersect(found.getOrElse(q, Set.empty)).size.toDouble / math.max(1, ex.size)
+    }
+    val recall = per.sum / per.size
+    val chance = k.toDouble * 10 / (e.count() - 1) // ~10-way labels
+    info(f"filtered-IVF recall@$k vs filtered brute force = $recall%.4f (chance ~$chance%.4f)")
+    assert(recall >= 0.5,
+      f"filtered recall $recall%.4f below floor — probe widening not doing its job")
+  }
+
   test("residual neighbors also come only from probed cells") {
     val out = Registry.byName("s11_ann_ivfpq_residual").run(spark, sfDir)
       .select($"q_id", $"neighbor_id")
