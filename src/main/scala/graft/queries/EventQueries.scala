@@ -730,8 +730,128 @@ object EventQueries {
     },
     headline = true)
 
+  /** q56: AS-OF (temporal/point-in-time) join — for each purchase, the
+    * user's LATEST click at or before the purchase timestamp: the
+    * point-in-time-correct feature join every training pipeline needs
+    * (joining a label event to the feature state as of that moment,
+    * without peeking forward = no label leakage). Spark has no ASOF
+    * join operator; the naive encodings are a pair join + window
+    * (q51's shape — materializes every conv × touch pair) or an
+    * inequality join (BroadcastNestedLoop). This is the SCALABLE
+    * shape: tag both sides, UNION, one window partitioned by the join
+    * key ordered by (ts, tag) with `last(_, ignoreNulls)` carrying the
+    * most recent right-side row forward — the distributed merge-asof.
+    * Exactly ONE shuffle (on user_id) and one sort for the whole join;
+    * nothing is ever materialized per pair, so a user with a million
+    * touches costs a sort, not a quadratic blow-up. At 100 TB the
+    * window key is the join key, so skew = per-user event count
+    * (bounded); both inputs are filters over the SAME scan and the
+    * union is scan-local.
+    *
+    * Semantics pinned by the oracle: DuckDB's NATIVE `ASOF LEFT JOIN`
+    * — an independent implementation of the operator, not a replay of
+    * this plan. Right side is deduped to one row per (user_id, ts)
+    * keeping the max event_id (determinism guard; the window encoding
+    * realizes the same choice by ordering on (ts, tag, click_id) and
+    * taking the last). `>=` tie: a click at exactly the purchase ts
+    * counts — both sides order right rows strictly before the left row
+    * at equal ts. The carried right row rides ONE struct column so all
+    * its fields come from the SAME row even if a field is null.
+    */
+  val q56AsofJoin = Q(
+    "q56_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val touch = struct(
+        $"event_id".as("click_id"), $"value".as("click_value"),
+        unix_micros($"ts").as("c_us"))
+      val right = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"),
+          touch.as("touch"), $"event_id".as("ord"))
+      val left = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(1).as("tag"), $"event_id",
+          lit(null).cast(right.schema("touch").dataType).as("touch"),
+          lit(null).cast("long").as("ord"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"tag".asc, $"ord".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      left.unionByName(right)
+        .withColumn("t", last($"touch", ignoreNulls = true).over(w))
+        .filter($"tag" === 1)
+        .select($"event_id", $"user_id",
+          $"t.click_id".as("click_id"), $"t.click_value".as("click_value"),
+          (unix_micros($"ts") - $"t.c_us").as("lag_us"))
+    },
+    Some("""WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts, max(event_id) AS click_id,
+          arg_max(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, c.click_id, c.click_value,
+        CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"""),
+    headline = true)
+
+  /** q57: RANGE (interval) join with NO equi-key — for each error
+    * event, the count and value-sum of ALL platform events in the
+    * strictly-preceding 10-second window. Without an equi-key Spark
+    * plans a pure inequality join as BroadcastNestedLoop: O(|L|·|R|)
+    * comparisons, the plan that dies first at scale. The scalable
+    * shape is TIME BUCKETING (Flink's interval-join binning): bucket
+    * width = window length, so every left interval [t−10s, t) covers
+    * exactly 2 buckets; the left explodes to those 2 bucket ids, the
+    * right computes its single bucket, and the join becomes an
+    * EQUI-join on bucket id with an exact range post-filter. Each
+    * right row lives in one bucket and each left interval covers each
+    * bucket once, so no dedup is needed. Work scales with temporal
+    * co-occupancy (events per 10 s), not |L|·|R|; at 100 TB a hot
+    * 10-second burst is the skew axis — salt the bucket id and
+    * replicate the left side per salt, exactly `Salting`'s pattern.
+    *
+    * Oracle: DuckDB's native inequality join (IEJoin) — an
+    * independent plan of the same semantics, not a bucketing replay.
+    * Strict `<` excludes the error event itself; LEFT join keeps
+    * zero-match errors with n_prior = 0, sum_value = 0.0.
+    */
+  val q57RangeJoin = Q(
+    "q57_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val wUs = 10000000L // 10-second look-back, also the bucket width
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros($"ts"))
+      val errs = ev.filter($"event_type" === "error")
+        .select($"event_id", $"us".as("e_us"),
+          explode(array(expr(s"us div $wUs - 1"), expr(s"us div $wUs")))
+            .as("bucket"))
+      val corpus = ev.select(
+        $"us".as("r_us"), $"value", expr(s"us div $wUs").as("bucket"))
+      val inRange = $"r_us" >= $"e_us" - wUs && $"r_us" < $"e_us"
+      errs.join(corpus, Seq("bucket"), "left")
+        .groupBy($"event_id")
+        .agg(
+          count(when(inRange, lit(1))).as("n_prior"),
+          round(coalesce(sum(when(inRange, $"value")), lit(0.0)), 2)
+            .as("sum_value"))
+    },
+    Some("""WITH err AS (
+        SELECT event_id, ts FROM events WHERE event_type = 'error')
+      SELECT e.event_id,
+        CAST(count(r.ts) AS BIGINT) AS n_prior,
+        round(coalesce(sum(r.value), 0.0), 2) AS sum_value
+      FROM err e LEFT JOIN events r
+        ON epoch_us(r.ts) >= epoch_us(e.ts) - 10000000
+       AND epoch_us(r.ts) < epoch_us(e.ts)
+      GROUP BY e.event_id"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,
       q46MarkovTransitions, q47SessionPaths, q48TransitionAnomaly,
-      q49TimeToConvert, q50ActivityHeatmap, q51Attribution, q52SequenceMining)
+      q49TimeToConvert, q50ActivityHeatmap, q51Attribution, q52SequenceMining,
+      q56AsofJoin, q57RangeJoin)
 }

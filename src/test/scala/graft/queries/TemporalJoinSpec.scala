@@ -1,0 +1,111 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** q56 (as-of join) and q57 (bucketed range join): semantics pinned
+  * against driver-side brute force on the real table, tie/edge
+  * semantics on a crafted events table, and the plan shapes that ARE
+  * the operators' point — q56 joins with one shuffle and no join node
+  * at all; q57 never degrades to the BroadcastNestedLoop plan the
+  * naive inequality join would give.
+  */
+class TemporalJoinSpec extends SparkSpec {
+
+  /** (event_id, epoch µs, user_id, event_type, value) off the real
+    * table — µs longs so the brute force sees the full ts precision.
+    */
+  private def eventRows(dir: String): Seq[(Long, Long, Long, String, Double)] =
+    Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")), col("user_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+
+  test("q56 equals the brute-force as-of join on the real table") {
+    val rows = eventRows(sfDir)
+    val clicks = rows.filter(_._4 == "click")
+    val want: Map[Long, Option[(Long, Double, Long)]] =
+      rows.filter(_._4 == "purchase").map { case (pid, pus, user, _, _) =>
+        val prior = clicks.filter(c => c._3 == user && c._2 <= pus)
+        val best = prior.sortBy(c => (c._2, c._1)).lastOption
+        pid -> best.map(c => (c._1, c._5, pus - c._2))
+      }.toMap
+    val got = Registry.byName("q56_asof_join").run(spark, sfDir)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(2)) None
+          else Some((r.getLong(2), r.getDouble(3), r.getLong(4))))
+      }.toMap
+    assert(got.keySet == want.keySet, "purchase row set differs")
+    got.foreach { case (pid, g) =>
+      assert(g == want(pid), s"purchase $pid: $g != ${want(pid)}")
+    }
+  }
+
+  test("q56 tie semantics: equal-ts click counts; max event_id wins a ts tie") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:10")
+    val rows = Seq(
+      // user 1: two clicks at the SAME ts before the purchase — the
+      // higher event_id must win
+      (10L, t0, 1L, "click", 1.0, "{}"),
+      (11L, t0, 1L, "click", 2.0, "{}"),
+      (12L, t1, 1L, "purchase", 9.0, "{}"),
+      // user 2: click at EXACTLY the purchase ts — `>=` includes it
+      (20L, t1, 2L, "click", 3.0, "{}"),
+      (21L, t1, 2L, "purchase", 9.0, "{}"),
+      // user 3: only a LATER click — no match, null row
+      (30L, t1, 3L, "purchase", 9.0, "{}"),
+      (31L, Timestamp.valueOf("2024-01-01 00:00:20"), 3L, "click", 4.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("asof").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Registry.byName("q56_asof_join").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(4))))).toMap
+    assert(got(12L) == Some((11L, 10000000L)), s"ts-tie pick: ${got(12L)}")
+    assert(got(21L) == Some((20L, 0L)), s"equal-ts inclusion: ${got(21L)}")
+    assert(got(30L).isEmpty, s"future click leaked backward: ${got(30L)}")
+  }
+
+  test("q56 plans ONE shuffle and no join operator") {
+    val p = Registry.byName("q56_asof_join").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    def n(t: String) = p.sliding(t.length).count(_ == t)
+    assert(n("Exchange") - n("BroadcastExchange") == 1,
+      s"as-of join must cost exactly one shuffle:\n$p")
+    assert(!p.contains("Join"), s"as-of join materialized a join:\n$p")
+  }
+
+  test("q57 equals the brute-force range join on the real table") {
+    val rows = eventRows(sfDir)
+    val want = rows.filter(_._4 == "error").map { case (eid, eus, _, _, _) =>
+      val in = rows.filter(r => r._2 >= eus - 10000000L && r._2 < eus)
+      eid -> (in.size.toLong, math.floor(in.map(_._5).sum * 100 + 0.5) / 100)
+    }.toMap
+    val got = Registry.byName("q57_range_join").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet, "error row set differs")
+    got.foreach { case (eid, (cnt, s)) =>
+      assert(cnt == want(eid)._1, s"error $eid: count $cnt != ${want(eid)._1}")
+      // FP summation order differs between the plans; 2 dp rounding on
+      // both sides leaves at most a boundary ulp
+      assert(math.abs(s - want(eid)._2) <= 0.011,
+        s"error $eid: sum $s != ${want(eid)._2}")
+    }
+  }
+
+  test("q57 never plans BroadcastNestedLoop or Cartesian") {
+    val p = Registry.byName("q57_range_join").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join degraded to BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian range join:\n$p")
+  }
+}
