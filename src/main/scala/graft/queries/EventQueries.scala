@@ -762,28 +762,18 @@ object EventQueries {
     "q56_asof_join",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir)
-      val touch = struct(
-        $"event_id".as("click_id"), $"value".as("click_value"),
-        unix_micros($"ts").as("c_us"))
-      val right = ev.filter($"event_type" === "click")
-        .select($"user_id", $"ts", lit(0).as("tag"),
-          lit(null).cast("long").as("event_id"),
-          touch.as("touch"), $"event_id".as("ord"))
-      val left = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts", lit(1).as("tag"), $"event_id",
-          lit(null).cast(right.schema("touch").dataType).as("touch"),
-          lit(null).cast("long").as("ord"))
-      val w = Window.partitionBy($"user_id")
-        .orderBy($"ts".asc, $"tag".asc, $"ord".asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      left.unionByName(right)
-        .withColumn("t", last($"touch", ignoreNulls = true).over(w))
-        .filter($"tag" === 1)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"),
+          $"value".as("click_value"))
+      graft.operators.AsofJoin
+        .asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_id")
         .select($"event_id", $"user_id",
-          $"t.click_id".as("click_id"), $"t.click_value".as("click_value"),
-          (unix_micros($"ts") - $"t.c_us").as("lag_us"))
+          $"asof.click_id".as("click_id"),
+          $"asof.click_value".as("click_value"),
+          (unix_micros($"ts") - unix_micros($"asof.asof_ts")).as("lag_us"))
     },
     Some("""WITH p AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

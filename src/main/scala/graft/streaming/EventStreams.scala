@@ -483,4 +483,85 @@ object EventStreams {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
   }
+
+  /** Typed event for the streaming as-of join: one stream carrying
+    * both sides, `tag` 0 = right (click/feature update), 1 = left
+    * (purchase/label event).
+    */
+  final case class AsofEv(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      tag: Int, value: Double)
+
+  /** A buffered as-of event (µs-precision event time — ms would
+    * reorder sub-ms neighbors differently than the batch window).
+    */
+  final case class AsofPending(us: Long, event_id: Long, tag: Int, value: Double)
+
+  /** Per-user as-of state: the latest FLUSHED right row (the as-of
+    * anchor) plus the in-watermark pending buffer.
+    */
+  final case class AsofState(last: Option[AsofPending], pending: Seq[AsofPending])
+
+  /** One joined left row (fields match q56's output; None = no right
+    * row at-or-before the left event).
+    */
+  final case class AsofRow(
+      user_id: Long, event_id: Long, click_id: Option[Long],
+      click_value: Option[Double], lag_us: Option[Long])
+
+  /** Streaming face of q56 / `operators.AsofJoin` — the streaming
+    * point-in-time join: each left event is emitted with the latest
+    * right row at-or-before it, even when events ARRIVE out of order.
+    * Same primitive as [[orderedTransitions]]: a watermark-bounded
+    * REORDER BUFFER. A left event is only emitted once the watermark
+    * strictly passes its timestamp — until then an in-watermark right
+    * row at an equal-or-earlier time could still arrive and change the
+    * answer (`>=` semantics make even an equal-ts right row count) —
+    * so every emitted row is final and stream ≡ batch holds across ANY
+    * micro-batch split. Ready events replay in (ts µs, tag, event_id)
+    * order, the batch window's exact sort, so right-side (ts) ties
+    * resolve to the max event_id on both faces.
+    *
+    * State: the pending buffer is bounded by the watermark horizon
+    * (event-time timeouts re-invoke idle users so a buffered left
+    * never waits for its user's next arrival); the anchor is one small
+    * record per ever-seen user — what as-of semantics require, bounded
+    * in production by an idle horizon at the cost of forgetting
+    * anchors after long gaps.
+    */
+  def streamingAsof(events: Dataset[AsofEv]): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+
+    def toUs(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+    def flush(
+        userId: Long,
+        evs: Iterator[AsofEv],
+        state: GroupState[AsofState]): Iterator[AsofRow] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st = state.getOption.getOrElse(AsofState(None, Nil))
+      val all = st.pending ++ evs.map(e =>
+        AsofPending(toUs(e.ts), e.event_id, e.tag, e.value))
+      // strict <: an event AT the watermark ms could still be joined
+      // by an equal-ts arrival (only ts < wm is late-dropped)
+      val (ready, hold) = all.partition(_.us / 1000L < wm)
+      var anchor = st.last
+      val out = ready.sortBy(p => (p.us, p.tag, p.event_id)).flatMap { p =>
+        if (p.tag == 0) { anchor = Some(p); None }
+        else Some(AsofRow(userId, p.event_id, anchor.map(_.event_id),
+          anchor.map(_.value), anchor.map(a => p.us - a.us)))
+      }
+      state.update(AsofState(anchor, hold))
+      if (hold.nonEmpty)
+        state.setTimeoutTimestamp(math.max(wm + 1, hold.map(_.us / 1000L).min + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
+  }
 }
