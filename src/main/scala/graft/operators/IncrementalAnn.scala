@@ -31,8 +31,13 @@ import org.apache.spark.sql.functions._
   * IvfPqSpec's pruning test) and scores through the same
   * [[ProductQuantizer.adcSearchCells]] stage as the one-shot s10
   * query. Segment compaction per cell composes orthogonally
-  * ([[SegmentCompaction.compactedCopy]]); deletes would ride a
-  * tombstone segment.
+  * ([[SegmentCompaction.compactedCopy]]); deletes ride committed
+  * [[Tombstones]] segments (`indexDir/delete=<id>/`) subtracted at
+  * search — because the model is FROZEN, the filtered search is
+  * EXACTLY the index built from the surviving vectors (removing
+  * candidates changes no other vector's cell or codes), the strongest
+  * delete guarantee any face can offer, and TombstoneSpec pins that
+  * frame equality.
   */
 object IncrementalAnn {
 
@@ -154,11 +159,13 @@ object IncrementalAnn {
     // over the batch= parents), unioned; partition-value inference
     // reads small c_id values back as INT — normalize to the family's
     // long before the probe join
-    val codes = committed
-      .map(c => spark.read
-        .option("basePath", s"${c._2}/codes").parquet(s"${c._2}/codes"))
-      .reduce(_.unionByName(_))
-      .withColumn("c_id", col("c_id").cast("long"))
+    val codes = Tombstones.dropDeleted(
+      committed
+        .map(c => spark.read
+          .option("basePath", s"${c._2}/codes").parquet(s"${c._2}/codes"))
+        .reduce(_.unionByName(_))
+        .withColumn("c_id", col("c_id").cast("long")),
+      Seq(idCol), indexDir)
     // model-sized collect: the query batch (the family's queryVectors
     // pattern); probes ranked exactly like coarseProbes
     val probes = queries

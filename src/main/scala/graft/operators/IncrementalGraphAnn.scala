@@ -123,18 +123,25 @@ object IncrementalGraphAnn {
 
   /** All committed vectors (vec_id, embedding), optionally only from
     * batches with id < `belowBatch` (the retry-stability read — see
-    * class doc).
+    * class doc). `applyDeletes = false` is the INSERTION read: raw
+    * state, so segment derivation stays a pure function of prior
+    * batches even when a delete interleaves with a crash-retry (and
+    * so the id-clash guard keeps tombstoned ids unreusable —
+    * [[Tombstones]]' resurrection rule).
     */
   def vectors(
       spark: SparkSession,
       stateDir: String,
-      belowBatch: Long = Long.MaxValue): DataFrame = {
+      belowBatch: Long = Long.MaxValue,
+      applyDeletes: Boolean = true): DataFrame = {
     val (statePath, fs) = fsOf(spark, stateDir)
     val dirs = committedBatches(fs, statePath)
       .filter(_._1 < belowBatch)
       .map { case (id, _) => segPath(statePath, id, "vectors").toString }
     require(dirs.nonEmpty, s"no committed batches under $stateDir")
-    spark.read.parquet(dirs: _*)
+    val raw = spark.read.parquet(dirs: _*)
+    if (applyDeletes) Tombstones.dropDeleted(raw, Seq("vec_id"), stateDir)
+    else raw
   }
 
   /** The serving graph from committed state alone: stored out-edges ∪
@@ -147,13 +154,19 @@ object IncrementalGraphAnn {
       spark: SparkSession,
       stateDir: String,
       k: Int,
-      belowBatch: Long = Long.MaxValue): DataFrame = {
+      belowBatch: Long = Long.MaxValue,
+      applyDeletes: Boolean = true): DataFrame = {
     val (statePath, fs) = fsOf(spark, stateDir)
     val dirs = committedBatches(fs, statePath)
       .filter(_._1 < belowBatch)
       .map { case (id, _) => segPath(statePath, id, "edges").toString }
     require(dirs.nonEmpty, s"no committed batches under $stateDir")
-    val stored = spark.read.parquet(dirs: _*)
+    val raw = spark.read.parquet(dirs: _*)
+    // an edge dies with EITHER endpoint, and the subtraction runs
+    // BEFORE the bottom-k so dead neighbors don't consume rank slots
+    val stored =
+      if (applyDeletes) Tombstones.dropDeleted(raw, Seq("id", "nbr"), stateDir)
+      else raw
     val undirected = stored
       .select(col("id"), col("nbr"), col("sim_micro"))
       .union(stored.select(col("nbr").as("id"), col("id").as("nbr"), col("sim_micro")))
@@ -194,8 +207,14 @@ object IncrementalGraphAnn {
     require(newVecs.map(_._1).distinct.length == newVecs.length,
       "duplicate vec_id within batch")
 
-    val graph = currentGraph(spark, stateDir, k, belowBatch = batchId)
-    val existing = vectors(spark, stateDir, belowBatch = batchId)
+    // raw (tombstone-blind) reads: segment contents must be a pure
+    // function of the batch + prior BATCH segments so a crash-retry
+    // reproduces identical bytes even if a delete landed in between;
+    // raw `existing` also keeps tombstoned ids unreusable below
+    val graph = currentGraph(spark, stateDir, k, belowBatch = batchId,
+      applyDeletes = false)
+    val existing = vectors(spark, stateDir, belowBatch = batchId,
+      applyDeletes = false)
     val newIdSet = newVecs.map(_._1).toSet
     val clash = existing.filter(col("vec_id").isInCollection(newIdSet)).count()
     require(clash == 0, s"$clash batch ids already committed")
@@ -249,4 +268,18 @@ object IncrementalGraphAnn {
       currentGraph(spark, stateDir, k).select(col("id"), col("nbr")),
       vectors(spark, stateDir), queries, beam, hops, seedTag)
       .filter(col("rank") <= k)
+
+  /** Physical delete for this face: [[SegmentCompaction.vacuumedCopy]]
+    * with the graph store's id columns — vectors die by `vec_id`,
+    * edges with EITHER endpoint. The fresh store serves identically
+    * to the tombstoned source and frees deleted ids for re-insertion.
+    */
+  def vacuumedCopy(
+      spark: SparkSession,
+      inStore: String,
+      outStore: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024): Int =
+    SegmentCompaction.vacuumedCopy(spark, inStore, outStore,
+      Map("edges" -> Seq("id", "nbr"), "vectors" -> Seq("vec_id")),
+      targetBytesPerFile)
 }

@@ -82,7 +82,8 @@ object SegmentCompaction {
     val segs = committedBatches(fs, inPath)
     require(segs.nonEmpty, s"no committed batches under $inStore")
     val outPath = new Path(outStore)
-    require(committedBatches(fs, outPath).isEmpty,
+    require(committedBatches(fs, outPath).isEmpty &&
+      Tombstones.committedDeletes(fs, outPath).isEmpty,
       s"$outStore already holds committed segments")
     val outSeg = new Path(outPath, "batch=0")
     fs.delete(outSeg, true) // a crashed (uncommitted) prior attempt
@@ -103,6 +104,61 @@ object SegmentCompaction {
           .write.parquet(new Path(outSeg, part).toString)
       }
       // marker LAST — commits the multi-part segment atomically
+      fs.create(new Path(outSeg, "_SUCCESS"), true).close()
+    }
+    // tombstones ([[Tombstones]] `delete=<id>` segments) are part of
+    // committed state — carry their union as `delete=0`, or the copy
+    // would RESURRECT deleted rows
+    Tombstones.deletedIds(spark, inStore).foreach(
+      _.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(outPath, "delete=0").toString))
+    segs.size
+  }
+
+  /** [[compactedCopy]] that additionally APPLIES the store's
+    * tombstones: rows whose value in any of the part's id columns is
+    * deleted are physically dropped, and the fresh store carries NO
+    * tombstone segments — the vacuum that ends [[Tombstones]]' filter
+    * cost and frees deleted ids for re-insertion. Read-equality with
+    * the source store holds by construction: every serving read is a
+    * pure function of (committed rows ∖ tombstoned rows), which is
+    * exactly what the output materializes.
+    *
+    * @param idColsByPart id columns to subtract per part name; a flat
+    *                     store uses the `""` key. A part with no entry
+    *                     is copied unfiltered.
+    */
+  def vacuumedCopy(
+      spark: SparkSession,
+      inStore: String,
+      outStore: String,
+      idColsByPart: Map[String, Seq[String]],
+      targetBytesPerFile: Long = 128L * 1024 * 1024): Int = {
+    val inPath = new Path(inStore)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = committedBatches(fs, inPath)
+    require(segs.nonEmpty, s"no committed batches under $inStore")
+    val outPath = new Path(outStore)
+    require(committedBatches(fs, outPath).isEmpty &&
+      Tombstones.committedDeletes(fs, outPath).isEmpty,
+      s"$outStore already holds committed segments")
+    val outSeg = new Path(outPath, "batch=0")
+    fs.delete(outSeg, true)
+
+    def vacuumed(dirs: Seq[Path], part: String) = {
+      val df = spark.read.parquet(dirs.map(_.toString): _*)
+      Tombstones.dropDeleted(df, idColsByPart.getOrElse(part, Nil), inStore)
+        .repartition(sizedPartitions(fs, dirs, targetBytesPerFile))
+    }
+    val parts = partsOf(fs, segs.head._2)
+    if (parts.isEmpty) {
+      vacuumed(segs.map(_._2), "").write.parquet(outSeg.toString)
+    } else {
+      parts.foreach { part =>
+        val dirs = segs.map { case (_, p) => new Path(p, part) }
+          .filter(fs.exists(_))
+        vacuumed(dirs, part).write.parquet(new Path(outSeg, part).toString)
+      }
       fs.create(new Path(outSeg, "_SUCCESS"), true).close()
     }
     segs.size
