@@ -839,9 +839,62 @@ object EventQueries {
       GROUP BY e.event_id"""),
     headline = true)
 
+  /** q58: LOCF gap-fill — resample each user's `view` value onto a
+    * regular DAILY grid carrying the last observation forward (with
+    * its staleness), the feature-backfill read that turns an irregular
+    * event stream into the fixed-frequency matrix a training job
+    * consumes. Built directly on `operators.AsofJoin`: the left side
+    * is the (user × day) grid generated DISTRIBUTEDLY
+    * (`explode(sequence(...))` over the distinct users — never a
+    * driver loop; bounds are two driver scalars from a min/max agg),
+    * the right side the observation stream — so the whole resample
+    * costs the as-of join's single shuffle. Users with no
+    * observations yet gap-fill as nulls (the grid is a cross of ALL
+    * users). At 100 TB the grid is |users|·|days| rows of ids only;
+    * payloads ride the carried struct.
+    */
+  val q58LocfGapfill = Q(
+    "q58_locf_gapfill",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val b = ev.agg(
+        date_trunc("day", min($"ts")), date_trunc("day", max($"ts"))).head()
+      val grid = ev.select($"user_id").distinct()
+        .withColumn("ts", explode(sequence(
+          lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
+          expr("interval 1 day"))))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"event_id".as("obs_id"),
+          $"value".as("obs_value"))
+      graft.operators.AsofJoin
+        .asofJoin(grid, views, Seq("user_id"), "ts", "obs_id")
+        .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"),
+          $"asof.obs_id".as("obs_id"), $"asof.obs_value".as("obs_value"),
+          expr("(unix_micros(ts) - unix_micros(asof.asof_ts)) div 3600000000")
+            .as("staleness_hours"))
+    },
+    Some("""WITH bounds AS (
+        SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+        FROM events),
+      grid AS (
+        SELECT u.user_id, g.ts
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS ts
+                    FROM bounds) g),
+      v AS (
+        SELECT user_id, ts, max(event_id) AS obs_id,
+          arg_max(value, event_id) AS obs_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      SELECT g.user_id, strftime(g.ts, '%Y-%m-%d') AS day, v.obs_id, v.obs_value,
+        CAST((epoch_us(g.ts) - epoch_us(v.ts)) // 3600000000 AS BIGINT)
+          AS staleness_hours
+      FROM grid g ASOF LEFT JOIN v ON g.user_id = v.user_id AND g.ts >= v.ts"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,
       q46MarkovTransitions, q47SessionPaths, q48TransitionAnomaly,
       q49TimeToConvert, q50ActivityHeatmap, q51Attribution, q52SequenceMining,
-      q56AsofJoin, q57RangeJoin)
+      q56AsofJoin, q57RangeJoin, q58LocfGapfill)
 }
