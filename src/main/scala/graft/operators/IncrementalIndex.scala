@@ -35,9 +35,18 @@ import org.apache.spark.sql.functions._
   * query-vocabulary df census, one partial-aggregating exchange.
   * Segment COMPACTION (folding many small segments into one —
   * [[SegmentCompaction.compactedCopy]]) composes orthogonally when batch
-  * counts grow; deletes would ride a tombstone segment — both
-  * documented as the production follow-on, neither needed for the
-  * stream ≡ batch contract.
+  * counts grow. Deletes ride committed [[Tombstones]] segments
+  * subtracted inside [[load]] — and because n_docs, s_tok, and df all
+  * derive from the loaded frames at read time, the filtered search is
+  * EXACTLY the index built without the deleted documents (global BM25
+  * stats shift with the deletion, as they must). A deleted doc_id
+  * stays dead even if re-appended (the subtraction can't tell the
+  * rows apart) until [[SegmentCompaction.vacuumedCopy]] — pass
+  * `Map("docs" -> Seq("doc_id"), "postings" -> Seq("doc_id"))`...
+  * except this face commits with per-PART markers rather than a
+  * segment marker, so vacuum/compact here means folding docs and
+  * postings as two flat stores; TombstoneSpec pins the filtered-read
+  * equality that makes any such rewrite safe.
   */
 object IncrementalIndex {
 
@@ -99,8 +108,17 @@ object IncrementalIndex {
       (Seq.empty[(Long, Long)].toDF("doc_id", "dl"),
         Seq.empty[(Long, String, Long)].toDF("doc_id", "term", "tf"))
     } else {
-      val docs = spark.read.parquet(committed.map(c => s"${c._2}/docs"): _*)
-      val postings = spark.read.parquet(committed.map(c => s"${c._2}/postings"): _*)
+      // tombstones subtract BEFORE anything downstream: df, n_docs and
+      // s_tok all derive from these frames at read time, so the
+      // filtered search scores EXACTLY like an index that never held
+      // the deleted documents (BM25's global stats shift with the
+      // deletion, as they must)
+      val docs = Tombstones.dropDeleted(
+        spark.read.parquet(committed.map(c => s"${c._2}/docs"): _*),
+        Seq("doc_id"), indexDir)
+      val postings = Tombstones.dropDeleted(
+        spark.read.parquet(committed.map(c => s"${c._2}/postings"): _*),
+        Seq("doc_id"), indexDir)
       (docs, postings)
     }
   }

@@ -83,6 +83,38 @@ class TombstoneSpec extends SparkSpec {
     assert(annSearch(dir) == annSearch(survivors), "retried delete not applied")
   }
 
+  // ---- BM25 inverted-index face ----
+
+  test("BM25: tombstoned search == the index built without the deleted docs " +
+    "(global stats shift with the deletion)") {
+    val docs = Tables.documents(spark, sfDir).cache()
+    val qt = docs.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("query_id"),
+        explode(graft.functions.exprs.term_freqs($"text").getField("freqs")).as("f"))
+      .select($"query_id", $"f.term".as("term"))
+    val maxDoc = docs.agg(max($"doc_id")).head().getLong(0)
+    // kill docs likely to appear in results (neighbors of query docs)
+    // plus arbitrary ones — stats must shift either way
+    val deadDocs = Seq(1L, 2L, maxDoc / 2, maxDoc)
+    val half = maxDoc / 2
+
+    def build(dir: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      IncrementalIndex.appendBatch(
+        rows.filter($"doc_id" <= half), "doc_id", "text", dir, 0L)
+      IncrementalIndex.appendBatch(
+        rows.filter($"doc_id" > half), "doc_id", "text", dir, 1L)
+    }
+    val full = freshDir("ts_bm25_full")
+    build(full, docs)
+    Tombstones.append(spark, full, 0L, deadDocs)
+    val survivors = freshDir("ts_bm25_surv")
+    build(survivors, docs.filter(!$"doc_id".isInCollection(deadDocs)))
+    val got = IncrementalIndex.searchTopK(spark, full, qt).collect().toSet
+    val want = IncrementalIndex.searchTopK(spark, survivors, qt).collect().toSet
+    assert(got.nonEmpty && got == want,
+      s"filtered BM25 (${got.size} rows) differs from the survivors-only index (${want.size})")
+  }
+
   // ---- graph-ANN face ----
 
   private lazy val graphStore: String = {
