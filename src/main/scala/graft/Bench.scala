@@ -213,16 +213,17 @@ object Bench {
       results: Seq[(String, Double)],
       failedReps: Seq[(String, Int)],
       sfDir: String): String = {
-    // 2 dp per query, display-capped at 999.99: the line's char budget
-    // is the binding constraint (63 headliners left 1918 chars at 3 dp
-    // vs the 1900 budget). 10 ms granularity is far below this host's
-    // ±3x ambient noise; a >1000 s median would have blown the
-    // driver's wall-clock long before formatting matters, so the cap
-    // only bounds the absurd-input case the tail-window spec pins.
-    // The -1.0 all-reps-failed sentinel passes through. Full 3-dp
-    // readings ride in BENCH_DETAIL.json (`queries_3dp`).
+    // 2 dp per query, display-capped at 99.99: the line's char budget
+    // is the binding constraint (65 headliners at the old 999.99 cap
+    // hit 1917 chars vs the 1900 budget). 10 ms granularity is far
+    // below this host's ±3x ambient noise; a >100 s sf0.1 median would
+    // have blown the driver's wall-clock long before formatting
+    // matters, so the cap only bounds the absurd-input case the
+    // tail-window spec pins. The -1.0 all-reps-failed sentinel passes
+    // through. Full 3-dp readings ride in BENCH_DETAIL.json
+    // (`queries_3dp`).
     val qJson = results
-      .map { case (k, v) => "\"" + k + "\":" + num(math.min(v, 999.99), 2) }
+      .map { case (k, v) => "\"" + k + "\":" + num(math.min(v, 99.99), 2) }
       .mkString("{", ",", "}")
     // total = sum of successful medians; failed queries are reported in
     // failed_reps (and as -1.0 in queries), not subtracted from total.
