@@ -484,6 +484,58 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
   }
 
+  /** Streaming face of q57's keyless range join: per error event, the
+    * count/value-sum of ALL events in the strictly-preceding
+    * `windowSec` seconds, as a STREAM-STREAM interval join — Spark's
+    * native watermark-bounded two-sided buffer (each side holds only
+    * the watermark horizon) — followed by a downstream aggregation,
+    * the chained-stateful-operators shape Spark supports in append
+    * mode since 3.4. The aggregation grooups by (err_id, its tumbling
+    * event-time window): err_id alone could never FINALIZE in append
+    * mode (no watermark bound closes a bare key), while the window key
+    * closes each error's group exactly once — an error belongs to one
+    * window, so the extra key changes no value, only adds the
+    * finalization bound. LEFT OUTER keeps zero-match errors: the join
+    * emits their null-matched row once the watermark proves no match
+    * can still arrive, exactly the batch q57 semantics. Both sides
+    * take the same DataFrame in batch mode (watermarks no-op), so the
+    * identical code path serves `read` and `readStream`.
+    */
+  def streamingRangeCounts(
+      errs: DataFrame,
+      all: DataFrame,
+      windowSec: Int = 10): DataFrame = {
+    val wUs = windowSec * 1000000L
+    // Spark refuses a stream-stream join with NO equality predicate —
+    // the same wall the batch q57 hits as BroadcastNestedLoop. The
+    // same time-bucket trick fixes both: bucket width = window length,
+    // each error interval covers exactly 2 buckets (exploded), each
+    // event exactly 1, and the join gains the equi-key that keys its
+    // state store. A right row matches via exactly one bucket, so the
+    // explode duplicates no match; the unmatched bucket copy's
+    // left-outer null row adds nothing to count(r_ts).
+    val e = errs
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"),
+        explode(array(
+          expr(s"unix_micros(ts) div $wUs - 1"),
+          expr(s"unix_micros(ts) div $wUs"))).as("e_bucket"))
+      .withWatermark("err_ts", "2 hours")
+    val r = all
+      .select(col("ts").as("r_ts"), col("value"),
+        expr(s"unix_micros(ts) div $wUs").as("r_bucket"))
+      .withWatermark("r_ts", "2 hours")
+    e.join(r,
+      expr(s"""e_bucket = r_bucket AND
+               r_ts >= err_ts - INTERVAL $windowSec SECONDS AND
+               r_ts < err_ts"""),
+      "leftOuter")
+      .groupBy(col("err_id"), window(col("err_ts"), s"$windowSec seconds"))
+      .agg(
+        count(col("r_ts")).as("n_prior"),
+        round(coalesce(sum(col("value")), lit(0.0)), 2).as("sum_value"))
+      .select(col("err_id").as("event_id"), col("n_prior"), col("sum_value"))
+  }
+
   /** Typed event for the streaming as-of join: one stream carrying
     * both sides, `tag` 0 = right (click/feature update), 1 = left
     * (purchase/label event).
