@@ -892,9 +892,91 @@ object EventQueries {
       FROM grid g ASOF LEFT JOIN v ON g.user_id = v.user_id AND g.ts >= v.ts"""),
     headline = true)
 
+  /** q59: point-in-time training features — for every purchase
+    * (label), the stats of the user's last session that ENDED STRICTLY
+    * BEFORE the purchase instant: the leak-free feature-store read
+    * that builds a training matrix (q19's sessionization feeding
+    * `operators.AsofJoin`, features never peeking at, or into, the
+    * session the label sits in). Strictness is encoded in the as-of
+    * key itself: the session side keys on `end_us + 1`, so
+    * `purchase_us >= end_us + 1 ⟺ end_us < purchase_us` rides the
+    * operator's native `>=` — and the purchase's OWN session (whose
+    * end is ≥ its ts by construction) can never match. The as-of key
+    * is a BIGINT, exercising the operator's genericity over the ts
+    * column's type. Money stays integer cents (q51's convention), so
+    * feature sums are FP-order-free on both engines. Two shuffles on
+    * user_id (session window, as-of window) plus the session-stats
+    * partial agg — nothing pairs, nothing leaks.
+    */
+  val q59PitFeatures = Q(
+    "q59_pit_features",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val sess = ev
+        .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_session").over(wOrd.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val stats = sess.groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("feat_n_events"),
+          sum(floor($"value" * 100 + lit(0.5)).cast("long")).as("feat_value_cents"),
+          max(unix_micros($"ts")).as("end_us"))
+        .withColumn("jts", $"end_us" + 1L)
+        .select($"user_id", $"jts", $"session_id", $"feat_n_events",
+          $"feat_value_cents", $"end_us")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("jts"), $"event_id",
+          floor($"value" * 100 + lit(0.5)).cast("long").as("label_cents"))
+      graft.operators.AsofJoin
+        .asofJoin(purchases, stats, Seq("user_id"), "jts", "session_id")
+        .select($"event_id", $"user_id", $"label_cents",
+          $"asof.feat_n_events".as("feat_n_events"),
+          $"asof.feat_value_cents".as("feat_value_cents"),
+          ($"jts" - $"asof.end_us").as("staleness_us"))
+    },
+    Some("""WITH g AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      sess AS (
+        SELECT user_id, ts, value,
+          CAST(sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM g),
+      st AS (
+        SELECT user_id, session_id,
+          CAST(count(*) AS BIGINT) AS feat_n_events,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            AS feat_value_cents,
+          epoch_us(max(ts)) AS end_us,
+          epoch_us(max(ts)) + 1 AS jts
+        FROM sess GROUP BY 1, 2),
+      p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS label_cents
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.label_cents,
+        st.feat_n_events, st.feat_value_cents,
+        CAST(p.us - st.end_us AS BIGINT) AS staleness_us
+      FROM p ASOF LEFT JOIN st
+        ON p.user_id = st.user_id AND p.us >= st.jts"""),
+    headline = true)
+
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,
       q46MarkovTransitions, q47SessionPaths, q48TransitionAnomaly,
       q49TimeToConvert, q50ActivityHeatmap, q51Attribution, q52SequenceMining,
-      q56AsofJoin, q57RangeJoin, q58LocfGapfill)
+      q56AsofJoin, q57RangeJoin, q58LocfGapfill, q59PitFeatures)
 }

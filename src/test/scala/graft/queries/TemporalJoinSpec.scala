@@ -101,6 +101,38 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("q59 leak-freedom: a purchase inside a session never sees that session; " +
+    "the previous COMPLETED session is the feature") {
+    import spark.implicits._
+    def ts(m: Long) = new Timestamp(
+      Timestamp.valueOf("2024-03-01 00:00:00").getTime + m * 60000L)
+    // user 1 — session A: events at 0,5,10 min (values 100,200,300);
+    // >30 min gap; session B opens at 60 with a view, purchase at 61
+    // (same session as the view): features must be ALL of A, never B.
+    // user 2 — purchase at 5 min INSIDE its very first session (an
+    // event precedes it at 0): no completed prior session -> all-null.
+    val rows = Seq(
+      (10L, ts(0), 1L, "view", 1.0, "{}"),
+      (11L, ts(5), 1L, "click", 2.0, "{}"),
+      (12L, ts(10), 1L, "view", 3.0, "{}"),
+      (13L, ts(60), 1L, "view", 4.0, "{}"),
+      (14L, ts(61), 1L, "purchase", 9.0, "{}"),
+      (20L, ts(0), 2L, "view", 5.0, "{}"),
+      (21L, ts(5), 2L, "purchase", 9.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("pit").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Registry.byName("q59_pit_features").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None
+         else Some((r.getLong(3), r.getLong(4), r.getLong(5))))).toMap
+    // session A: 3 events, 100+200+300 cents, ended (61-10) min before
+    assert(got(14L) == Some((3L, 600L, 51L * 60000000L)),
+      s"purchase 14 must see exactly session A: ${got(14L)}")
+    assert(got(21L).isEmpty,
+      s"purchase 21 leaked features from its own open session: ${got(21L)}")
+  }
+
   test("q57 never plans BroadcastNestedLoop or Cartesian") {
     val p = Registry.byName("q57_range_join").run(spark, sfDir)
       .queryExecution.executedPlan.toString
