@@ -616,4 +616,104 @@ object EventStreams {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
   }
+
+  /** Typed event for the streaming LOCF resampler: every event
+    * registers its user on the grid; only `is_obs` rows (the observed
+    * metric, q58's `view` events) move the carried value.
+    */
+  final case class LocfEv(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      is_obs: Boolean, value: Double)
+
+  /** One emitted grid row (q58's output schema). */
+  final case class LocfRow(
+      user_id: Long, day: String, obs_id: Option[Long],
+      obs_value: Option[Double], staleness_hours: Option[Long])
+
+  /** Per-user LOCF state: the carried observation, the in-watermark
+    * pending buffer, and the next unemitted grid instant.
+    */
+  final case class LocfState(
+      anchor: Option[AsofPending], pending: Seq[AsofPending], nextGridUs: Long)
+
+  /** Streaming face of q58's LOCF gap-fill — periodic-snapshot
+    * emission: each user's grid rows (day, last observation, its
+    * staleness) emit as the watermark crosses each grid instant, so
+    * the training matrix MATERIALIZES INCREMENTALLY and is final on
+    * emission. This is the third streaming primitive in the family:
+    * windowed aggregation emits per closed window, the reorder buffer
+    * ([[orderedTransitions]]/[[streamingAsof]]) emits per passed
+    * event — here OUTPUT rows exist at times where no input row does,
+    * driven by event-time TIMERS (idle users keep emitting their
+    * nulls/carries as the watermark advances).
+    *
+    * Correctness rule (same strict gate as the reorder buffer): grid
+    * instant g emits only once the watermark strictly passes it, and
+    * an observation AT g applies to g (`<=` semantics) — any
+    * observation that could still change g's row would itself be
+    * in-watermark ready (us ≤ g < wm) or late-dropped, so every
+    * emitted row is final across ANY micro-batch split. A user first
+    * seen late backfills its earlier grid instants immediately (they
+    * are already past-watermark, anchor = None → null rows), matching
+    * the batch grid's all-users × all-days cross.
+    *
+    * Grid bounds are the caller's (the batch face derives them from a
+    * min/max scan; a stream has no "max ts" — production passes the
+    * campaign/feature window).
+    */
+  def streamingLocf(
+      events: Dataset[LocfEv],
+      gridStartUs: Long,
+      gridEndUs: Long,
+      stepUs: Long): Dataset[LocfRow] = {
+    import events.sparkSession.implicits._
+
+    def toUs(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+    def dayOf(us: Long): String =
+      java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+    def row(userId: Long, g: Long, anchor: Option[AsofPending]): LocfRow =
+      LocfRow(userId, dayOf(g), anchor.map(_.event_id), anchor.map(_.value),
+        anchor.map(a => (g - a.us) / 3600000000L))
+
+    def flush(
+        userId: Long,
+        evs: Iterator[LocfEv],
+        state: GroupState[LocfState]): Iterator[LocfRow] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st = state.getOption.getOrElse(LocfState(None, Nil, gridStartUs))
+      val incoming = evs.filter(_.is_obs).map(e =>
+        AsofPending(toUs(e.ts), e.event_id, 0, e.value)).toSeq
+      val (ready, hold) = (st.pending ++ incoming).partition(_.us / 1000L < wm)
+      var anchor = st.anchor
+      var g = st.nextGridUs
+      val out = Seq.newBuilder[LocfRow]
+      def emitGridBelow(bound: Long): Unit =
+        while (g <= gridEndUs && g / 1000L < wm && g < bound) {
+          out += row(userId, g, anchor); g += stepUs
+        }
+      ready.sortBy(p => (p.us, p.event_id)).foreach { p =>
+        // grid instants strictly before the observation see the OLD
+        // anchor; an observation AT a grid instant applies to it
+        emitGridBelow(p.us)
+        anchor = Some(p)
+      }
+      emitGridBelow(Long.MaxValue)
+      state.update(LocfState(anchor, hold, g))
+      val wakeups = hold.map(_.us).toSeq ++
+        (if (g <= gridEndUs) Seq(g) else Nil)
+      if (wakeups.nonEmpty)
+        state.setTimeoutTimestamp(math.max(wm + 1, wakeups.min / 1000L + 1))
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
+  }
 }
