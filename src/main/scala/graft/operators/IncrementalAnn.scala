@@ -148,11 +148,15 @@ object IncrementalAnn {
       qVecCol: String,
       nprobe: Int,
       topK: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      belowBatch: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val indexPath = new Path(indexDir)
     val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = committedBatches(fs, indexPath)
+    // belowBatch = the SNAPSHOT read (state as of a past batch
+    // boundary, reproducible forever since segments are immutable);
+    // tombstones pierce snapshots — erasure beats time travel
+    val committed = committedBatches(fs, indexPath).filter(_._1 < belowBatch)
     require(committed.nonEmpty, s"no committed segments under $indexDir")
     val model = loadModel(spark, indexDir)
     // per-segment reads (a multi-path read trips partition discovery

@@ -254,7 +254,9 @@ object IncrementalGraphAnn {
 
   /** Top-k search over the maintained index — [[NnDescent.beamSearch]]
     * over [[currentGraph]] and the committed vectors. `queries` must
-    * carry (q_id, q_emb).
+    * carry (q_id, q_emb). `belowBatch` is the SNAPSHOT read (the state
+    * as of that batch boundary, reproducible forever); tombstones
+    * pierce snapshots — erasure is never time-travelled around.
     */
   def searchTopK(
       spark: SparkSession,
@@ -263,10 +265,11 @@ object IncrementalGraphAnn {
       k: Int,
       beam: Int,
       hops: Int,
-      seedTag: String = "s20"): DataFrame =
+      seedTag: String = "s20",
+      belowBatch: Long = Long.MaxValue): DataFrame =
     NnDescent.beamSearch(
-      currentGraph(spark, stateDir, k).select(col("id"), col("nbr")),
-      vectors(spark, stateDir), queries, beam, hops, seedTag)
+      currentGraph(spark, stateDir, k, belowBatch).select(col("id"), col("nbr")),
+      vectors(spark, stateDir, belowBatch), queries, beam, hops, seedTag)
       .filter(col("rank") <= k)
 
   /** Physical delete for this face: [[SegmentCompaction.vacuumedCopy]]

@@ -97,12 +97,22 @@ object IncrementalIndex {
 
   /** The accumulated index: (docs(doc_id, dl), postings(doc_id, term,
     * tf)) over all committed segments. Empty frames when no segment
-    * has committed yet.
+    * has committed yet. `belowBatch` bounds the read to batch ids
+    * strictly below it — the SNAPSHOT read: immutable segments make
+    * the store's state at any past batch boundary reproducible
+    * forever, the property a training run pins its corpus with.
+    * Tombstones deliberately PIERCE snapshots (they always apply in
+    * full): a right-to-be-forgotten delete must not remain servable
+    * from an old snapshot, so time travel applies to growth, never to
+    * erasure.
     */
-  def load(spark: SparkSession, indexDir: String): (DataFrame, DataFrame) = {
+  def load(
+      spark: SparkSession,
+      indexDir: String,
+      belowBatch: Long = Long.MaxValue): (DataFrame, DataFrame) = {
     val indexPath = new Path(indexDir)
     val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = committedBatches(fs, indexPath)
+    val committed = committedBatches(fs, indexPath).filter(_._1 < belowBatch)
     if (committed.isEmpty) {
       import spark.implicits._
       (Seq.empty[(Long, Long)].toDF("doc_id", "dl"),
@@ -131,8 +141,9 @@ object IncrementalIndex {
       spark: SparkSession,
       indexDir: String,
       qt: DataFrame,
-      k: Int = 10): DataFrame = {
-    val (docs, postings) = load(spark, indexDir)
+      k: Int = 10,
+      belowBatch: Long = Long.MaxValue): DataFrame = {
+    val (docs, postings) = load(spark, indexDir, belowBatch)
     val tf = postings.join(docs, "doc_id")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     val stats = docs.agg(
