@@ -48,8 +48,9 @@ object AsofJoin {
       keys: Seq[String],
       tsCol: String,
       rightTie: String): DataFrame = {
-    require(!left.columns.contains("asof"),
-      "left side may not already have an `asof` column")
+    val reserved = Seq("asof", "__tag", "__ord", "__lrow", "__rrow")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"inputs may not carry the operator's reserved columns ${reserved.mkString(", ")}")
     val base = keys :+ tsCol
     val leftPayload = left.columns.filterNot(base.contains).toSeq
     val rightPayload = right.columns.filterNot(base.contains).toSeq
