@@ -47,10 +47,6 @@ object TextExprImpl {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** First 15 hex chars of md5(token) as a 60-bit non-negative long —
-    * an engine-portable hash (DuckDB:
-    * CAST('0x'||substr(md5(t),1,15) AS BIGINT)).
-    */
   /** Jump consistent hash (Lamport & Veach 2014): the published
     * algorithm verbatim — unsigned 64-bit LCG step (Java long * and +
     * wrap identically to uint64), `>>> 33` for the unsigned shift.
@@ -67,6 +63,10 @@ object TextExprImpl {
     b.toInt
   }
 
+  /** First 15 hex chars of md5(token) as a 60-bit non-negative long —
+    * an engine-portable hash (DuckDB:
+    * CAST('0x'||substr(md5(t),1,15) AS BIGINT)).
+    */
   def tokenHash60(t: UTF8String): Long = {
     val md = md5Local.get()
     val d = md.digest(t.getBytes)

@@ -48,7 +48,10 @@ object AsofJoin {
       keys: Seq[String],
       tsCol: String,
       rightTie: String): DataFrame = {
-    val reserved = Seq("asof", "__tag", "__ord", "__lrow", "__rrow")
+    // asof_ts is reserved too: a right payload named asof_ts (easy
+    // when chaining two as-of joins) would duplicate the carried
+    // struct's field and make `asof.asof_ts` ambiguous downstream
+    val reserved = Seq("asof", "asof_ts", "__tag", "__ord", "__lrow", "__rrow")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"inputs may not carry the operator's reserved columns ${reserved.mkString(", ")}")
     val base = keys :+ tsCol

@@ -123,6 +123,8 @@ object IncrementalAnn {
     val indexPath = new Path(indexDir)
     val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (committedBatches(fs, indexPath).exists(_._1 == batchId)) return
+    // a tombstoned id would be silently subtracted at search — reject
+    Tombstones.requireNotTombstoned(newVecs.select(col(idCol)), idCol, indexDir)
     val model = loadModel(spark, indexDir)
     val assigned = newVecs.select(col(idCol), col(vecCol),
       graft.functions.exprs

@@ -144,6 +144,15 @@ object IncrementalGraphAnn {
     else raw
   }
 
+  private def vectorsFrom(
+      spark: SparkSession,
+      stateDir: String,
+      belowBatch: Long,
+      deleted: Option[DataFrame]): DataFrame =
+    Tombstones.subtract(
+      vectors(spark, stateDir, belowBatch, applyDeletes = false),
+      Seq("vec_id"), deleted)
+
   /** The serving graph from committed state alone: stored out-edges ∪
     * their reversals (symmetric similarity reused), deduplicated,
     * per-node k best by (−sim_micro, nbr) — (id, nbr, sim_micro,
@@ -155,18 +164,29 @@ object IncrementalGraphAnn {
       stateDir: String,
       k: Int,
       belowBatch: Long = Long.MaxValue,
-      applyDeletes: Boolean = true): DataFrame = {
+      applyDeletes: Boolean = true): DataFrame =
+    graphFrom(spark, stateDir, k, belowBatch,
+      if (applyDeletes) Tombstones.deletedIds(spark, stateDir) else None)
+
+  /** [[currentGraph]] with the tombstone union already fetched —
+    * [[searchTopK]] shares one fetch between the graph and the
+    * vectors read.
+    */
+  private def graphFrom(
+      spark: SparkSession,
+      stateDir: String,
+      k: Int,
+      belowBatch: Long,
+      deleted: Option[DataFrame]): DataFrame = {
     val (statePath, fs) = fsOf(spark, stateDir)
     val dirs = committedBatches(fs, statePath)
       .filter(_._1 < belowBatch)
       .map { case (id, _) => segPath(statePath, id, "edges").toString }
     require(dirs.nonEmpty, s"no committed batches under $stateDir")
-    val raw = spark.read.parquet(dirs: _*)
     // an edge dies with EITHER endpoint, and the subtraction runs
     // BEFORE the bottom-k so dead neighbors don't consume rank slots
-    val stored =
-      if (applyDeletes) Tombstones.dropDeleted(raw, Seq("id", "nbr"), stateDir)
-      else raw
+    val stored = Tombstones.subtract(
+      spark.read.parquet(dirs: _*), Seq("id", "nbr"), deleted)
     val undirected = stored
       .select(col("id"), col("nbr"), col("sim_micro"))
       .union(stored.select(col("nbr").as("id"), col("id").as("nbr"), col("sim_micro")))
@@ -218,6 +238,9 @@ object IncrementalGraphAnn {
     val newIdSet = newVecs.map(_._1).toSet
     val clash = existing.filter(col("vec_id").isInCollection(newIdSet)).count()
     require(clash == 0, s"$clash batch ids already committed")
+    // a tombstoned id (even one deleted before it ever existed) would
+    // be silently subtracted from every serving read — reject loudly
+    Tombstones.requireNotTombstoned(batch.select(col("vec_id")), "vec_id", stateDir)
 
     // The s20 search, one query per new vector, over the PRIOR state.
     val queries = newVecs.toSeq.toDF("q_id", "q_emb")
@@ -266,11 +289,14 @@ object IncrementalGraphAnn {
       beam: Int,
       hops: Int,
       seedTag: String = "s20",
-      belowBatch: Long = Long.MaxValue): DataFrame =
+      belowBatch: Long = Long.MaxValue): DataFrame = {
+    // one tombstone fetch shared by the graph and the vectors read
+    val del = Tombstones.deletedIds(spark, stateDir)
     NnDescent.beamSearch(
-      currentGraph(spark, stateDir, k, belowBatch).select(col("id"), col("nbr")),
-      vectors(spark, stateDir, belowBatch), queries, beam, hops, seedTag)
+      graphFrom(spark, stateDir, k, belowBatch, del).select(col("id"), col("nbr")),
+      vectorsFrom(spark, stateDir, belowBatch, del), queries, beam, hops, seedTag)
       .filter(col("rank") <= k)
+  }
 
   /** Physical delete for this face: [[SegmentCompaction.vacuumedCopy]]
     * with the graph store's id columns — vectors die by `vec_id`,

@@ -79,6 +79,8 @@ object IncrementalIndex {
     val indexPath = new Path(indexDir)
     val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (committedBatches(fs, indexPath).exists(_._1 == batchId)) return
+    // a tombstoned doc_id would be silently subtracted at load — reject
+    Tombstones.requireNotTombstoned(newDocs.select(col(idCol)), idCol, indexDir)
     val seg = new Path(indexPath, s"batch=$batchId")
     // one kernel scan of the batch; the struct is aliased once so the
     // docs and postings projections share it without re-evaluation
@@ -123,12 +125,13 @@ object IncrementalIndex {
       // filtered search scores EXACTLY like an index that never held
       // the deleted documents (BM25's global stats shift with the
       // deletion, as they must)
-      val docs = Tombstones.dropDeleted(
+      val del = Tombstones.deletedIds(spark, indexDir)
+      val docs = Tombstones.subtract(
         spark.read.parquet(committed.map(c => s"${c._2}/docs"): _*),
-        Seq("doc_id"), indexDir)
-      val postings = Tombstones.dropDeleted(
+        Seq("doc_id"), del)
+      val postings = Tombstones.subtract(
         spark.read.parquet(committed.map(c => s"${c._2}/postings"): _*),
-        Seq("doc_id"), indexDir)
+        Seq("doc_id"), del)
       (docs, postings)
     }
   }

@@ -82,11 +82,24 @@ object SegmentCompaction {
     val segs = committedBatches(fs, inPath)
     require(segs.nonEmpty, s"no committed batches under $inStore")
     val outPath = new Path(outStore)
-    require(committedBatches(fs, outPath).isEmpty &&
-      Tombstones.committedDeletes(fs, outPath).isEmpty,
+    // gate on committed BATCHES only: a crash between the tombstone
+    // carry below and the batch fold leaves committed delete=0 rows,
+    // and the retry must sail past them (it overwrites with identical
+    // deterministic contents)
+    require(committedBatches(fs, outPath).isEmpty,
       s"$outStore already holds committed segments")
     val outSeg = new Path(outPath, "batch=0")
     fs.delete(outSeg, true) // a crashed (uncommitted) prior attempt
+
+    // tombstones ([[Tombstones]] `delete=<id>` segments) are part of
+    // committed state — carry their union as `delete=0`, or the copy
+    // would RESURRECT deleted rows. Written BEFORE the data fold: a
+    // copy must never exist in a committed-batches-but-no-tombstones
+    // state (that state SERVES the deleted rows), while the converse —
+    // tombstones but no batches — is unreadable and retry-safe.
+    Tombstones.deletedIds(spark, inStore).foreach(
+      _.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(outPath, "delete=0").toString))
 
     val parts = partsOf(fs, segs.head._2)
     if (parts.isEmpty) {
@@ -106,12 +119,6 @@ object SegmentCompaction {
       // marker LAST — commits the multi-part segment atomically
       fs.create(new Path(outSeg, "_SUCCESS"), true).close()
     }
-    // tombstones ([[Tombstones]] `delete=<id>` segments) are part of
-    // committed state — carry their union as `delete=0`, or the copy
-    // would RESURRECT deleted rows
-    Tombstones.deletedIds(spark, inStore).foreach(
-      _.coalesce(1).write.mode("overwrite")
-        .parquet(new Path(outPath, "delete=0").toString))
     segs.size
   }
 

@@ -80,6 +80,20 @@ object Tombstones {
     else Some(spark.read.parquet(segs.map(_._2.toString): _*).distinct())
   }
 
+  /** Append-path guard: fail LOUDLY when a batch tries to insert a
+    * tombstoned id — the serving subtraction could not tell the new
+    * rows from the dead ones, so the insert would silently vanish.
+    * (Also catches the preemptive-tombstone case: an id deleted
+    * before it ever existed stays uninsertable, by the same rule.)
+    */
+  def requireNotTombstoned(batch: DataFrame, idCol: String, stateDir: String): Unit =
+    deletedIds(batch.sparkSession, stateDir).foreach { del =>
+      val clash = batch.join(del, batch(idCol) === del("del_id"), "left_semi").count()
+      require(clash == 0,
+        s"$clash batch ids are tombstoned in $stateDir — " +
+          "deleted ids are unreusable until vacuumedCopy")
+    }
+
   /** Subtract the store's tombstones from `df`: drop any row whose
     * value in ANY of `idCols` is deleted (an edge dies when EITHER
     * endpoint does). One anti-join per id column; the tombstone side
@@ -88,7 +102,15 @@ object Tombstones {
     * to [[SegmentCompaction.vacuumedCopy]].
     */
   def dropDeleted(df: DataFrame, idCols: Seq[String], stateDir: String): DataFrame =
-    deletedIds(df.sparkSession, stateDir) match {
+    subtract(df, idCols, deletedIds(df.sparkSession, stateDir))
+
+  /** [[dropDeleted]] with the tombstone union already in hand — for
+    * readers subtracting from several frames in one query (BM25's
+    * docs + postings, the graph's edges + vectors), so the `delete=`
+    * listing and union happen once per read, not once per frame.
+    */
+  def subtract(df: DataFrame, idCols: Seq[String], deleted: Option[DataFrame]): DataFrame =
+    deleted match {
       case None => df
       case Some(del) =>
         idCols.foldLeft(df)((acc, c) =>

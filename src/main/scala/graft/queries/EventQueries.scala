@@ -17,6 +17,28 @@ import graft.core.Tables
   */
 object EventQueries {
 
+  /** q19's 30-minute-gap sessionization — lag + running sum over the
+    * (user_id; ts, event_id) window — as the ONE definition every
+    * session-based query (q19/q47/q52/q59) shares, so the gap rule
+    * and tie-break can never drift between them. Each query's DuckDB
+    * oracle replays the same g/sess CTE pair.
+    */
+  private def withSessionIds(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "new_session")
+  }
+
+
   /** Tumbling 1-hour window per event_type (Spark `window()` — the
     * streaming-capable group key; start == date_trunc for aligned
     * tumbling windows).
@@ -68,16 +90,7 @@ object EventQueries {
     "q19_sessionize",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      Tables.events(s, dir)
-        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-        .withColumn("new_session",
-          when($"prev_ts".isNull ||
-            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1)
-            .otherwise(0))
-        .withColumn("session_id",
-          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      withSessionIds(Tables.events(s, dir))
         .groupBy($"user_id", $"session_id")
         .agg(
           count(lit(1)).as("n_events"),
@@ -326,16 +339,7 @@ object EventQueries {
     "q47_session_paths",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      val sess = Tables.events(s, dir)
-        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-        .withColumn("new_session",
-          when($"prev_ts".isNull ||
-            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1)
-            .otherwise(0))
-        .withColumn("session_id",
-          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val sess = withSessionIds(Tables.events(s, dir))
       val paths = sess.groupBy($"user_id", $"session_id")
         .agg(array_join(
           slice(transform(
@@ -660,15 +664,7 @@ object EventQueries {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      val sess = Tables.events(s, dir)
-        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-        .withColumn("new_session",
-          when($"prev_ts".isNull ||
-            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1)
-            .otherwise(0))
-        .withColumn("session_id",
-          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      val sess = withSessionIds(Tables.events(s, dir))
       val paths = sess.groupBy($"user_id", $"session_id")
         .agg(array_join(transform(
           array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
@@ -912,18 +908,8 @@ object EventQueries {
     "q59_pit_features",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir)
-      val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      val sess = ev
-        .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
-        .withColumn("new_session",
-          when($"prev_ts".isNull ||
-            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1L)
-            .otherwise(0L))
-        .withColumn("session_id",
-          sum($"new_session").over(wOrd.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
+      val sess = withSessionIds(ev)
       val stats = sess.groupBy($"user_id", $"session_id")
         .agg(
           count(lit(1)).as("feat_n_events"),

@@ -14,6 +14,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Epoch MICROS of a Timestamp: `getTime` truncates to ms and the
+    * events table carries µs precision, so ms-grained state would
+    * mis-order events inside the same millisecond. `getTime * 1000 +
+    * sub-ms remainder` is correct for any epoch sign (getNanos is the
+    * always-positive sub-second, already counted once in getTime's ms
+    * — only its sub-ms remainder is added).
+    */
+  private def microsOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Event-time schema used by the typed sessionizer. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
@@ -319,13 +329,6 @@ object EventStreams {
     import events.sparkSession.implicits._
     val idleMs = idleTimeoutMinutes * 60000L
 
-    // state times are epoch MICROS: Timestamp.getTime truncates to
-    // milliseconds, and the events table carries microsecond
-    // precision — ms-truncated state would mis-order events inside
-    // the same millisecond and emit stage times the batch computation
-    // (full precision) disagrees with
-    def microsOf(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     def tsOf(us: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(us / 1000L)
       t.setNanos((((us / 1000L) % 1000L) * 1000000L + (us % 1000L) * 1000L).toInt)
@@ -584,9 +587,6 @@ object EventStreams {
   def streamingAsof(events: Dataset[AsofEv]): Dataset[AsofRow] = {
     import events.sparkSession.implicits._
 
-    def toUs(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-
     def flush(
         userId: Long,
         evs: Iterator[AsofEv],
@@ -594,7 +594,7 @@ object EventStreams {
       val wm = state.getCurrentWatermarkMs()
       val st = state.getOption.getOrElse(AsofState(None, Nil))
       val all = st.pending ++ evs.map(e =>
-        AsofPending(toUs(e.ts), e.event_id, e.tag, e.value))
+        AsofPending(microsOf(e.ts), e.event_id, e.tag, e.value))
       // strict <: an event AT the watermark ms could still be joined
       // by an equal-ts arrival (only ts < wm is late-dropped)
       val (ready, hold) = all.partition(_.us / 1000L < wm)
@@ -668,9 +668,6 @@ object EventStreams {
       stepUs: Long): Dataset[LocfRow] = {
     import events.sparkSession.implicits._
 
-    def toUs(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-
     def dayOf(us: Long): String =
       java.time.Instant.ofEpochSecond(us / 1000000L)
         .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
@@ -686,7 +683,7 @@ object EventStreams {
       val wm = state.getCurrentWatermarkMs()
       val st = state.getOption.getOrElse(LocfState(None, Nil, gridStartUs))
       val incoming = evs.filter(_.is_obs).map(e =>
-        AsofPending(toUs(e.ts), e.event_id, 0, e.value)).toSeq
+        AsofPending(microsOf(e.ts), e.event_id, 0, e.value)).toSeq
       val (ready, hold) = (st.pending ++ incoming).partition(_.us / 1000L < wm)
       var anchor = st.anchor
       var g = st.nextGridUs

@@ -169,6 +169,27 @@ class TombstoneSpec extends SparkSpec {
       "fresh append blocked by tombstones")
   }
 
+  test("a PREEMPTIVE tombstone (id never inserted) makes a later insert fail loudly") {
+    Tombstones.append(spark, graphStore, 5L, Seq(maxId + 999L))
+    val err = intercept[IllegalArgumentException] {
+      IncrementalGraphAnn.appendBatch(
+        Seq((maxId + 999L, Seq.fill(dim)(0.3f))).toDF("vec_id", "embedding"),
+        graphStore, 4L, gK, gBeam, gHops)
+    }
+    assert(err.getMessage.contains("tombstoned"),
+      s"preemptive tombstone must reject the insert, not swallow it: ${err.getMessage}")
+  }
+
+  test("compactedCopy retries past a crash that left only the tombstone carry") {
+    // simulate: prior attempt wrote delete=0 (committed) then died
+    // before the batch fold — the retry must proceed, not be blocked
+    val out = freshDir("ts_carry_crash")
+    Tombstones.append(spark, out, 0L, dead)
+    SegmentCompaction.compactedCopy(spark, graphStore, out)
+    assert(graphRows(out) == graphRows(graphStore),
+      "retry after a carry-only crash serves a different graph")
+  }
+
   test("compactedCopy carries tombstones; vacuumedCopy removes rows AND frees ids") {
     val carried = freshDir("ts_carry")
     SegmentCompaction.compactedCopy(spark, graphStore, carried)
