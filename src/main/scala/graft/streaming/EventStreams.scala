@@ -617,6 +617,100 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
   }
 
+  /** Typed event for the streaming PIT feature builder: every event
+    * drives the session machine; `is_label` rows (purchases) also
+    * emit a feature row.
+    */
+  final case class PitEv(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      is_label: Boolean, value: Double)
+
+  /** A buffered PIT event awaiting watermark finality. */
+  final case class PitPending(
+      us: Long, event_id: Long, is_label: Boolean, value: Double)
+
+  /** One session's running stats (q59's feature payload). */
+  final case class SessAgg(n: Long, cents: Long, last_us: Long)
+
+  /** Per-user PIT state: reorder buffer + the open session + the last
+    * CLOSED session (the feature anchor).
+    */
+  final case class PitState(
+      pending: Seq[PitPending], open: Option[SessAgg], closed: Option[SessAgg])
+
+  /** One emitted training row (q59's output schema). */
+  final case class PitRow(
+      user_id: Long, event_id: Long, label_cents: Long,
+      feat_n_events: Option[Long], feat_value_cents: Option[Long],
+      staleness_us: Option[Long])
+
+  /** Streaming face of q59 — the leak-free point-in-time feature
+    * matrix maintained INCREMENTALLY: one per-user state machine fuses
+    * q19's sessionization and the as-of join that batch q59 runs as
+    * three shuffles, at O(1) state per user (reorder buffer bounded by
+    * the watermark + two small session aggregates). Events replay in
+    * (ts µs, event_id) order — the batch window's exact sort; a label
+    * event reads the last CLOSED session as its feature BEFORE joining
+    * its own (possibly fresh) session, which realizes exactly the
+    * batch's `end < t` strictness: the label's own session can never
+    * be its feature.
+    *
+    * Finality argument (why emitted rows never change): a label at t
+    * emits once the watermark strictly passes t. Any event that could
+    * restructure the session history it depends on — including a
+    * BRIDGING event inside a gap, which would merge two sessions —
+    * has ts < t < wm and is therefore late-dropped by the watermark,
+    * not delivered. Gap comparison truncates to SECONDS
+    * (us / 1e6), replicating the batch `unix_timestamp` diff exactly.
+    */
+  def streamingPitFeatures(events: Dataset[PitEv]): Dataset[PitRow] = {
+    import events.sparkSession.implicits._
+
+    def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
+
+    def flush(
+        userId: Long,
+        evs: Iterator[PitEv],
+        state: GroupState[PitState]): Iterator[PitRow] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st = state.getOption.getOrElse(PitState(Nil, None, None))
+      val all = st.pending ++ evs.map(e =>
+        PitPending(microsOf(e.ts), e.event_id, e.is_label, e.value))
+      val (ready, hold) = all.partition(_.us / 1000L < wm)
+      var open = st.open
+      var closed = st.closed
+      val out = Seq.newBuilder[PitRow]
+      ready.sortBy(p => (p.us, p.event_id)).foreach { p =>
+        // session transition FIRST: a >30 min gap (whole seconds, the
+        // batch unix_timestamp convention) closes the open session
+        open match {
+          case Some(s) if p.us / 1000000L - s.last_us / 1000000L > 1800L =>
+            closed = Some(s); open = None
+          case _ => ()
+        }
+        // the label reads the anchor before its own event joins a session
+        if (p.is_label)
+          out += PitRow(userId, p.event_id, cents(p.value),
+            closed.map(_.n), closed.map(_.cents), closed.map(c => p.us - c.last_us))
+        open = Some(open match {
+          case Some(s) => SessAgg(s.n + 1, s.cents + cents(p.value),
+            math.max(s.last_us, p.us))
+          case None => SessAgg(1L, cents(p.value), p.us)
+        })
+      }
+      state.update(PitState(hold, open, closed))
+      if (hold.nonEmpty)
+        state.setTimeoutTimestamp(math.max(wm + 1, hold.map(_.us).min / 1000L + 1))
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
+  }
+
   /** Typed event for the streaming LOCF resampler: every event
     * registers its user on the grid; only `is_obs` rows (the observed
     * metric, q58's `view` events) move the carried value.
