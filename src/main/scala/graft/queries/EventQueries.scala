@@ -900,9 +900,12 @@ object EventQueries {
     * end is ≥ its ts by construction) can never match. The as-of key
     * is a BIGINT, exercising the operator's genericity over the ts
     * column's type. Money stays integer cents (q51's convention), so
-    * feature sums are FP-order-free on both engines. Two shuffles on
-    * user_id (session window, as-of window) plus the session-stats
-    * partial agg — nothing pairs, nothing leaks.
+    * feature sums are FP-order-free on both engines. Exactly TWO
+    * shuffles on user_id (measured in the plan): the session window's
+    * and the as-of window's — the session-stats aggregation reuses
+    * the first window's user_id partitioning because hash partitioning
+    * on a SUBSET of the group key (user_id ⊂ (user_id, session_id))
+    * already clusters every group. Nothing pairs, nothing leaks.
     */
   val q59PitFeatures = Q(
     "q59_pit_features",
