@@ -28,8 +28,11 @@ object Dsir {
 
   val DefaultBuckets = 4096
 
-  /** One row per bigram occurrence: (id, target flag, bucket id). */
-  private def features(
+  /** One row per bigram occurrence: (id, target flag `__tgt`, bucket
+    * id `__f`) — shared with [[IncrementalDsir]] so the two faces can
+    * never disagree on featurization.
+    */
+  private[operators] def featureRows(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -59,7 +62,7 @@ object Dsir {
       textCol: String,
       isTargetCol: String,
       buckets: Int = DefaultBuckets): DataFrame = {
-    val feats = features(docs, idCol, textCol, isTargetCol, buckets)
+    val feats = featureRows(docs, idCol, textCol, isTargetCol, buckets)
     // BOTH censuses in one corpus pass; the totals then derive from
     // the model-sized census itself, so model fitting costs exactly
     // one scan (scoring below is the second and last)
