@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** AS-OF (temporal / point-in-time) join: for every left row, the
   * single latest right row with the same key and `ts <= left.ts` —
@@ -18,14 +19,29 @@ import org.apache.spark.sql.functions._
   * `last(_, ignoreNulls)`, then keep the left rows. Exactly ONE
   * shuffle (on the key) and one sort for the whole join; nothing is
   * ever materialized per pair, so a key with a million right rows
-  * costs a sort, not a quadratic blow-up. Skew axis = per-key row
-  * count, the same axis as any keyed window.
+  * costs a sort, not a quadratic blow-up.
   *
-  * Semantics: `>=` inclusive — a right row at exactly left.ts matches
-  * (right rows order strictly before the left row at equal ts). Ties
-  * among right rows at the same (key, ts) resolve to the LARGEST
-  * `rightTie` value. The carried right row rides one struct column,
-  * so all its fields come from the SAME row even when a field is null.
+  * Skew: the single-window form serializes each key's ENTIRE timeline
+  * through one task — a bot user with 10^8 events at 100× scale is one
+  * straggler sort. [[asofJoinSliced]] is the skew-safe two-phase form:
+  * slice each key's timeline into fixed-width time buckets, run the
+  * same carry-forward window per (key, slice) — so the widest task is
+  * one key's busiest slice, not its whole history — then stitch
+  * slice-boundary carries with a second window over the tiny
+  * (key × slice) frame and `coalesce(local, inherited)`. Output is
+  * row-identical to the single-window form for ANY slice width
+  * (slicing is monotone in ts, so cross-slice order is preserved and
+  * equal timestamps always share a slice); the width is purely a
+  * parallelism knob. Cost: the corpus shuffle key gains the slice id
+  * (finer = better spread), plus one partial-aggregate census and one
+  * broadcast-sized join back.
+  *
+  * Semantics (both forms): `>=` inclusive — a right row at exactly
+  * left.ts matches (right rows order strictly before the left row at
+  * equal ts). Ties among right rows at the same (key, ts) resolve to
+  * the LARGEST `rightTie` value. The carried right row rides one
+  * struct column, so all its fields come from the SAME row even when
+  * a field is null.
   *
   * q56 runs this operator on purchases × clicks; the DuckDB oracle
   * pins its semantics against an independent native ASOF JOIN
@@ -39,19 +55,28 @@ import org.apache.spark.sql.functions._
   *                 at-or-before the left row
   * @param keys     equi-key columns present on both sides
   * @param tsCol    event-time column name present on both sides
+  *                 (TimestampType or any numeric)
   * @param rightTie right column breaking (key, ts) ties (largest wins)
   */
 object AsofJoin {
-  def asofJoin(
+
+  /** Tagged-union prep shared by both forms: the normalized left and
+    * right frames (base ++ __tag/__ord/__lrow/__rrow) plus the pieces
+    * needed to reassemble the output projection. */
+  private case class Prep(
+      l: DataFrame, r: DataFrame, base: Seq[String], leftPayload: Seq[String])
+
+  private def prep(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      rightTie: String): DataFrame = {
+      rightTie: String): Prep = {
     // asof_ts is reserved too: a right payload named asof_ts (easy
     // when chaining two as-of joins) would duplicate the carried
     // struct's field and make `asof.asof_ts` ambiguous downstream
-    val reserved = Seq("asof", "asof_ts", "__tag", "__ord", "__lrow", "__rrow")
+    val reserved = Seq("asof", "asof_ts", "__tag", "__ord", "__lrow", "__rrow",
+      "__slice", "__local", "__inherit", "__sliceLast", "__u")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"inputs may not carry the operator's reserved columns ${reserved.mkString(", ")}")
     val base = keys :+ tsCol
@@ -69,15 +94,105 @@ object AsofJoin {
     val r = right.select(base.map(col) ++ Seq(
       lit(0).as("__tag"), col(rightTie).as("__ord"),
       lit(null).cast(lrowType).as("__lrow"), rrowCol.as("__rrow")): _*)
+    Prep(l, r, base, leftPayload)
+  }
 
+  private def output(df: DataFrame, p: Prep): DataFrame =
+    df.select(p.base.map(col) ++
+      p.leftPayload.map(f => col("__lrow").getField(f).as(f)) :+
+      col("asof"): _*)
+
+  /** Single-window merge-asof (see class doc). One shuffle on the key;
+    * per-key history serializes through one task's sort — prefer
+    * [[asofJoinSliced]] when any key's timeline can be huge. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      rightTie: String): DataFrame = {
+    val p = prep(left, right, keys, tsCol, rightTie)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc, col("__ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("asof", last(col("__rrow"), ignoreNulls = true).over(w))
+    output(
+      p.l.unionByName(p.r)
+        .withColumn("asof", last(col("__rrow"), ignoreNulls = true).over(w))
+        .filter(col("__tag") === 1),
+      p)
+  }
+
+  /** Skew-safe two-phase merge-asof; row-identical to [[asofJoin]]
+    * (AsofJoinPropertySpec pins the equivalence on adversarial and
+    * deliberately hot-keyed inputs).
+    *
+    * Phase 1: the same carry-forward window partitioned by
+    * (keys, slice) where `slice = ts-units div sliceWidth` — truncated
+    * integer division, monotone non-decreasing in ts, so rows with
+    * equal ts always share a slice and cross-slice order is global
+    * time order. Phase 2: one partial-aggregate census over the same
+    * union picks each (key, slice)'s last right row
+    * (`max_by` on (ts, tie), exactly the window's tie order); a second
+    * window over that keys × slices frame — tiny, and the ONLY place a
+    * key's slices meet — carries the latest earlier-slice right row
+    * into each slice (`rowsBetween(unboundedPreceding, -1)`: strictly
+    * earlier slices, whose rows all have strictly smaller ts). The
+    * final carry is `coalesce(local, inherited)` via an equi-join on
+    * (keys, slice) that AQE broadcasts.
+    *
+    * @param sliceWidth slice width in the ts column's units — µs for
+    *                   TimestampType, raw units for numeric ts. Pure
+    *                   parallelism knob: the widest task becomes one
+    *                   key's busiest slice. Pick ≈ (expected span) /
+    *                   (desired per-key parallelism); hot keys with
+    *                   10^8 events spread across all their slices.
+    */
+  def asofJoinSliced(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      rightTie: String,
+      sliceWidth: Long): DataFrame = {
+    require(sliceWidth > 0, s"sliceWidth must be positive, got $sliceWidth")
+    val p = prep(left, right, keys, tsCol, rightTie)
+    val tsUnits: Column = left.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast(LongType)
+    }
+    // `div` = integral division (truncated; monotone either way, which
+    // is all slicing needs) — double `/` would round at µs magnitudes
+    val unioned = p.l.unionByName(p.r)
+      .withColumn("__u", tsUnits)
+      .withColumn("__slice", expr(s"__u div ${sliceWidth}L"))
+      .drop("__u")
+
+    val w1 = Window.partitionBy((keys :+ "__slice").map(col): _*)
+      .orderBy(col(tsCol).asc, col("__tag").asc, col("__ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = unioned
+      .withColumn("__local", last(col("__rrow"), ignoreNulls = true).over(w1))
       .filter(col("__tag") === 1)
-      .select(base.map(col) ++
-        leftPayload.map(p => col("__lrow").getField(p).as(p)) :+
-        col("asof"): _*)
+      .drop("__tag", "__ord", "__rrow")
+
+    // Census over the union (not just the right side) so every
+    // (key, slice) a left row occupies appears — a right-empty slice
+    // must still receive its inherited carry. max_by ignores rows
+    // whose ordering key is null, so left rows never win.
+    val bounds = unioned.groupBy((keys :+ "__slice").map(col): _*)
+      .agg(max_by(col("__rrow"),
+        when(col("__tag") === 0, struct(col(tsCol), col("__ord"))))
+        .as("__sliceLast"))
+    val w2 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inherited = bounds
+      .withColumn("__inherit", last(col("__sliceLast"), ignoreNulls = true).over(w2))
+      .select((keys :+ "__slice").map(col) :+ col("__inherit"): _*)
+
+    output(
+      local.join(inherited, keys :+ "__slice", "left")
+        .withColumn("asof", coalesce(col("__local"), col("__inherit"))),
+      p)
   }
 }

@@ -737,12 +737,15 @@ object EventQueries {
     * shape: tag both sides, UNION, one window partitioned by the join
     * key ordered by (ts, tag) with `last(_, ignoreNulls)` carrying the
     * most recent right-side row forward — the distributed merge-asof.
-    * Exactly ONE shuffle (on user_id) and one sort for the whole join;
+    * Exactly ONE corpus shuffle and one sort for the whole join;
     * nothing is ever materialized per pair, so a user with a million
     * touches costs a sort, not a quadratic blow-up. At 100 TB the
-    * window key is the join key, so skew = per-user event count
-    * (bounded); both inputs are filters over the SAME scan and the
-    * union is scan-local.
+    * window key is the join key, so skew = per-user event count —
+    * which is why this runs the SLICED two-phase form
+    * (`AsofJoin.asofJoinSliced`, 1-day slices): a bot user's history
+    * spreads across its slices instead of serializing through one
+    * task. Both inputs are filters over the SAME scan and the union
+    * is scan-local.
     *
     * Semantics pinned by the oracle: DuckDB's NATIVE `ASOF LEFT JOIN`
     * — an independent implementation of the operator, not a replay of
@@ -765,7 +768,8 @@ object EventQueries {
         .select($"user_id", $"ts", $"event_id".as("click_id"),
           $"value".as("click_value"))
       graft.operators.AsofJoin
-        .asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_id")
+        .asofJoinSliced(purchases, clicks, Seq("user_id"), "ts", "click_id",
+          sliceWidth = 86400000000L)
         .select($"event_id", $"user_id",
           $"asof.click_id".as("click_id"),
           $"asof.click_value".as("click_value"),
@@ -794,41 +798,61 @@ object EventQueries {
     * EQUI-join on bucket id with an exact range post-filter. Each
     * right row lives in one bucket and each left interval covers each
     * bucket once, so no dedup is needed. Work scales with temporal
-    * co-occupancy (events per 10 s), not |L|·|R|; at 100 TB a hot
-    * 10-second burst is the skew axis — salt the bucket id and
-    * replicate the left side per salt, exactly `Salting`'s pattern.
+    * co-occupancy (events per 10 s), not |L|·|R|.
+    *
+    * At 100 TB a hot 10-second burst is the skew axis, and the guard
+    * is WIRED: the right side carries a deterministic salt
+    * (xxhash64(event_id) mod SALTS — never rand(), re-runs must be
+    * stable) and the exploded left replicates across all salts, so a
+    * flash-crowd bucket's rows spread over SALTS reducers instead of
+    * one straggler task (`Salting.skewSelfJoinPairs`' build/probe
+    * pattern). Each right row keeps exactly one (bucket, salt) home,
+    * so match multiplicity is unchanged; the per-error aggregate is
+    * salt-invariant. Replication costs |errs| × SALTS id-only rows —
+    * errors are a small event fraction, the corpus never replicates.
+    *
+    * Money is summed as integer CENTS (q51/q59's convention): the
+    * Spark plan and DuckDB's IEJoin accumulate doubles in different
+    * orders, so a round(sum(double)) output can flip a 2-dp boundary
+    * nondeterministically at larger SFs; integer sums are FP-order-free
+    * on both engines.
     *
     * Oracle: DuckDB's native inequality join (IEJoin) — an
     * independent plan of the same semantics, not a bucketing replay.
     * Strict `<` excludes the error event itself; LEFT join keeps
-    * zero-match errors with n_prior = 0, sum_value = 0.0.
+    * zero-match errors with n_prior = 0, sum_cents = 0.
     */
   val q57RangeJoin = Q(
     "q57_range_join",
     (s, dir) => {
       import s.implicits._
       val wUs = 10000000L // 10-second look-back, also the bucket width
+      val salts = 8
       val ev = Tables.events(s, dir)
         .withColumn("us", unix_micros($"ts"))
       val errs = ev.filter($"event_type" === "error")
         .select($"event_id", $"us".as("e_us"),
           explode(array(expr(s"us div $wUs - 1"), expr(s"us div $wUs")))
             .as("bucket"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
       val corpus = ev.select(
-        $"us".as("r_us"), $"value", expr(s"us div $wUs").as("bucket"))
+        $"us".as("r_us"),
+        floor($"value" * 100 + lit(0.5)).cast("long").as("cents"),
+        expr(s"us div $wUs").as("bucket"),
+        pmod(xxhash64($"event_id"), lit(salts)).cast("int").as("salt"))
       val inRange = $"r_us" >= $"e_us" - wUs && $"r_us" < $"e_us"
-      errs.join(corpus, Seq("bucket"), "left")
+      errs.join(corpus, Seq("bucket", "salt"), "left")
         .groupBy($"event_id")
         .agg(
           count(when(inRange, lit(1))).as("n_prior"),
-          round(coalesce(sum(when(inRange, $"value")), lit(0.0)), 2)
-            .as("sum_value"))
+          coalesce(sum(when(inRange, $"cents")), lit(0L)).as("sum_cents"))
     },
     Some("""WITH err AS (
         SELECT event_id, ts FROM events WHERE event_type = 'error')
       SELECT e.event_id,
         CAST(count(r.ts) AS BIGINT) AS n_prior,
-        round(coalesce(sum(r.value), 0.0), 2) AS sum_value
+        CAST(coalesce(sum(CAST(floor(r.value * 100 + 0.5) AS BIGINT)), 0)
+          AS BIGINT) AS sum_cents
       FROM err e LEFT JOIN events r
         ON epoch_us(r.ts) >= epoch_us(e.ts) - 10000000
        AND epoch_us(r.ts) < epoch_us(e.ts)
@@ -864,7 +888,8 @@ object EventQueries {
         .select($"user_id", $"ts", $"event_id".as("obs_id"),
           $"value".as("obs_value"))
       graft.operators.AsofJoin
-        .asofJoin(grid, views, Seq("user_id"), "ts", "obs_id")
+        .asofJoinSliced(grid, views, Seq("user_id"), "ts", "obs_id",
+          sliceWidth = 86400000000L)
         .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"),
           $"asof.obs_id".as("obs_id"), $"asof.obs_value".as("obs_value"),
           expr("(unix_micros(ts) - unix_micros(asof.asof_ts)) div 3600000000")
@@ -901,8 +926,10 @@ object EventQueries {
     * is a BIGINT, exercising the operator's genericity over the ts
     * column's type. Money stays integer cents (q51's convention), so
     * feature sums are FP-order-free on both engines. Exactly TWO
-    * shuffles on user_id (measured in the plan): the session window's
-    * and the as-of window's — the session-stats aggregation reuses
+    * corpus-scale shuffles on the user axis (pinned in PlanShapeSpec):
+    * the session window's user_id exchange and the sliced as-of's
+    * (user_id, slice) exchange; the sliced form's census/stitch
+    * exchanges move only partial-aggregated keys-times-slices rows — the session-stats aggregation reuses
     * the first window's user_id partitioning because hash partitioning
     * on a SUBSET of the group key (user_id ⊂ (user_id, session_id))
     * already clusters every group. Nothing pairs, nothing leaks.
@@ -925,7 +952,8 @@ object EventQueries {
         .select($"user_id", unix_micros($"ts").as("jts"), $"event_id",
           floor($"value" * 100 + lit(0.5)).cast("long").as("label_cents"))
       graft.operators.AsofJoin
-        .asofJoin(purchases, stats, Seq("user_id"), "jts", "session_id")
+        .asofJoinSliced(purchases, stats, Seq("user_id"), "jts", "session_id",
+          sliceWidth = 86400000000L)
         .select($"event_id", $"user_id", $"label_cents",
           $"asof.feat_n_events".as("feat_n_events"),
           $"asof.feat_value_cents".as("feat_value_cents"),

@@ -507,7 +507,8 @@ object EventStreams {
   def streamingRangeCounts(
       errs: DataFrame,
       all: DataFrame,
-      windowSec: Int = 10): DataFrame = {
+      windowSec: Int = 10,
+      salts: Int = 8): DataFrame = {
     val wUs = windowSec * 1000000L
     // Spark refuses a stream-stream join with NO equality predicate —
     // the same wall the batch q57 hits as BroadcastNestedLoop. The
@@ -517,26 +518,37 @@ object EventStreams {
     // state store. A right row matches via exactly one bucket, so the
     // explode duplicates no match; the unmatched bucket copy's
     // left-outer null row adds nothing to count(r_ts).
+    //
+    // The bucket doubles as the state-store key, so a flash-crowd
+    // burst would pile one bucket's rows into one state partition —
+    // salted exactly like the batch q57: the right side keeps one
+    // deterministic (xxhash64(event_id) mod salts) home, the exploded
+    // left replicates across all salts, and the per-error aggregate is
+    // salt-invariant. Money is integer CENTS (q57's convention):
+    // FP-order-free across micro-batch splits by construction.
     val e = errs
       .select(col("event_id").as("err_id"), col("ts").as("err_ts"),
         explode(array(
           expr(s"unix_micros(ts) div $wUs - 1"),
           expr(s"unix_micros(ts) div $wUs"))).as("e_bucket"))
+      .withColumn("e_salt", explode(sequence(lit(0), lit(salts - 1))))
       .withWatermark("err_ts", "2 hours")
     val r = all
-      .select(col("ts").as("r_ts"), col("value"),
-        expr(s"unix_micros(ts) div $wUs").as("r_bucket"))
+      .select(col("ts").as("r_ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        expr(s"unix_micros(ts) div $wUs").as("r_bucket"),
+        pmod(xxhash64(col("event_id")), lit(salts)).cast("int").as("r_salt"))
       .withWatermark("r_ts", "2 hours")
     e.join(r,
-      expr(s"""e_bucket = r_bucket AND
+      expr(s"""e_bucket = r_bucket AND e_salt = r_salt AND
                r_ts >= err_ts - INTERVAL $windowSec SECONDS AND
                r_ts < err_ts"""),
       "leftOuter")
       .groupBy(col("err_id"), window(col("err_ts"), s"$windowSec seconds"))
       .agg(
         count(col("r_ts")).as("n_prior"),
-        round(coalesce(sum(col("value")), lit(0.0)), 2).as("sum_value"))
-      .select(col("err_id").as("event_id"), col("n_prior"), col("sum_value"))
+        coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+      .select(col("err_id").as("event_id"), col("n_prior"), col("sum_cents"))
   }
 
   /** Typed event for the streaming as-of join: one stream carrying

@@ -62,6 +62,60 @@ class AsofJoinPropertySpec extends SparkSpec {
     }, minTests = 10)
   }
 
+  test("asofJoinSliced == asofJoin on adversarially colliding inputs, any width") {
+    import spark.implicits._
+    // widths straddle the ts domain (0..12 µs): 1 = a slice per distinct
+    // ts (maximal stitching), 3 = partial slices, 100 = one slice (the
+    // sliced form degenerates to the single window). Output must be
+    // width-invariant — slicing is a parallelism knob, not semantics.
+    check(Prop.forAll(caseGen) { case (lefts, rights) =>
+      val l = lefts.toDF("k", "us", "lv")
+        .select($"k", timestamp_micros($"us").as("ts"), $"lv")
+      val r = rights.toDF("k", "us", "tie", "rv")
+        .select($"k", timestamp_micros($"us").as("ts"), $"tie", $"rv")
+      def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select($"k", unix_micros($"ts"), $"lv",
+          $"asof.tie", $"asof.rv", unix_micros($"asof.asof_ts"))
+          .collect().map(_.toString).toSeq.sorted
+      val single = run(AsofJoin.asofJoin(l, r, Seq("k"), "ts", "tie"))
+      Seq(1L, 3L, 100L).forall { w =>
+        run(AsofJoin.asofJoinSliced(l, r, Seq("k"), "ts", "tie", w)) == single
+      }
+    }, minTests = 8)
+  }
+
+  test("sliced two-phase == single window on a deliberately hot-keyed timeline") {
+    import spark.implicits._
+    // one bot key owns ~half of all rows — the skew shape the sliced
+    // form exists for. ts is a raw LONG here (q59's bigint as-of key),
+    // exercising the numeric-ts slice path; width 10 splits the hot
+    // key's timeline across ~10 slices, so phase-2 stitching (including
+    // right-empty slices inheriting across gaps) does real work.
+    val hotL = (0L until 50L).map(i => (0, i * 2, i))
+    val coldL = (0L until 50L).map(i => ((i % 7 + 1).toInt, i * 2 + 1, i))
+    val hotR = (0L until 40L).map(i => (0, i * 3, i, i * 10))
+    val coldR = (0L until 10L).map(i => ((i % 7 + 1).toInt, i * 5, 100 + i, i))
+    val l = (hotL ++ coldL).toDF("k", "ts", "lv")
+    val r = (hotR ++ coldR).toDF("k", "ts", "tie", "rv")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("k"), col("ts"), col("lv"),
+        col("asof.tie"), col("asof.rv"), col("asof.asof_ts"))
+        .collect().map(_.toString).toSeq.sorted
+    val single = run(AsofJoin.asofJoin(l, r, Seq("k"), "ts", "tie"))
+    val sliced = run(AsofJoin.asofJoinSliced(l, r, Seq("k"), "ts", "tie", 10L))
+    assert(sliced == single)
+    assert(single.count(_.contains("null")) < single.size,
+      "fixture must produce real matches")
+    // the stitch must cross slices: some left row's match lives in an
+    // earlier slice than the row itself (inherited carry, not local)
+    val crossSlice = AsofJoin
+      .asofJoinSliced(l, r, Seq("k"), "ts", "tie", 10L)
+      .filter(col("asof").isNotNull &&
+        expr("ts div 10") =!= expr("asof.asof_ts div 10"))
+      .count()
+    assert(crossSlice > 0, "fixture exercises no cross-slice inheritance")
+  }
+
   test("composite keys: the join key is (k1, k2), never k1 alone") {
     import spark.implicits._
     val l = Seq((0, 0, 10L, 1L), (0, 1, 10L, 2L)).toDF("k1", "k2", "us", "lv")
@@ -69,11 +123,15 @@ class AsofJoinPropertySpec extends SparkSpec {
     val r = Seq((0, 0, 5L, 0L, 7L), (1, 1, 5L, 1L, 8L))
       .toDF("k1", "k2", "us", "tie", "rv")
       .select($"k1", $"k2", timestamp_micros($"us").as("ts"), $"tie", $"rv")
-    val got = AsofJoin.asofJoin(l, r, Seq("k1", "k2"), "ts", "tie")
-      .select($"lv", $"asof.rv").collect()
-      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
-      .toMap
-    assert(got(1L) == Some(7L), s"(0,0) must match its own composite key: $got")
-    assert(got(2L).isEmpty, s"(0,1) must NOT borrow (0,0)'s right row: $got")
+    def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.select($"lv", $"asof.rv").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+        .toMap
+    for (got <- Seq(
+        collect(AsofJoin.asofJoin(l, r, Seq("k1", "k2"), "ts", "tie")),
+        collect(AsofJoin.asofJoinSliced(l, r, Seq("k1", "k2"), "ts", "tie", 4L)))) {
+      assert(got(1L) == Some(7L), s"(0,0) must match its own composite key: $got")
+      assert(got(2L).isEmpty, s"(0,1) must NOT borrow (0,0)'s right row: $got")
+    }
   }
 }

@@ -74,31 +74,78 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got(30L).isEmpty, s"future click leaked backward: ${got(30L)}")
   }
 
-  test("q56 plans ONE shuffle and no join operator") {
+  test("q56 plans ONE corpus shuffle; census shrinks map-side; stitch broadcasts") {
+    // the sliced two-phase as-of join's contract: exactly THREE
+    // non-broadcast exchanges — (user_id, slice) for the carry window
+    // [the only corpus-wide one], the boundary census's exchange ABOVE
+    // a partial max_by (map-side shrink to ≤ keys × slices rows before
+    // any data moves), and the per-key stitch window over that tiny
+    // frame — and the join back is a broadcast of the tiny side, never
+    // a shuffled join of the corpus
     val p = Registry.byName("q56_asof_join").run(spark, sfDir)
       .queryExecution.executedPlan.toString
     def n(t: String) = p.sliding(t.length).count(_ == t)
-    assert(n("Exchange") - n("BroadcastExchange") == 1,
-      s"as-of join must cost exactly one shuffle:\n$p")
-    assert(!p.contains("Join"), s"as-of join materialized a join:\n$p")
+    assert(n("Exchange") - n("BroadcastExchange") == 3,
+      s"sliced as-of join must cost one corpus + two tiny shuffles:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"boundary census must shrink map-side before its exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the stitch join must broadcast the keys×slices side:\n$p")
   }
 
   test("q57 equals the brute-force range join on the real table") {
     val rows = eventRows(sfDir)
     val want = rows.filter(_._4 == "error").map { case (eid, eus, _, _, _) =>
       val in = rows.filter(r => r._2 >= eus - 10000000L && r._2 < eus)
-      eid -> (in.size.toLong, math.floor(in.map(_._5).sum * 100 + 0.5) / 100)
+      // integer cents (the query's convention): EXACT equality — the
+      // whole point of quantizing is that summation order can't matter
+      eid -> (in.size.toLong, in.map(r => math.floor(r._5 * 100 + 0.5).toLong).sum)
     }.toMap
     val got = Registry.byName("q57_range_join").run(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.keySet == want.keySet, "error row set differs")
-    got.foreach { case (eid, (cnt, s)) =>
-      assert(cnt == want(eid)._1, s"error $eid: count $cnt != ${want(eid)._1}")
-      // FP summation order differs between the plans; 2 dp rounding on
-      // both sides leaves at most a boundary ulp
-      assert(math.abs(s - want(eid)._2) <= 0.011,
-        s"error $eid: sum $s != ${want(eid)._2}")
+    got.foreach { case (eid, g) =>
+      assert(g == want(eid), s"error $eid: $g != ${want(eid)}")
     }
+  }
+
+  test("q57 hot burst: a flash crowd in one 10-s window stays correct and salted") {
+    import spark.implicits._
+    def ts(s: Long) = new Timestamp(
+      Timestamp.valueOf("2024-05-01 00:00:00").getTime + s * 1000L)
+    // >30% of ALL events land inside one 10-second window (the
+    // flash-crowd burst that would serialize an unsalted bucket into
+    // one straggler task at 100×); errors sit inside, at the edge of,
+    // and far away from the burst
+    val burst = (0L until 40L).map(i =>
+      (100L + i, ts(100 + (i % 10)), i % 5, "view", 1.0 + i, "{}"))
+    val spread = (0L until 60L).map(i =>
+      (200L + i, ts(i * 120), i % 7, "click", 0.5 * i, "{}"))
+    val errs = Seq(
+      (900L, ts(105), 1L, "error", 0.0, "{}"),   // mid-burst
+      (901L, ts(110), 2L, "error", 0.0, "{}"),   // just past the burst start
+      (902L, ts(3000), 3L, "error", 0.0, "{}"),  // far from the burst
+      (903L, ts(0), 4L, "error", 0.0, "{}"))     // nothing strictly before
+    val all = burst ++ spread ++ errs
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    all.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val us = all.map(r => (r._1, r._2.getTime * 1000L, r._5))
+    val want = errs.map { e =>
+      val eus = e._2.getTime * 1000L
+      val in = us.filter(r => r._2 >= eus - 10000000L && r._2 < eus)
+      e._1 -> (in.size.toLong, in.map(r => math.floor(r._3 * 100 + 0.5).toLong).sum)
+    }.toMap
+    val q = Registry.byName("q57_range_join").run(spark, dir)
+    val got = q.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"$got != $want")
+    // the salt must be IN the plan: a deterministic xxhash64-derived
+    // right-side salt joined as part of the equi-key
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"), s"bucket salt missing from the plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salted range join degraded:\n$p")
   }
 
   test("q59 leak-freedom: a purchase inside a session never sees that session; " +
