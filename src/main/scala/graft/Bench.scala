@@ -66,7 +66,12 @@ object Bench {
         // s14's lexical input is BY DESIGN the compute-once shared
         // ranking (VERDICT r10 item 1), so s14 measures fusion given
         // that frame, while s12 (which never reads the memo) remains
-        // the full lexical-pipeline measurement.
+        // the full lexical-pipeline measurement — and
+        // NnDescent.sharedGraph, the same split for graph ANN: s19
+        // measures the BUILD (it never reads the memo), s20 measures
+        // the SERVE leg over the once-built graph (the number that
+        // characterizes a graph index — a deployment pays the build
+        // once and amortizes it over every search; VERDICT r13 item 4).
         spark.catalog.clearCache()
         graft.operators.TextDedup.clearSharedSignatures(spark)
         graft.operators.AnnIndex.clear(spark)

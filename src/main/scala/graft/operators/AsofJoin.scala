@@ -41,7 +41,10 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * equal ts). Ties among right rows at the same (key, ts) resolve to
   * the LARGEST `rightTie` value. The carried right row rides one
   * struct column, so all its fields come from the SAME row even when
-  * a field is null.
+  * a field is null. NULL join keys GROUP TOGETHER (window-partition
+  * semantics, unlike a SQL join's never-match): both forms realize it
+  * — the sliced form stitches with a null-safe join — and the
+  * property spec pins their agreement on null-keyed rows.
   *
   * q56 runs this operator on purchases × clicks; the DuckDB oracle
   * pins its semantics against an independent native ASOF JOIN
@@ -77,8 +80,10 @@ object AsofJoin {
     // struct's field and make `asof.asof_ts` ambiguous downstream
     val reserved = Seq("asof", "asof_ts", "__tag", "__ord", "__lrow", "__rrow",
       "__slice", "__local", "__inherit", "__sliceLast", "__u")
-    require(!(left.columns ++ right.columns).exists(reserved.contains),
-      s"inputs may not carry the operator's reserved columns ${reserved.mkString(", ")}")
+    require(!(left.columns ++ right.columns).exists(c =>
+      reserved.contains(c) || c.startsWith("__inh_")),
+      s"inputs may not carry the operator's reserved columns " +
+        s"${reserved.mkString(", ")} or the __inh_ prefix")
     val base = keys :+ tsCol
     val leftPayload = left.columns.filterNot(base.contains).toSeq
     val rightPayload = right.columns.filterNot(base.contains).toSeq
@@ -186,12 +191,25 @@ object AsofJoin {
     val w2 = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // inherited keys are renamed and joined NULL-SAFELY, for two
+    // reasons: (1) semantics — the carry windows group null keys
+    // together (a null key is one window partition), so the stitch
+    // join must too, or null-key rows would lose exactly their
+    // cross-slice inheritance; (2) the plan — an equi-join would
+    // inject isnotnull() filters into the build side's subtree,
+    // making it canonically unequal to the window branch and defeating
+    // exchange reuse of the shared upstream (measured on q59: the
+    // pushed filter alone blocked the sessionize exchange's reuse).
+    val inhKeys = keys.indices.map(i => s"__inh_$i") :+ "__inh_slice"
     val inherited = bounds
       .withColumn("__inherit", last(col("__sliceLast"), ignoreNulls = true).over(w2))
-      .select((keys :+ "__slice").map(col) :+ col("__inherit"): _*)
+      .select((keys :+ "__slice").zip(inhKeys).map {
+        case (k, a) => col(k).as(a) } :+ col("__inherit"): _*)
+    val stitchOn = (keys :+ "__slice").zip(inhKeys)
+      .map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
 
     output(
-      local.join(inherited, keys :+ "__slice", "left")
+      local.join(inherited, stitchOn, "left")
         .withColumn("asof", coalesce(col("__local"), col("__inherit"))),
       p)
   }

@@ -32,11 +32,19 @@ import org.apache.spark.sql.functions._
   * and the PRIOR committed state — segment reads filter to batch ids
   * strictly below the appending id, so a retry after later appends
   * still derives the same frame) or no-ops when already committed.
+  * One loud exception to the retry guarantee: the tombstone guard
+  * checks the CURRENT delete set, so a delete of one of the batch's
+  * ids landing BETWEEN a crashed attempt and its retry fails the retry
+  * with require() instead of reproducing the segment — safe (nothing
+  * half-written survives, the conflict surfaces to the writer) but the
+  * writer must then drop or re-id the deleted rows; it is not the
+  * silent replay the no-interleaved-delete path gets.
   *
   * Insertion = the s20 search: batch vectors beam-search the current
-  * graph (md5-seeded entries, the documented scatter-gather driver
-  * shape — the batch is micro-batch-sized, the coordinator walks the
-  * distributed index); candidates additionally include the OTHER
+  * graph (md5-ordered-sample entries over the ACTUAL prior ids — the
+  * documented scatter-gather driver shape; the batch is
+  * micro-batch-sized, the coordinator walks the distributed index);
+  * candidates additionally include the OTHER
   * members of the same batch (scored driver-side, |B|² bounded by the
   * micro-batch size) so intra-batch near-duplicates link to each other
   * instead of waiting for a later rebuild. Out-edges are the k best by
@@ -205,7 +213,9 @@ object IncrementalGraphAnn {
   /** Insert one batch of new vectors: beam-search the current graph
     * for each new vector's neighborhood (plus intra-batch candidates),
     * keep the k best as the batch's out-edges, commit both as segment
-    * `batchId`. Idempotent per batch id; new ids must be disjoint from
+    * `batchId`. Idempotent per batch id — except a delete interleaved
+    * between a crashed attempt and its retry, which fails the retry
+    * loudly (see the class doc). New ids must be disjoint from
     * committed ids (enforced). `batch` must carry (vec_id, embedding).
     */
   def appendBatch(
@@ -246,7 +256,7 @@ object IncrementalGraphAnn {
     val queries = newVecs.toSeq.toDF("q_id", "q_emb")
     val found = NnDescent
       .beamSearch(graph.select(col("id"), col("nbr")), existing, queries,
-        beam, hops, s"iga:$batchId")
+        beam, hops)
       .select(col("q_id"), col("node"), col("sim_micro"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -288,13 +298,16 @@ object IncrementalGraphAnn {
       k: Int,
       beam: Int,
       hops: Int,
-      seedTag: String = "s20",
       belowBatch: Long = Long.MaxValue): DataFrame = {
-    // one tombstone fetch shared by the graph and the vectors read
+    // one tombstone fetch shared by the graph and the vectors read.
+    // Entry nodes use beamSearch's default derivation — a deterministic
+    // md5-ordered sample of the ACTUAL surviving ids, so a vacuumed or
+    // sparsely-appended store seeds correctly (ids here are never the
+    // dense 0..n-1 the old mod-n scheme assumed).
     val del = Tombstones.deletedIds(spark, stateDir)
     NnDescent.beamSearch(
       graphFrom(spark, stateDir, k, belowBatch, del).select(col("id"), col("nbr")),
-      vectorsFrom(spark, stateDir, belowBatch, del), queries, beam, hops, seedTag)
+      vectorsFrom(spark, stateDir, belowBatch, del), queries, beam, hops)
       .filter(col("rank") <= k)
   }
 

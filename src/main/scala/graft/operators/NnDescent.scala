@@ -108,15 +108,54 @@ object NnDescent {
     g
   }
 
+  /** Compute-once shared kNN graph, keyed by (session, corpus tag) —
+    * the serve-side memo mirroring [[Bm25.sharedRanked]]: a graph
+    * index is BUILT once and then serves every search (that is the
+    * reason graph indexes exist), so s19 remains the measurement of
+    * the build while s20 (and any other serve-side consumer) walks the
+    * shared graph. Builders hand back already-materialized frames
+    * ([[knnGraph]]'s rounds localCheckpoint eagerly), so the memo
+    * stores the reference without re-checkpointing. At 100 TB the
+    * n × k edge list is the PERSISTED index ([[IncrementalGraphAnn]]
+    * is the durable face); this session memo is its in-process stand-in.
+    * graft.Bench deliberately does NOT clear it between reps (the s14
+    * precedent), so s20's number is the serve leg.
+    */
+  private val shared = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  def sharedGraph(spark: org.apache.spark.sql.SparkSession, tag: String)(
+      build: => DataFrame): DataFrame =
+    shared.computeIfAbsent((spark, tag), _ => build)
+
+  /** Drop this session's shared graphs (test isolation). */
+  def clearSharedGraphs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = shared.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
+
   /** Beam search over a built kNN graph — the SERVE half of graph ANN
     * (the query path of HNSW/NSG/DiskANN, deterministic flat-beam
-    * face): seed every query with the same md5-derived entry nodes,
-    * then for `hops` rounds expand the beam through the graph's
-    * out-edges, score every candidate against the query by rounded
-    * cosine, and keep the `beam` best. Because each hop's candidate
-    * set CONTAINS the previous beam, the per-query k-th-best
-    * similarity is non-decreasing in hops (the spec pins it) — the
-    * search can only improve. Returns (q_id, node, sim_micro, rank).
+    * face): seed every query with its entry nodes, then for `hops`
+    * rounds expand the beam through the graph's out-edges, score every
+    * candidate against the query by rounded cosine, and keep the
+    * `beam` best. Because each hop's candidate set CONTAINS the
+    * previous beam, the per-query k-th-best similarity is
+    * non-decreasing in hops (the spec pins it) — the search can only
+    * improve. Returns (q_id, node, sim_micro, rank).
+    *
+    * Entry nodes: pass `entries` (query id → entry node ids, actual
+    * graph nodes — e.g. IVF-seeded: each query's nearest coarse
+    * centroid NODES, the HNSW-coarse-layer effect without a layered
+    * graph; random entries pay O(log n) extra hops at 100× n). When
+    * omitted, the default is the `beam` lowest ids in md5-hex order —
+    * a deterministic pseudo-random sample of the ACTUAL id set (one
+    * TakeOrdered partial top-k over the id column, no shuffle), so
+    * sparse id spaces (a vacuumed [[IncrementalGraphAnn]] store,
+    * non-contiguous appends) seed correctly; the previous md5-mod-n
+    * scheme assumed dense 0..n-1 ids and silently dropped missing
+    * entries. Engine-portable either way (md5 of the decimal id
+    * string; an oracle replays ORDER BY substr(md5(id), 1, 8), id).
     *
     * Scale shape: the beam frame is |Q|×beam rows; each hop is one
     * equi-join against the n×k edge list (hash-partitioned on node
@@ -150,34 +189,52 @@ object NnDescent {
     * measured ~1.4 s of pure AQE stage barriers for the same answer.
     *
     * `graph` must carry (id, nbr); `emb` (vec_id, embedding);
-    * `queries` (q_id, q_emb), model-sized. Entry ids are
-    * md5(seedTag:e) mod n for e = 1…beam — engine-portable, so an
-    * external oracle replays the identical search; duplicate entries
-    * collapse via the candidate sets' set semantics on both engines.
-    * Driver scoring uses [[graft.functions.VectorFunctions.roundedCosine]],
+    * `queries` (q_id, q_emb), model-sized. Duplicate entries collapse
+    * via the candidate sets' set semantics on both engines. Driver
+    * scoring uses [[graft.functions.VectorFunctions.roundedCosine]],
     * the scalar the cosine kernel implements, so driver ≡ kernel ≡
     * oracle bit-for-bit (the s15 argument).
     */
+  /** The default entry sample: the `m` lowest ids in (md5-hex, id)
+    * order — a deterministic pseudo-random sample of the ACTUAL id set
+    * (one TakeOrdered partial top-k over the id column, no shuffle),
+    * correct on sparse id spaces. Exposed so callers composing their
+    * own `entries` (s20's IVF ∪ sample mix) draw the same sample the
+    * default path uses; engine-portable (ORDER BY
+    * substr(md5(CAST(id AS VARCHAR)), 1, 8), id LIMIT m — 8-char
+    * lowercase hex compares identically as string or parsed integer).
+    */
+  def sampleEntryIds(emb: DataFrame, m: Int): Seq[Long] =
+    emb.select(col("vec_id"))
+      .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc,
+        col("vec_id").asc)
+      .limit(m)
+      .collect().map(_.getLong(0)).toSeq
+
   def beamSearch(
       graph: DataFrame,
       emb: DataFrame,
       queries: DataFrame,
       beam: Int,
       hops: Int,
-      seedTag: String): DataFrame = {
+      entries: Option[Map[Long, Seq[Long]]] = None): DataFrame = {
     import graft.functions.VectorFunctions.roundedCosine
     val spark = emb.sparkSession
     import spark.implicits._
 
-    def md5Mod(s: String, n: Long): Long =
-      java.lang.Long.parseLong(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16) % n
-
-    val n = emb.count()
-    val entryIds = (1 to beam).map(e => md5Mod(s"$seedTag:$e", n)).distinct
     val qs = queries.select(col("q_id"), col("q_emb")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val defaultEntries: Seq[Long] =
+      if (entries.isDefined) Nil else sampleEntryIds(emb, beam)
+    val perQuery: Map[Long, Seq[Long]] = entries match {
+      case Some(m) =>
+        qs.foreach { case (qid, _) =>
+          require(m.contains(qid) && m(qid).nonEmpty,
+            s"entries must cover every query with >= 1 node; missing $qid") }
+        qs.map { case (qid, _) => qid -> m(qid).distinct }.toMap
+      case None => qs.map { case (qid, _) => qid -> defaultEntries }.toMap
+    }
+    val entryIds = perQuery.valuesIterator.flatten.toSeq.distinct
 
     val vecCache = scala.collection.mutable.Map[Long, Array[Float]]()
     val adjCache = scala.collection.mutable.Map[Long, Seq[Long]]()
@@ -185,7 +242,7 @@ object NnDescent {
       .collect()
       .foreach(r => vecCache(r.getLong(0)) = r.getSeq[Float](1).toArray)
 
-    var beams: Map[Long, Seq[Long]] = qs.map { case (qid, _) => qid -> entryIds }.toMap
+    var beams: Map[Long, Seq[Long]] = perQuery
     var ranked: Map[Long, Seq[(Long, Long)]] = Map.empty
     (1 to hops).foreach { _ =>
       val frontier = beams.valuesIterator.flatten.toSeq.distinct.filterNot(adjCache.contains)

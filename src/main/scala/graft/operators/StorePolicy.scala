@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** WHEN to run [[SegmentCompaction]] — the decision the mechanisms
+  * deliberately left to the caller, now a size-tiered policy over
+  * observable store state (the LSM convention: compact on accumulation,
+  * vacuum on tombstone pressure).
+  *
+  * Signals, in priority order:
+  *
+  *  1. **Vacuum** when the committed tombstone union approaches
+  *     broadcast size — the exact signal [[Tombstones.dropDeleted]]
+  *     names: the serving subtraction is an anti-join whose tombstone
+  *     side Spark broadcasts while small; a union past broadcast size
+  *     turns every read into a shuffled anti-join, so the store should
+  *     physically drop the dead rows (which also frees the ids for
+  *     re-insertion). Vacuum subsumes compaction — the output is one
+  *     segment with no tombstones.
+  *  2. **Compact** when committed segments exceed `maxSegments` OR the
+  *     small-file ratio crosses `smallFileRatio` (files below
+  *     `smallFileBytes` — micro-batch dribble) — the read-side
+  *     listing/footer cost grows with both, and the fold is
+  *     read-identity by SegmentCompaction's pure-function-of-row-union
+  *     argument.
+  *  3. **NoOp** otherwise.
+  *
+  * The policy only DECIDES and (via [[maintainedCopy]]) materializes a
+  * fresh store; the path swap stays the single-writer's duty at a
+  * quiescent batch boundary, exactly as [[SegmentCompaction]]'s
+  * Scaladoc prescribes. Thresholds are deployment knobs; the defaults
+  * encode the reasoning above (8 MB tombstones ≈ Spark's default
+  * broadcast-join threshold with headroom; 16 segments ≈ where
+  * per-read listing overhead beats one fold's cost; small file =
+  * < 1/4 of the 128 MB compaction target).
+  */
+object StorePolicy {
+
+  sealed trait Action
+  case object NoOp extends Action
+  case object Compact extends Action
+  case object Vacuum extends Action
+
+  /** Observable state the policy decides on, derived by [[statsOf]]
+    * from the store's filesystem layout alone (committed segments
+    * only — uncommitted attempts are invisible to reads and to the
+    * policy alike).
+    */
+  final case class StoreStats(
+      committedSegments: Int,
+      dataFiles: Int,
+      smallDataFiles: Int,
+      dataBytes: Long,
+      tombstoneBytes: Long) {
+    def smallFileRatio: Double =
+      if (dataFiles == 0) 0.0 else smallDataFiles.toDouble / dataFiles
+  }
+
+  final case class Config(
+      maxSegments: Int = 16,
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      smallFileRatio: Double = 0.5,
+      vacuumTombstoneBytes: Long = 8L * 1024 * 1024)
+
+  private def committed(fs: FileSystem, statePath: Path, prefix: String): Seq[Path] =
+    if (!fs.exists(statePath)) Seq.empty
+    else fs.listStatus(statePath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+      .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+
+  /** Walk the store once: committed `batch=` segments' parquet data
+    * files (recursive — multi-part segments keep data under named
+    * subdirs) and the committed `delete=` union's bytes.
+    */
+  def statsOf(spark: SparkSession, stateDir: String, cfg: Config = Config()): StoreStats = {
+    val statePath = new Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = committed(fs, statePath, "batch=")
+    def dataFilesUnder(p: Path): Seq[Long] = {
+      val it = fs.listFiles(p, true)
+      val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+          sizes += st.getLen
+      }
+      sizes.toSeq
+    }
+    val sizes = segs.flatMap(dataFilesUnder)
+    val tombBytes = committed(fs, statePath, "delete=")
+      .flatMap(dataFilesUnder).sum
+    StoreStats(
+      committedSegments = segs.size,
+      dataFiles = sizes.size,
+      smallDataFiles = sizes.count(_ < cfg.smallFileBytes),
+      dataBytes = sizes.sum,
+      tombstoneBytes = tombBytes)
+  }
+
+  /** The decision alone — pure, unit-testable. */
+  def decide(stats: StoreStats, cfg: Config = Config()): Action =
+    if (stats.committedSegments == 0) NoOp
+    else if (stats.tombstoneBytes >= cfg.vacuumTombstoneBytes) Vacuum
+    else if (stats.committedSegments > cfg.maxSegments ||
+      (stats.dataFiles > 1 && stats.smallFileRatio >= cfg.smallFileRatio &&
+        stats.committedSegments > 1)) Compact
+    else NoOp
+
+  /** Decide on `inStore` and, when action is due, materialize the
+    * fresh store at `outStore` ([[SegmentCompaction.compactedCopy]] /
+    * [[SegmentCompaction.vacuumedCopy]]). Returns the action taken;
+    * on [[NoOp]] nothing is written. The caller swaps paths at a
+    * quiescent batch boundary.
+    *
+    * @param idColsByPart vacuum's id columns per part
+    *                     ([[SegmentCompaction.vacuumedCopy]]'s contract)
+    */
+  def maintainedCopy(
+      spark: SparkSession,
+      inStore: String,
+      outStore: String,
+      idColsByPart: Map[String, Seq[String]],
+      cfg: Config = Config()): Action = {
+    val action = decide(statsOf(spark, inStore, cfg), cfg)
+    action match {
+      case NoOp =>
+      case Compact =>
+        SegmentCompaction.compactedCopy(spark, inStore, outStore)
+      case Vacuum =>
+        SegmentCompaction.vacuumedCopy(spark, inStore, outStore, idColsByPart)
+    }
+    action
+  }
+}

@@ -57,10 +57,17 @@ object Tombstones {
     val statePath = new Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (committedDeletes(fs, statePath).exists(_._1 == deleteId)) return
+    // explicit delete-before-write, mirroring the batch segments'
+    // writeSegment crash protocol: mode("overwrite") would clear the
+    // directory anyway, but making the cleanup explicit keeps the
+    // "uncommitted attempt is removed wholesale, then rewritten"
+    // invariant visible and identical on both segment kinds
+    val target = new Path(statePath, s"delete=$deleteId")
+    if (fs.exists(target)) fs.delete(target, true)
     ids.select(col(idCol).cast("long").as("del_id")).distinct()
       .coalesce(1)
       .write.mode("overwrite")
-      .parquet(new Path(statePath, s"delete=$deleteId").toString)
+      .parquet(target.toString)
   }
 
   /** Driver-side convenience for request-sized deletes. */

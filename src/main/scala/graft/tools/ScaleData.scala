@@ -112,8 +112,50 @@ object ScaleData {
             regexp_replace($"text", lit("(\\S+)"),
               concat(lit(marker), $"__k".cast("string"), lit(marker), lit("$1")))))
     }
+    // `events`: each copy keeps the SAME users but shifts time by
+    // copy × (span rounded up to whole days + 1) — the platform ages
+    // rather than re-populates. Per-user histories grow ×copies (the
+    // bot-user / per-key-timeline axis the sliced as-of join spreads),
+    // temporal density per 10-s bucket stays constant (q57 scales with
+    // co-occupancy, linearly), the q58 grid grows linearly in days
+    // (users fixed — a user-replication scale-up would grow it
+    // quadratically), sessionization gains sessions per user, and
+    // every windowed/funnel read sees a longer but
+    // statistically-identical stream. Whole-day shifts keep hour-of-day
+    // and day-of-week profiles (q17/q50) intact. event_id offsets per
+    // copy keep ids unique; ties and tie-breaks replay per copy.
+    // The raw ts column has shipped as INT64-nanos AND TIMESTAMP_NTZ
+    // across testdata generations (Tables.events' lesson) — shift in
+    // the SOURCE representation so the output generation is
+    // byte-compatible with its input's readers.
+    locally {
+      val raw = spark.read.parquet(s"$inDir/events.parquet")
+      val evSpan = raw.agg(max($"event_id")).head().getLong(0) + 1
+      val tsField = raw.schema("ts").dataType
+      val dayUs = 86400000000L
+      replicate("events") { (df, _) =>
+        val shifted = tsField match {
+          case org.apache.spark.sql.types.LongType =>
+            // INT64 nanos generation
+            val spanNs = raw.agg(max($"ts") - min($"ts")).head().getLong(0)
+            val shiftNs = (spanNs / (dayUs * 1000) + 1) * dayUs * 1000
+            df.withColumn("ts", $"ts" + $"__k" * lit(shiftNs))
+          case _ =>
+            // timestamp generations (NTZ or tz'd): span via a UTC
+            // µs cast (wall-clock-preserving for NTZ under the UTC
+            // session tz); timestampadd preserves the source type
+            val spanUs = raw.select(
+              unix_micros(max($"ts").cast("timestamp")) -
+                unix_micros(min($"ts").cast("timestamp"))).head().getLong(0)
+            val spanDays = spanUs / dayUs + 1
+            df.withColumn("ts",
+              expr(s"timestampadd(DAY, __k * $spanDays, ts)"))
+        }
+        shifted.withColumn("event_id", $"event_id" + $"__k" * lit(evSpan))
+      }
+    }
     for (t <- graft.core.Tables.names
-         if !Set("lineitem", "orders", "documents", "embeddings")(t)) {
+         if !Set("lineitem", "orders", "documents", "embeddings", "events")(t)) {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$inDir/$t.parquet"),
         java.nio.file.Paths.get(s"$outDir/$t.parquet"),

@@ -116,6 +116,27 @@ class AsofJoinPropertySpec extends SparkSpec {
     assert(crossSlice > 0, "fixture exercises no cross-slice inheritance")
   }
 
+  test("null keys group together, identically in both forms") {
+    import spark.implicits._
+    // null keys are one window partition (NOT SQL join never-match):
+    // the sliced form's null-safe stitch must realize the same carry,
+    // including cross-slice inheritance for the null-key group
+    val l = Seq((Some(1), 10L, 1L), (None, 10L, 2L), (None, 95L, 3L))
+      .toDF("k", "ts", "lv")
+    val r = Seq((Some(1), 5L, 10L, 7L), (None, 4L, 11L, 8L))
+      .toDF("k", "ts", "tie", "rv")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.select(col("lv"), col("asof.rv")).collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+        .toMap
+    val single = run(AsofJoin.asofJoin(l, r, Seq("k"), "ts", "tie"))
+    // width 10: the null-key left at ts=95 sits slices away from the
+    // null-key right at ts=4 — the match MUST come via inheritance
+    val sliced = run(AsofJoin.asofJoinSliced(l, r, Seq("k"), "ts", "tie", 10L))
+    assert(single == Map(1L -> Some(7L), 2L -> Some(8L), 3L -> Some(8L)))
+    assert(sliced == single, s"$sliced != $single")
+  }
+
   test("composite keys: the join key is (k1, k2), never k1 alone") {
     import spark.implicits._
     val l = Seq((0, 0, 10L, 1L), (0, 1, 10L, 2L)).toDF("k1", "k2", "us", "lv")

@@ -33,13 +33,15 @@ class GraphSearchSpec extends SparkSpec {
 
   /** (q_id -> rank-ordered (node, sim_micro), truncated to K) after
     * `hops` over a prebuilt graph, searched at the s20 exploration
-    * width (beam = 2K, the ef_search slack).
+    * width (beam = 2K, the ef_search slack). Default entries (the
+    * md5-ordered id sample) unless `entries` is given.
     */
   private def searchAt(
-      graph: DataFrame, emb: DataFrame, hops: Int, nq: Int): Map[Long, Seq[(Long, Long)]] = {
+      graph: DataFrame, emb: DataFrame, hops: Int, nq: Int,
+      entries: Option[Map[Long, Seq[Long]]] = None): Map[Long, Seq[(Long, Long)]] = {
     val q = emb.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    NnDescent.beamSearch(graph, emb, q, 2 * K, hops, "s20")
+    NnDescent.beamSearch(graph, emb, q, 2 * K, hops, entries)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
       .groupBy(_._1)
@@ -49,6 +51,31 @@ class GraphSearchSpec extends SparkSpec {
         id -> rows.sortBy(_._4).filter(_._2 != id).take(K).map(r => (r._2, r._3)).toSeq
       }
   }
+
+  /** The operator's default entry derivation, replicated: the 2K ids
+    * with the smallest (first-8-hex of md5(decimal id), id) — 8-char
+    * lowercase hex compares identically as string or parsed long.
+    */
+  private def defaultEntriesOf(ids: Seq[Long]): Seq[Long] = {
+    def h8(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    ids.sortBy(i => (h8(i.toString), i)).take(2 * K)
+  }
+
+  /** IVF-seeded entries, replicating s20's: per query, the `probes`
+    * nearest of the first-`nc` centroid NODES by rounded cosine
+    * (probeBefore ordering).
+    */
+  private def ivfEntriesOf(
+      vecs: Map[Long, Array[Float]], nq: Int, nc: Int, probes: Int): Map[Long, Seq[Long]] =
+    vecs.keys.filter(_ < nq).map { qid =>
+      qid -> (0L until nc.toLong)
+        .map(c => (c, cos(vecs(qid), vecs(c))))
+        .sortWith(graft.functions.VectorFunctions.probeBefore)
+        .take(probes).map(_._1)
+    }.toMap
 
   private def recall(
       found: Map[Long, Seq[(Long, Long)]], exact: Map[Long, Set[Long]]): Double = {
@@ -113,7 +140,8 @@ class GraphSearchSpec extends SparkSpec {
     // queries whose cluster contains (or neighbors) an entry point
     // must recall ~1 by hop 3 (navigation works where a path exists),
     // while uncovered queries are the known coverage shortfall — NOT
-    // a search bug. Entry ids replicate the operator's md5 seeds.
+    // a search bug. Entry ids replicate the operator's default
+    // md5-ordered id sample via [[defaultEntriesOf]].
     def h(s2: String): Long =
       java.lang.Long.parseLong(
         java.security.MessageDigest.getInstance("MD5")
@@ -130,7 +158,7 @@ class GraphSearchSpec extends SparkSpec {
     val emb = pts.toDF("vec_id", "embedding")
     val g = NnDescent.knnGraph(emb, "vec_id", "embedding", K, 3)
       .select(col("id"), col("nbr")).localCheckpoint(true)
-    val coveredClusters = (1 to K).map(e => (h(s"s20:$e") % n) % 10).toSet
+    val coveredClusters = defaultEntriesOf(0L until n).map(_ % 10).toSet
     val (covered, uncovered) = (0L until NQ.toLong).partition(q => coveredClusters(q % 10))
     assert(covered.nonEmpty, "fixture degenerate: no query cluster seeded")
     val exact = exactOf(pts.toMap, NQ)
@@ -150,5 +178,37 @@ class GraphSearchSpec extends SparkSpec {
 
   test("the search is deterministic: two runs produce identical results") {
     assert(searchAt(realGraph, realEmb, 2, NQ) == searchAt(realGraph, realEmb, 2, NQ))
+  }
+
+  test("s20's mixed entries (IVF probes ∪ id sample) dominate the sample-only " +
+    "default at every hop, and reach its hop-2 recall in ONE hop") {
+    // s20's entry upgrade (the HNSW-coarse-layer effect): starting the
+    // walk at the query's nearest coarse-centroid nodes converges
+    // fastest early but plateaus (measured pure-IVF hop-3: 0.90–0.925
+    // vs sample 0.9375 — tight seeds give up exploration coverage);
+    // the MIX keeps both, dominating the sample-only default at every
+    // hop (measured 0.85 / 0.925 / 0.9375 vs 0.35 / 0.75 / 0.9375) —
+    // and its hop-1 recall already beats sample-only hop-2, the
+    // fewer-hops win whose tax on random entries grows O(log n) with
+    // corpus size.
+    val vecs = realEmb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val exact = exactOf(vecs, NQ)
+    val dflt = defaultEntriesOf(vecs.keys.toSeq)
+    // s20's exact recipe: EntryProbes = 8 of NCENTROIDS = 16, ∪ sample
+    val mixed = ivfEntriesOf(vecs, NQ, 16, 8)
+      .map { case (q, es) => q -> (es ++ dflt).distinct }
+    val rndCurve = (1 to 3).map(h => recall(searchAt(realGraph, realEmb, h, NQ), exact))
+    val mixCurve = (1 to 3).map(h =>
+      recall(searchAt(realGraph, realEmb, h, NQ, Some(mixed)), exact))
+    info(s"recall by hops — sample-only: ${rndCurve.mkString(", ")}; " +
+      s"mixed IVF ∪ sample: ${mixCurve.mkString(", ")}")
+    // 1e-9 absorbs FP accumulation order in the recall average (the
+    // per-query fractions sum in map order), never a real neighbor
+    // (1 neighbor = 1/(NQ·K) = 0.0125)
+    (0 until 3).foreach(i => assert(mixCurve(i) >= rndCurve(i) - 1e-9,
+      s"mixed entries lost to sample-only at hop ${i + 1}: $mixCurve vs $rndCurve"))
+    assert(mixCurve(0) >= rndCurve(1) - 1e-9,
+      s"mixed hop-1 recall ${mixCurve(0)} below sample-only hop-2 ${rndCurve(1)}")
   }
 }

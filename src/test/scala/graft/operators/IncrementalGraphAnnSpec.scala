@@ -164,7 +164,7 @@ class IncrementalGraphAnnSpec extends SparkSpec {
         .toSeq.sortBy { case (j, c) => (-c, j) }
         .take(K).map(_._1).toSet
     }.toMap
-    val foundB = NnDescent.beamSearch(batchGraph, emb, q, Beam, Hops, "s20")
+    val foundB = NnDescent.beamSearch(batchGraph, emb, q, Beam, Hops)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
       .groupBy(_._1)

@@ -414,6 +414,30 @@ class PlanShapeSpec extends SparkSpec {
       s"t25's census exchange is not shared between branches:\n$p")
   }
 
+  test("q59 plans two corpus shuffles + two tiny census shuffles, and the " +
+    "sessionize exchange is runtime-shared between the window and census branches") {
+    // the shuffle accounting the Scaladoc claims (this count has been
+    // corrected once before — pin it): the session window's user_id
+    // exchange [corpus], the sliced as-of's (user_id, slice) exchange
+    // [corpus], the boundary census's post-partial-agg exchange and
+    // the per-key stitch window's exchange [both keys × slices tiny].
+    // The census branch's sessionize subtree MUST come back as a
+    // ReusedExchange — the null-safe stitch join exists partly for
+    // this (an equi-join's isnotnull pushdown broke canonical
+    // equality; measured r14) — so sessionization runs ONCE.
+    GraftExtensions.install(spark)
+    spark.catalog.clearCache() // cached scans defeat runtime reuse
+    val p = finalPlan(Registry.byName("q59_pit_features").run(spark, sfDir))
+    assert(count(p, "ReusedExchange") >= 1,
+      s"q59's census branch recomputes sessionization:\n$p")
+    // "+- Exchange " matches executed shuffle NODES only — a
+    // ReusedExchange's toString inlines its target ("..., Exchange
+    // hashpartitioning(...)"), which a bare substring count would
+    // double-count
+    assert(count(p, "+- Exchange ") == 4,
+      s"q59's shuffle count drifted from the documented 2 corpus + 2 tiny:\n$p")
+  }
+
   test("s12 folds its per-query top-k into the native bottom-k aggregate — no window stage") {
     val p = plan("s12_bm25_topk")
     assert(p.contains("bottom_k_pairs"),
