@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampType}
 
 /** AS-OF (temporal / point-in-time) join: for every left row, the
   * single latest right row with the same key and `ts <= left.ts` —
@@ -36,45 +36,76 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * (finer = better spread), plus one partial-aggregate census and one
   * broadcast-sized join back.
   *
-  * Semantics (both forms): `>=` inclusive — a right row at exactly
-  * left.ts matches (right rows order strictly before the left row at
-  * equal ts). Ties among right rows at the same (key, ts) resolve to
-  * the LARGEST `rightTie` value. The carried right row rides one
-  * struct column, so all its fields come from the SAME row even when
-  * a field is null. NULL join keys GROUP TOGETHER (window-partition
-  * semantics, unlike a SQL join's never-match): both forms realize it
-  * — the sliced form stitches with a null-safe join — and the
-  * property spec pins their agreement on null-keyed rows.
+  * The full pandas/kdb `merge_asof` surface (both forms):
   *
-  * q56 runs this operator on purchases × clicks; the DuckDB oracle
-  * pins its semantics against an independent native ASOF JOIN
-  * implementation at four scale factors. `EventStreams.streamingAsof`
-  * is the incremental face (watermark-bounded reorder buffer).
+  *  - `direction`: "backward" (default — latest right at-or-before)
+  *    or "forward" (earliest right at-or-after, the time-to-next-event
+  *    read). Internally one code path: the traversal axis is
+  *    SIGNED time units (negated for forward), so slicing, carries,
+  *    censuses and stitches are direction-blind.
+  *  - `tolerance`: maximum allowed gap in ts units (µs for
+  *    TimestampType, raw units for integral ts). A carried right row
+  *    farther than the tolerance nulls out — the left row survives
+  *    with a null `asof` (the "don't serve stale features" cap) —
+  *    applied as a post-projection, so the plan is unchanged.
   *
-  * @param left     probe side; all its columns survive
-  * @param right    build side; its non-key, non-ts columns (plus the
-  *                 matched right ts as `asof_ts`) come back inside a
-  *                 nullable `asof` struct — null when no right row is
-  *                 at-or-before the left row
-  * @param keys     equi-key columns present on both sides
-  * @param tsCol    event-time column name present on both sides
-  *                 (TimestampType or any numeric)
-  * @param rightTie right column breaking (key, ts) ties (largest wins)
+  * Semantics (both forms): inclusive at equal ts in BOTH directions —
+  * a right row at exactly left.ts matches (right rows order strictly
+  * before the left row at equal ts in traversal order). Ties among
+  * right rows at the same (key, ts) resolve to the LARGEST `rightTie`
+  * value, in both directions. The carried right row rides one struct
+  * column, so all its fields come from the SAME row even when a field
+  * is null. NULL join keys GROUP TOGETHER (window-partition semantics,
+  * unlike a SQL join's never-match): both forms realize it — the
+  * sliced form stitches with a null-safe join — and the property spec
+  * pins their agreement on null-keyed rows.
+  *
+  * q56 runs this operator on purchases × clicks; the DuckDB oracles
+  * pin its semantics against an independent native ASOF JOIN
+  * implementation at four scale factors (q60 the tolerance cap, q61
+  * the forward direction). `EventStreams.streamingAsof` is the
+  * incremental face (watermark-bounded reorder buffer).
+  *
+  * @param left      probe side; all its columns survive
+  * @param right     build side; its non-key, non-ts columns (plus the
+  *                  matched right ts as `asof_ts`) come back inside a
+  *                  nullable `asof` struct — null when no right row
+  *                  qualifies
+  * @param keys      equi-key columns present on both sides
+  * @param tsCol     event-time column name present on both sides
+  *                  (TimestampType or an INTEGRAL numeric — fractional
+  *                  ts would not survive the unit quantization)
+  * @param rightTie  right column breaking (key, ts) ties (largest wins)
+  * @param direction "backward" | "forward"
+  * @param tolerance max gap in ts units; farther matches null out
   */
 object AsofJoin {
 
   /** Tagged-union prep shared by both forms: the normalized left and
-    * right frames (base ++ __tag/__ord/__lrow/__rrow) plus the pieces
-    * needed to reassemble the output projection. */
+    * right frames (base ++ __tag/__ord/__lrow/__rrow/__u) plus the
+    * pieces needed to reassemble the output projection. `__u` is the
+    * SIGNED traversal axis: time units for backward, negated for
+    * forward — everything downstream orders by it and stays
+    * direction-blind.
+    */
   private case class Prep(
-      l: DataFrame, r: DataFrame, base: Seq[String], leftPayload: Seq[String])
+      l: DataFrame, r: DataFrame, base: Seq[String], leftPayload: Seq[String],
+      sign: Int, tsType: DataType)
+
+  private def unitsOf(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c)
+    case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+    case other => throw new IllegalArgumentException(
+      s"as-of ts column must be TimestampType or integral, got $other")
+  }
 
   private def prep(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      rightTie: String): Prep = {
+      rightTie: String,
+      direction: String): Prep = {
     // asof_ts is reserved too: a right payload named asof_ts (easy
     // when chaining two as-of joins) would duplicate the carried
     // struct's field and make `asof.asof_ts` ambiguous downstream
@@ -84,6 +115,15 @@ object AsofJoin {
       reserved.contains(c) || c.startsWith("__inh_")),
       s"inputs may not carry the operator's reserved columns " +
         s"${reserved.mkString(", ")} or the __inh_ prefix")
+    val sign = direction match {
+      case "backward" => 1
+      case "forward" => -1
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward or forward, got $other")
+    }
+    val tsType = left.schema(tsCol).dataType
+    require(tsType == right.schema(tsCol).dataType,
+      s"ts column $tsCol differs in type between sides")
     val base = keys :+ tsCol
     val leftPayload = left.columns.filterNot(base.contains).toSeq
     val rightPayload = right.columns.filterNot(base.contains).toSeq
@@ -92,20 +132,36 @@ object AsofJoin {
     val lrowType = left.select(lrowCol.as("s")).schema("s").dataType
     val rrowType = right.select(rrowCol.as("s")).schema("s").dataType
     val ordType = right.schema(rightTie).dataType
+    val u = unitsOf(col(tsCol), tsType) * lit(sign)
 
     val l = left.select(base.map(col) ++ Seq(
-      lit(1).as("__tag"), lit(null).cast(ordType).as("__ord"),
+      u.as("__u"), lit(1).as("__tag"), lit(null).cast(ordType).as("__ord"),
       lrowCol.as("__lrow"), lit(null).cast(rrowType).as("__rrow")): _*)
     val r = right.select(base.map(col) ++ Seq(
-      lit(0).as("__tag"), col(rightTie).as("__ord"),
+      u.as("__u"), lit(0).as("__tag"), col(rightTie).as("__ord"),
       lit(null).cast(lrowType).as("__lrow"), rrowCol.as("__rrow")): _*)
-    Prep(l, r, base, leftPayload)
+    Prep(l, r, base, leftPayload, sign, tsType)
   }
 
-  private def output(df: DataFrame, p: Prep): DataFrame =
-    df.select(p.base.map(col) ++
+  /** Tolerance cap + final projection. The gap on the signed axis is
+    * always left − right ≥ 0 (the carry only ever looks back in
+    * traversal order), so one formula serves both directions; a match
+    * past the cap nulls the whole struct and the left row survives.
+    */
+  private def output(df: DataFrame, p: Prep, tolerance: Option[Long]): DataFrame = {
+    val capped = tolerance match {
+      case None => df
+      case Some(tol) =>
+        require(tol >= 0, s"tolerance must be >= 0, got $tol")
+        df.withColumn("asof",
+          when(unitsOf(col(p.base.last), p.tsType) * lit(p.sign) -
+            unitsOf(col("asof").getField("asof_ts"), p.tsType) * lit(p.sign)
+            <= tol, col("asof")))
+    }
+    capped.select(p.base.map(col) ++
       p.leftPayload.map(f => col("__lrow").getField(f).as(f)) :+
       col("asof"): _*)
+  }
 
   /** Single-window merge-asof (see class doc). One shuffle on the key;
     * per-key history serializes through one task's sort — prefer
@@ -115,38 +171,41 @@ object AsofJoin {
       right: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      rightTie: String): DataFrame = {
-    val p = prep(left, right, keys, tsCol, rightTie)
+      rightTie: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    val p = prep(left, right, keys, tsCol, rightTie, direction)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__tag").asc, col("__ord").asc)
+      .orderBy(col("__u").asc, col("__tag").asc, col("__ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     output(
       p.l.unionByName(p.r)
         .withColumn("asof", last(col("__rrow"), ignoreNulls = true).over(w))
         .filter(col("__tag") === 1),
-      p)
+      p, tolerance)
   }
 
   /** Skew-safe two-phase merge-asof; row-identical to [[asofJoin]]
     * (AsofJoinPropertySpec pins the equivalence on adversarial and
-    * deliberately hot-keyed inputs).
+    * deliberately hot-keyed inputs, in both directions).
     *
     * Phase 1: the same carry-forward window partitioned by
-    * (keys, slice) where `slice = ts-units div sliceWidth` — truncated
-    * integer division, monotone non-decreasing in ts, so rows with
-    * equal ts always share a slice and cross-slice order is global
-    * time order. Phase 2: one partial-aggregate census over the same
-    * union picks each (key, slice)'s last right row
-    * (`max_by` on (ts, tie), exactly the window's tie order); a second
-    * window over that keys × slices frame — tiny, and the ONLY place a
-    * key's slices meet — carries the latest earlier-slice right row
-    * into each slice (`rowsBetween(unboundedPreceding, -1)`: strictly
-    * earlier slices, whose rows all have strictly smaller ts). The
-    * final carry is `coalesce(local, inherited)` via an equi-join on
-    * (keys, slice) that AQE broadcasts.
+    * (keys, slice) where `slice = __u div sliceWidth` on the signed
+    * traversal axis — truncated integer division, monotone
+    * non-decreasing in traversal order, so rows with equal ts always
+    * share a slice and cross-slice order is global traversal order.
+    * Phase 2: one partial-aggregate census over the same union picks
+    * each (key, slice)'s last-traversed right row (`max_by` on
+    * (__u, tie), exactly the window's tie order); a second window over
+    * that keys × slices frame — tiny, and the ONLY place a key's
+    * slices meet — carries the latest earlier-slice right row into
+    * each slice (`rowsBetween(unboundedPreceding, -1)`: strictly
+    * earlier slices, whose rows all precede strictly in traversal
+    * order). The final carry is `coalesce(local, inherited)` via a
+    * null-safe join on (keys, slice) that AQE broadcasts.
     *
     * @param sliceWidth slice width in the ts column's units — µs for
-    *                   TimestampType, raw units for numeric ts. Pure
+    *                   TimestampType, raw units for integral ts. Pure
     *                   parallelism knob: the widest task becomes one
     *                   key's busiest slice. Pick ≈ (expected span) /
     *                   (desired per-key parallelism); hot keys with
@@ -158,22 +217,18 @@ object AsofJoin {
       keys: Seq[String],
       tsCol: String,
       rightTie: String,
-      sliceWidth: Long): DataFrame = {
+      sliceWidth: Long,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(sliceWidth > 0, s"sliceWidth must be positive, got $sliceWidth")
-    val p = prep(left, right, keys, tsCol, rightTie)
-    val tsUnits: Column = left.schema(tsCol).dataType match {
-      case TimestampType => unix_micros(col(tsCol))
-      case _ => col(tsCol).cast(LongType)
-    }
+    val p = prep(left, right, keys, tsCol, rightTie, direction)
     // `div` = integral division (truncated; monotone either way, which
     // is all slicing needs) — double `/` would round at µs magnitudes
     val unioned = p.l.unionByName(p.r)
-      .withColumn("__u", tsUnits)
       .withColumn("__slice", expr(s"__u div ${sliceWidth}L"))
-      .drop("__u")
 
     val w1 = Window.partitionBy((keys :+ "__slice").map(col): _*)
-      .orderBy(col(tsCol).asc, col("__tag").asc, col("__ord").asc)
+      .orderBy(col("__u").asc, col("__tag").asc, col("__ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = unioned
       .withColumn("__local", last(col("__rrow"), ignoreNulls = true).over(w1))
@@ -186,7 +241,7 @@ object AsofJoin {
     // whose ordering key is null, so left rows never win.
     val bounds = unioned.groupBy((keys :+ "__slice").map(col): _*)
       .agg(max_by(col("__rrow"),
-        when(col("__tag") === 0, struct(col(tsCol), col("__ord"))))
+        when(col("__tag") === 0, struct(col("__u"), col("__ord"))))
         .as("__sliceLast"))
     val w2 = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__slice").asc)
@@ -211,6 +266,6 @@ object AsofJoin {
     output(
       local.join(inherited, stitchOn, "left")
         .withColumn("asof", coalesce(col("__local"), col("__inherit"))),
-      p)
+      p, tolerance)
   }
 }

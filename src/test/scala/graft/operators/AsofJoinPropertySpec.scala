@@ -116,6 +116,69 @@ class AsofJoinPropertySpec extends SparkSpec {
     assert(crossSlice > 0, "fixture exercises no cross-slice inheritance")
   }
 
+  test("forward direction == brute force, and sliced == single window, any width") {
+    import spark.implicits._
+    // forward brute force: the EARLIEST right at-or-after; among
+    // equal-ts rights the largest tie wins (same tie rule as backward)
+    def bruteFwd(
+        lefts: Seq[(Int, Long, Long)],
+        rights: Seq[(Int, Long, Long, Long)]): Seq[(Int, Long, Long, Option[Long])] =
+      lefts.map { case (k, ts, v) =>
+        val qual = rights.filter(r => r._1 == k && r._2 >= ts)
+        val best = qual.sortBy(r => (r._2, -r._3)).headOption
+        (k, ts, v, best.map(_._3))
+      }
+    check(Prop.forAll(caseGen) { case (lefts, rights) =>
+      val l = lefts.toDF("k", "ts", "lv")
+      val r = rights.toDF("k", "ts", "tie", "rv")
+      def run(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Long, Option[Long])] =
+        df.select($"k", $"ts", $"lv", $"asof.tie").collect()
+          .map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+            if (x.isNullAt(3)) None else Some(x.getLong(3)))).toSeq
+      val single = run(AsofJoin.asofJoin(l, r, Seq("k"), "ts", "tie", "forward"))
+      val want = bruteFwd(lefts, rights)
+      single.sortBy(_.toString) == want.sortBy(_.toString) &&
+        Seq(1L, 3L, 100L).forall { w =>
+          run(AsofJoin.asofJoinSliced(l, r, Seq("k"), "ts", "tie", w, "forward"))
+            .sortBy(_.toString) == single.sortBy(_.toString)
+        }
+    }, minTests = 8)
+  }
+
+  test("tolerance == brute force with a gap cap, in both directions and both forms") {
+    import spark.implicits._
+    val tol = 3L
+    def brute(
+        lefts: Seq[(Int, Long, Long)],
+        rights: Seq[(Int, Long, Long, Long)],
+        fwd: Boolean): Seq[(Int, Long, Long, Option[Long])] =
+      lefts.map { case (k, ts, v) =>
+        val qual = rights.filter(r => r._1 == k &&
+          (if (fwd) r._2 >= ts else r._2 <= ts))
+        val best =
+          if (fwd) qual.sortBy(r => (r._2, -r._3)).headOption
+          else qual.sortBy(r => (r._2, r._3)).lastOption
+        // the cap nulls the MATCHED row when too far — it never
+        // promotes a nearer-but-not-best row
+        (k, ts, v, best.filter(r => math.abs(r._2 - ts) <= tol).map(_._3))
+      }
+    check(Prop.forAll(caseGen) { case (lefts, rights) =>
+      val l = lefts.toDF("k", "ts", "lv")
+      val r = rights.toDF("k", "ts", "tie", "rv")
+      def run(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Long, Option[Long])] =
+        df.select($"k", $"ts", $"lv", $"asof.tie").collect()
+          .map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+            if (x.isNullAt(3)) None else Some(x.getLong(3)))).toSeq
+      Seq("backward", "forward").forall { d =>
+        val want = brute(lefts, rights, d == "forward").sortBy(_.toString)
+        run(AsofJoin.asofJoin(l, r, Seq("k"), "ts", "tie", d, Some(tol)))
+          .sortBy(_.toString) == want &&
+          run(AsofJoin.asofJoinSliced(l, r, Seq("k"), "ts", "tie", 3L, d, Some(tol)))
+            .sortBy(_.toString) == want
+      }
+    }, minTests = 8)
+  }
+
   test("null keys group together, identically in both forms") {
     import spark.implicits._
     // null keys are one window partition (NOT SQL join never-match):
