@@ -629,6 +629,84 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
   }
 
+  /** One joined row of the FORWARD streaming as-of (fields match
+    * q61's read: the next right row, or None when none arrives within
+    * the tolerance).
+    */
+  final case class AsofFwdRow(
+      user_id: Long, event_id: Long, next_id: Option[Long],
+      next_value: Option[Double], gap_us: Option[Long])
+
+  /** Per-user forward-as-of state: unemitted lefts + candidate rights,
+    * both watermark-bounded (see [[streamingAsofForward]]).
+    */
+  final case class AsofFwdState(lefts: Seq[AsofPending], rights: Seq[AsofPending])
+
+  /** Streaming face of the FORWARD as-of join with a tolerance
+    * (`AsofJoin.asofJoin(direction = "forward", tolerance = tol)`) —
+    * for each left event at t, the EARLIEST right in [t, t + tol]
+    * (ties at equal ts → max event_id), the time-to-next-event read
+    * q61 runs in batch. The tolerance is not optional here: it is what
+    * makes forward-as-of STREAMABLE — an uncapped forward join can
+    * never finalize a left (the matching right may lie arbitrarily far
+    * in the future, unbounded state and unbounded emission latency);
+    * with the cap, a left at t is final exactly when the watermark
+    * strictly passes t + tol (no right in its window can still
+    * arrive — any such right r ≤ t + tol < wm would be late-dropped),
+    * and it emits its match or a None row exactly once. Stream ≡ batch
+    * therefore holds across any micro-batch split (AsofFwdStreamSpec).
+    *
+    * State bounds: unemitted lefts live ≤ tol past the watermark
+    * horizon; a right is dropped once it can serve no remaining or
+    * future left — r < min(earliest buffered left, watermark) — so
+    * both buffers are (rate × (tol + watermark))-sized. Event-time
+    * timeouts re-invoke idle users so a buffered left never waits for
+    * its user's next arrival.
+    */
+  def streamingAsofForward(
+      events: Dataset[AsofEv], tolUs: Long): Dataset[AsofFwdRow] = {
+    import events.sparkSession.implicits._
+    require(tolUs >= 0, s"tolerance must be >= 0, got $tolUs")
+
+    def flush(
+        userId: Long,
+        evs: Iterator[AsofEv],
+        state: GroupState[AsofFwdState]): Iterator[AsofFwdRow] = {
+      val wm = state.getCurrentWatermarkMs()
+      val st = state.getOption.getOrElse(AsofFwdState(Nil, Nil))
+      val arrivals = evs.map(e =>
+        AsofPending(microsOf(e.ts), e.event_id, e.tag, e.value)).toSeq
+      val lefts = st.lefts ++ arrivals.filter(_.tag == 1)
+      val rights = st.rights ++ arrivals.filter(_.tag == 0)
+      // a left at t is final once wm strictly passes (t + tol) ms:
+      // only then can no right ≤ t + tol still arrive
+      val (ready, holdL) = lefts.partition(p => (p.us + tolUs) / 1000L < wm)
+      val out = ready.sortBy(p => (p.us, p.event_id)).map { p =>
+        val best = rights
+          .filter(r => r.us >= p.us && r.us <= p.us + tolUs)
+          .sortBy(r => (r.us, -r.event_id))
+          .headOption
+        AsofFwdRow(userId, p.event_id, best.map(_.event_id),
+          best.map(_.value), best.map(_.us - p.us))
+      }
+      // keep a right iff some remaining left (buffered, or a future
+      // arrival — whose ts is ≥ wm ms by the watermark contract) can
+      // still have it in window: r ≥ that left's ts
+      val floorUs = (holdL.map(_.us) :+ wm * 1000L).min
+      state.update(AsofFwdState(holdL, rights.filter(_.us >= floorUs)))
+      if (holdL.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(wm + 1, holdL.map(p => (p.us + tolUs) / 1000L).min + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
+  }
+
   /** Typed event for the streaming PIT feature builder: every event
     * drives the session machine; `is_label` rows (purchases) also
     * emit a feature row.
