@@ -298,16 +298,21 @@ object IncrementalGraphAnn {
       k: Int,
       beam: Int,
       hops: Int,
-      belowBatch: Long = Long.MaxValue): DataFrame = {
+      belowBatch: Long = Long.MaxValue,
+      entries: Option[Map[Long, Seq[Long]]] = None): DataFrame = {
     // one tombstone fetch shared by the graph and the vectors read.
-    // Entry nodes use beamSearch's default derivation — a deterministic
+    // Default entry nodes use beamSearch's derivation — a deterministic
     // md5-ordered sample of the ACTUAL surviving ids, so a vacuumed or
     // sparsely-appended store seeds correctly (ids here are never the
-    // dense 0..n-1 the old mod-n scheme assumed).
+    // dense 0..n-1 the old mod-n scheme assumed). Callers holding a
+    // coarse quantizer over the store pass per-query `entries` (s20's
+    // IVF ∪ sample recipe) for the fewer-hops win; entry ids must be
+    // live (tombstoned entries have no vectors and drop out of the
+    // first hop's fetch, which beamSearch tolerates).
     val del = Tombstones.deletedIds(spark, stateDir)
     NnDescent.beamSearch(
       graphFrom(spark, stateDir, k, belowBatch, del).select(col("id"), col("nbr")),
-      vectorsFrom(spark, stateDir, belowBatch, del), queries, beam, hops)
+      vectorsFrom(spark, stateDir, belowBatch, del), queries, beam, hops, entries)
       .filter(col("rank") <= k)
   }
 

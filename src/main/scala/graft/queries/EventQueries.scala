@@ -868,7 +868,7 @@ object EventQueries {
     * (`explode(sequence(...))` over the distinct users — never a
     * driver loop; bounds are two driver scalars from a min/max agg),
     * the right side the observation stream — so the whole resample
-    * costs the as-of join's single shuffle. Users with no
+    * costs the sliced as-of join's one corpus shuffle. Users with no
     * observations yet gap-fill as nulls (the grid is a cross of ALL
     * users). At 100 TB the grid is |users|·|days| rows of ids only;
     * payloads ride the carried struct.
