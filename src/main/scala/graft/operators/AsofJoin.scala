@@ -53,9 +53,16 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * a right row at exactly left.ts matches (right rows order strictly
   * before the left row at equal ts in traversal order). Ties among
   * right rows at the same (key, ts) resolve to the LARGEST `rightTie`
-  * value, in both directions. The carried right row rides one struct
-  * column, so all its fields come from the SAME row even when a field
-  * is null. NULL join keys GROUP TOGETHER (window-partition semantics,
+  * value, in both directions. INPUT CONTRACT: `rightTie` must be
+  * UNIQUE per (key, ts) — with duplicate (key, ts, tie) right rows
+  * the winner's PAYLOAD is unspecified (the single-window `last` over
+  * a tied sort and the sliced census's `max_by` each pick an
+  * arbitrary duplicate, so the two forms — and repeated runs — may
+  * carry different payload structs for the same match). Every caller
+  * here passes a per-event unique id, and q56/q58's oracles dedup
+  * the right side per (key, ts) for the same reason. The carried
+  * right row rides one struct column, so all its fields come from the
+  * SAME row even when a field is null. NULL join keys GROUP TOGETHER (window-partition semantics,
   * unlike a SQL join's never-match): both forms realize it — the
   * sliced form stitches with a null-safe join — and the property spec
   * pins their agreement on null-keyed rows.

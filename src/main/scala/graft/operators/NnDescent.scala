@@ -51,15 +51,29 @@ object NnDescent {
     * construction, and a stride collision (two j with the same s_j)
     * just yields a duplicate edge that the candidate UNION dedups on
     * both engines. `ids` must carry a single long `id` column; the
-    * 1-row `nRow` frame (column `n`) rides as a broadcast so the plan
-    * stays one action (the X10 pattern).
+    * 1-row `nRow` frame (columns `n`, `mn`, `mx`) rides as a broadcast
+    * so the plan stays one action (the X10 pattern).
+    *
+    * DENSE-ID CONTRACT: the (id + stride) mod n arithmetic only lands
+    * on real nodes when ids are exactly 0..n-1 — a sparse id space
+    * (a vacuumed [[IncrementalGraphAnn]] store, non-contiguous
+    * appends) would silently seed edges to nonexistent nodes, which
+    * the embedding-fetch joins then drop, starving the init graph.
+    * The census carries min/max so the contract is ENFORCED in-plan
+    * (`assert_true`, zero extra actions): a sparse build fails loudly
+    * at execution instead of converging on a crippled seed. Sparse
+    * corpora reach a graph through [[IncrementalGraphAnn]]'s insertion
+    * path, or by ranking ids densely before the build.
     */
   def initNeighbors(ids: DataFrame, nRow: DataFrame, k: Int): DataFrame =
     ids.crossJoin(broadcast(nRow))
-      .select(col("id"), explode(expr(s"sequence(1, $k)")).as("j"), col("n"))
+      .select(col("id"), explode(expr(s"sequence(1, $k)")).as("j"),
+        col("n"), col("mn"), col("mx"))
       .select(col("id"), expr(
         """(id + 1 + (cast(conv(substring(md5(concat('s19:', cast(j as string))), 1, 8), 16, 10) as bigint)
-          |  % (n - 1))) % n""".stripMargin).as("nbr"))
+          |  % (n - 1))) % n
+          | + ifnull(cast(assert_true(mn = 0 and mx = n - 1,
+          |     'NnDescent.initNeighbors requires DENSE ids 0..n-1; sparse stores build via IncrementalGraphAnn or rank ids first') as bigint), 0)""".stripMargin).as("nbr"))
 
   /** One refinement round: candidates = current ∪ reversed ∪ 2-hop
     * edges, scored by rounded cosine, per-node top-k kept. Returns
@@ -100,7 +114,8 @@ object NnDescent {
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int, rounds: Int): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val ids = e.select(col("vec_id").as("id"))
-    val nRow = e.agg(count(lit(1)).as("n"))
+    val nRow = e.agg(count(lit(1)).as("n"),
+      min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx"))
     var g = initNeighbors(ids, nRow, k)
     (1 to rounds).foreach { _ =>
       g = refineRound(g.select(col("id"), col("nbr")), e, k)
@@ -108,25 +123,37 @@ object NnDescent {
     g
   }
 
-  /** Compute-once shared kNN graph, keyed by (session, corpus tag) —
-    * the serve-side memo mirroring [[Bm25.sharedRanked]]: a graph
-    * index is BUILT once and then serves every search (that is the
-    * reason graph indexes exist), so s19 remains the measurement of
+  /** Compute-once shared kNN graph, keyed by (session, corpus tag,
+    * build params) — the serve-side memo mirroring [[Bm25.sharedRanked]]:
+    * a graph index is BUILT once and then serves every search (that is
+    * the reason graph indexes exist), so s19 remains the measurement of
     * the build while s20 (and any other serve-side consumer) walks the
-    * shared graph. Builders hand back already-materialized frames
+    * shared graph. The build parameters (k, rounds, id/vector column
+    * names) are part of the key — the AnnIndex.memo convention — so
+    * two consumers over the same corpus dir with different graph
+    * configs each get their own build instead of silently sharing the
+    * first caller's. Builders hand back already-materialized frames
     * ([[knnGraph]]'s rounds localCheckpoint eagerly), so the memo
     * stores the reference without re-checkpointing. At 100 TB the
     * n × k edge list is the PERSISTED index ([[IncrementalGraphAnn]]
     * is the durable face); this session memo is its in-process stand-in.
     * graft.Bench deliberately does NOT clear it between reps (the s14
-    * precedent), so s20's number is the serve leg.
+    * precedent), so s20's number is the serve leg. NOTE: the memo keys
+    * on the tag string, not the data — regenerating the data under an
+    * unchanged path mid-session requires [[clearSharedGraphs]].
     */
   private val shared = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+    (org.apache.spark.sql.SparkSession, String, Int, Int, String, String), DataFrame]()
 
-  def sharedGraph(spark: org.apache.spark.sql.SparkSession, tag: String)(
+  def sharedGraph(
+      spark: org.apache.spark.sql.SparkSession,
+      tag: String,
+      k: Int,
+      rounds: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding")(
       build: => DataFrame): DataFrame =
-    shared.computeIfAbsent((spark, tag), _ => build)
+    shared.computeIfAbsent((spark, tag, k, rounds, idCol, vecCol), _ => build)
 
   /** Drop this session's shared graphs (test isolation). */
   def clearSharedGraphs(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1768,7 +1768,7 @@ object SimilarityQueries {
     (s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      val g = graft.operators.NnDescent.sharedGraph(s, dir)(
+      val g = graft.operators.NnDescent.sharedGraph(s, dir, NnK, NnRounds)(
         graft.operators.NnDescent
           .knnGraph(e, "vec_id", "embedding", NnK, NnRounds))
       val cents = centroidArray(s, dir)

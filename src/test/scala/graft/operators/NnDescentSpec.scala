@@ -105,4 +105,17 @@ class NnDescentSpec extends SparkSpec {
   test("the build is deterministic: two runs produce identical graphs") {
     assert(graphAt(realEmb, 2) == graphAt(realEmb, 2))
   }
+
+  test("a sparse id space fails the build LOUDLY (dense-id contract), not silently") {
+    // the vacuumed-store shape: every 20th id missing — (id + stride)
+    // mod n would seed edges to nonexistent nodes, so the in-plan
+    // assert must fire instead of converging on a crippled init
+    val sparse = realEmb.filter($"vec_id" % 20 =!= 0)
+    val ex = intercept[Exception] {
+      NnDescent.knnGraph(sparse, "vec_id", "embedding", K, 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("DENSE ids")), s"wrong failure: $ex")
+  }
 }
