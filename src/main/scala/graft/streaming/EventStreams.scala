@@ -564,10 +564,26 @@ object EventStreams {
     */
   final case class AsofPending(us: Long, event_id: Long, tag: Int, value: Double)
 
-  /** Per-user as-of state: the latest FLUSHED right row (the as-of
-    * anchor) plus the in-watermark pending buffer.
+  /** Per-user state of the UNIFIED streaming as-of machine
+    * ([[streamingAsofJoin]]): `anchor` is backward-only — the single
+    * best already-final right row (max (ts, id) among flushed rights);
+    * `lefts` are unemitted left events awaiting finality; `rights` are
+    * buffered candidate rights still needed by some pending or future
+    * left. Forward never uses the anchor (its matches lie ahead, never
+    * behind the watermark).
     */
-  final case class AsofState(last: Option[AsofPending], pending: Seq[AsofPending])
+  final case class AsofUniState(
+      anchor: Option[AsofPending],
+      lefts: Seq[AsofPending],
+      rights: Seq[AsofPending])
+
+  /** One joined left row of [[streamingAsofJoin]]: the matched right
+    * (None when none qualifies) and the non-negative gap along the
+    * traversal direction (left − right backward, right − left forward).
+    */
+  final case class AsofJoinedRow(
+      user_id: Long, event_id: Long, matched_id: Option[Long],
+      matched_value: Option[Double], gap_us: Option[Long])
 
   /** One joined left row (fields match q56's output; None = no right
     * row at-or-before the left event).
@@ -576,49 +592,139 @@ object EventStreams {
       user_id: Long, event_id: Long, click_id: Option[Long],
       click_value: Option[Double], lag_us: Option[Long])
 
-  /** Streaming face of q56 / `operators.AsofJoin` — the streaming
-    * point-in-time join: each left event is emitted with the latest
-    * right row at-or-before it, even when events ARRIVE out of order.
-    * Same primitive as [[orderedTransitions]]: a watermark-bounded
-    * REORDER BUFFER. A left event is only emitted once the watermark
-    * strictly passes its timestamp — until then an in-watermark right
-    * row at an equal-or-earlier time could still arrive and change the
-    * answer (`>=` semantics make even an equal-ts right row count) —
-    * so every emitted row is final and stream ≡ batch holds across ANY
-    * micro-batch split. Ready events replay in (ts µs, tag, event_id)
-    * order, the batch window's exact sort, so right-side (ts) ties
-    * resolve to the max event_id on both faces.
-    *
-    * State: the pending buffer is bounded by the watermark horizon
-    * (event-time timeouts re-invoke idle users so a buffered left
-    * never waits for its user's next arrival); the anchor is one small
-    * record per ever-seen user — what as-of semantics require, bounded
-    * in production by an idle horizon at the cost of forgetting
-    * anchors after long gaps.
+  /** One joined row of the FORWARD streaming as-of (fields match
+    * q61's read: the next right row, or None when none arrives within
+    * the tolerance).
     */
-  def streamingAsof(events: Dataset[AsofEv]): Dataset[AsofRow] = {
+  final case class AsofFwdRow(
+      user_id: Long, event_id: Long, next_id: Option[Long],
+      next_value: Option[Double], gap_us: Option[Long])
+
+  /** The streaming as-of join, BOTH directions through ONE state
+    * machine — the incremental face of `operators.AsofJoin`, with the
+    * same surface: `direction` backward (latest right at-or-before;
+    * q56's point-in-time read) or forward (earliest right at-or-after;
+    * q61's time-to-next-event read), `tolUs` the optional max-gap cap.
+    * The batch operator proved direction is a sign flip on one
+    * traversal axis; here the same unification holds with the axis
+    * replaced by a FINALITY HORIZON — the only piece of the machine
+    * that differs per direction:
+    *
+    *  - a left at t is final when the watermark strictly passes its
+    *    horizon: t backward (an equal-or-earlier right could still
+    *    arrive until then — `>=` inclusivity), t + tol forward (any
+    *    later-arriving right ≤ t + tol would be late-dropped). Forward
+    *    therefore REQUIRES a tolerance: uncapped, a left could never
+    *    finalize (the match may lie arbitrarily far ahead — unbounded
+    *    state and emission latency).
+    *  - a final left matches against the buffered rights (plus, for
+    *    backward, the anchor): backward takes the max (ts, id) right in
+    *    [t − tol, t], forward the min (ts, −id) right in [t, t + tol] —
+    *    the batch window's exact tie order (equal-ts ties → max id).
+    *    Every emitted row is final, so stream ≡ batch holds across ANY
+    *    micro-batch split (AsofStreamSpec / AsofFwdStreamSpec).
+    *
+    * State bounds and reclamation (all watermark-driven, via
+    * event-time timeouts that re-invoke idle users):
+    *
+    *  - lefts live until their finality horizon passes;
+    *  - backward folds final rights into the ONE anchor record and
+    *    drops the rest; the anchor is what as-of semantics require for
+    *    ever-seen users — kept forever without a tolerance, swept once
+    *    the watermark is more than `tol` past it otherwise (no future
+    *    left can reach back that far);
+    *  - forward keeps a right only while some pending-or-future left
+    *    can still have it in window (r ≥ min(earliest pending left,
+    *    watermark)) and sweeps the buffer as the watermark advances
+    *    even when no further event arrives;
+    *  - a user whose anchor, lefts and rights are all gone is REMOVED
+    *    from the store entirely — forward (and capped backward) state
+    *    does not grow with ever-seen users (AsofStreamSpec pins the
+    *    store row counts).
+    */
+  def streamingAsofJoin(
+      events: Dataset[AsofEv],
+      direction: String,
+      tolUs: Option[Long]): Dataset[AsofJoinedRow] = {
     import events.sparkSession.implicits._
+    val forward = direction match {
+      case "forward" => true
+      case "backward" => false
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward or forward, got $other")
+    }
+    tolUs.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    require(!forward || tolUs.isDefined,
+      "forward streaming as-of requires a tolerance (uncapped forward never finalizes)")
+
+    // strict <: an event AT the watermark ms could still be matched by
+    // an equal-ts arrival (only ts < wm is late-dropped)
+    def horizonMs(p: AsofPending): Long =
+      (p.us + (if (forward) tolUs.get else 0L)) / 1000L
 
     def flush(
         userId: Long,
         evs: Iterator[AsofEv],
-        state: GroupState[AsofState]): Iterator[AsofRow] = {
+        state: GroupState[AsofUniState]): Iterator[AsofJoinedRow] = {
       val wm = state.getCurrentWatermarkMs()
-      val st = state.getOption.getOrElse(AsofState(None, Nil))
-      val all = st.pending ++ evs.map(e =>
-        AsofPending(microsOf(e.ts), e.event_id, e.tag, e.value))
-      // strict <: an event AT the watermark ms could still be joined
-      // by an equal-ts arrival (only ts < wm is late-dropped)
-      val (ready, hold) = all.partition(_.us / 1000L < wm)
-      var anchor = st.last
-      val out = ready.sortBy(p => (p.us, p.tag, p.event_id)).flatMap { p =>
-        if (p.tag == 0) { anchor = Some(p); None }
-        else Some(AsofRow(userId, p.event_id, anchor.map(_.event_id),
-          anchor.map(_.value), anchor.map(a => p.us - a.us)))
+      val st = state.getOption.getOrElse(AsofUniState(None, Nil, Nil))
+      val arrivals = evs.map(e =>
+        AsofPending(microsOf(e.ts), e.event_id, e.tag, e.value)).toSeq
+      val lefts = st.lefts ++ arrivals.filter(_.tag == 1)
+      val rights = st.rights ++ arrivals.filter(_.tag == 0)
+      val (ready, holdL) = lefts.partition(p => horizonMs(p) < wm)
+      // every right a ready left can match has already arrived (backward:
+      // rights ≤ t are inside the watermark; forward: rights ≤ t + tol
+      // are, by the same horizon argument) — so matching is a pure scan
+      // of anchor ∪ buffer, no replay interleave needed
+      val cands = st.anchor.toSeq ++ rights
+      val out = ready.sortBy(p => (p.us, p.event_id)).map { p =>
+        val best =
+          if (forward)
+            cands.filter(r => r.us >= p.us && r.us - p.us <= tolUs.get)
+              .sortBy(r => (r.us, -r.event_id)).headOption
+          else
+            cands.filter(r => r.us <= p.us && tolUs.forall(p.us - r.us <= _))
+              .sortBy(r => (-r.us, -r.event_id)).headOption
+        AsofJoinedRow(userId, p.event_id, best.map(_.event_id),
+          best.map(_.value),
+          best.map(r => if (forward) r.us - p.us else p.us - r.us))
       }
-      state.update(AsofState(anchor, hold))
-      if (hold.nonEmpty)
-        state.setTimeoutTimestamp(math.max(wm + 1, hold.map(_.us / 1000L).min + 1))
+      val (anchor, keepR) =
+        if (forward) {
+          // keep a right iff some remaining left (buffered, or a future
+          // arrival — whose ts is ≥ wm ms by the watermark contract)
+          // can still have it in window: r ≥ that left's ts
+          val floorUs = (holdL.map(_.us) :+ wm * 1000L).min
+          (None, rights.filter(_.us >= floorUs))
+        } else {
+          // final rights collapse into the single anchor record; a
+          // tolerance-capped anchor dies once no future left (ts ≥ wm
+          // ms) can reach back to it
+          val (finalR, holdR) = rights.partition(_.us / 1000L < wm)
+          val a = (st.anchor.toSeq ++ finalR)
+            .sortBy(r => (r.us, r.event_id)).lastOption
+            .filter(r => tolUs.forall(wm * 1000L - r.us <= _))
+          (a, holdR)
+        }
+      if (anchor.isEmpty && holdL.isEmpty && keepR.isEmpty) {
+        if (state.exists) state.remove()
+      } else {
+        state.update(AsofUniState(anchor, holdL, keepR))
+        // wake-up order: pending lefts at their earliest finality; else
+        // sweep the rights buffer as rights finalize (fold backward,
+        // drop forward); else sweep a tolerance-capped anchor
+        if (holdL.nonEmpty)
+          state.setTimeoutTimestamp(
+            math.max(wm + 1, holdL.map(horizonMs).min + 1))
+        else if (keepR.nonEmpty)
+          state.setTimeoutTimestamp(
+            math.max(wm + 1, keepR.map(_.us / 1000L).min + 1))
+        else tolUs.filter(_ => anchor.nonEmpty).foreach { t =>
+          state.setTimeoutTimestamp(
+            math.max(wm + 1, (anchor.get.us + t) / 1000L + 1))
+        }
+      }
       out.iterator
     }
 
@@ -629,82 +735,31 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
   }
 
-  /** One joined row of the FORWARD streaming as-of (fields match
-    * q61's read: the next right row, or None when none arrives within
-    * the tolerance).
+  /** Streaming face of q56 / `operators.AsofJoin` (backward) — the
+    * [[streamingAsofJoin]] machine in its backward direction, output
+    * shaped to q56's columns. `tolUs` caps the match gap (the "don't
+    * serve stale features" read); without it the per-user anchor is
+    * retained for ever-seen users, exactly what uncapped as-of
+    * semantics require.
     */
-  final case class AsofFwdRow(
-      user_id: Long, event_id: Long, next_id: Option[Long],
-      next_value: Option[Double], gap_us: Option[Long])
-
-  /** Per-user forward-as-of state: unemitted lefts + candidate rights,
-    * both watermark-bounded (see [[streamingAsofForward]]).
-    */
-  final case class AsofFwdState(lefts: Seq[AsofPending], rights: Seq[AsofPending])
+  def streamingAsof(
+      events: Dataset[AsofEv], tolUs: Option[Long] = None): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+    streamingAsofJoin(events, "backward", tolUs).map(r =>
+      AsofRow(r.user_id, r.event_id, r.matched_id, r.matched_value, r.gap_us))
+  }
 
   /** Streaming face of the FORWARD as-of join with a tolerance
     * (`AsofJoin.asofJoin(direction = "forward", tolerance = tol)`) —
-    * for each left event at t, the EARLIEST right in [t, t + tol]
-    * (ties at equal ts → max event_id), the time-to-next-event read
-    * q61 runs in batch. The tolerance is not optional here: it is what
-    * makes forward-as-of STREAMABLE — an uncapped forward join can
-    * never finalize a left (the matching right may lie arbitrarily far
-    * in the future, unbounded state and unbounded emission latency);
-    * with the cap, a left at t is final exactly when the watermark
-    * strictly passes t + tol (no right in its window can still
-    * arrive — any such right r ≤ t + tol < wm would be late-dropped),
-    * and it emits its match or a None row exactly once. Stream ≡ batch
-    * therefore holds across any micro-batch split (AsofFwdStreamSpec).
-    *
-    * State bounds: unemitted lefts live ≤ tol past the watermark
-    * horizon; a right is dropped once it can serve no remaining or
-    * future left — r < min(earliest buffered left, watermark) — so
-    * both buffers are (rate × (tol + watermark))-sized. Event-time
-    * timeouts re-invoke idle users so a buffered left never waits for
-    * its user's next arrival.
+    * the [[streamingAsofJoin]] machine in its forward direction,
+    * output shaped to q61's columns. See the unified machine's
+    * Scaladoc for why the tolerance is mandatory here.
     */
   def streamingAsofForward(
       events: Dataset[AsofEv], tolUs: Long): Dataset[AsofFwdRow] = {
     import events.sparkSession.implicits._
-    require(tolUs >= 0, s"tolerance must be >= 0, got $tolUs")
-
-    def flush(
-        userId: Long,
-        evs: Iterator[AsofEv],
-        state: GroupState[AsofFwdState]): Iterator[AsofFwdRow] = {
-      val wm = state.getCurrentWatermarkMs()
-      val st = state.getOption.getOrElse(AsofFwdState(Nil, Nil))
-      val arrivals = evs.map(e =>
-        AsofPending(microsOf(e.ts), e.event_id, e.tag, e.value)).toSeq
-      val lefts = st.lefts ++ arrivals.filter(_.tag == 1)
-      val rights = st.rights ++ arrivals.filter(_.tag == 0)
-      // a left at t is final once wm strictly passes (t + tol) ms:
-      // only then can no right ≤ t + tol still arrive
-      val (ready, holdL) = lefts.partition(p => (p.us + tolUs) / 1000L < wm)
-      val out = ready.sortBy(p => (p.us, p.event_id)).map { p =>
-        val best = rights
-          .filter(r => r.us >= p.us && r.us <= p.us + tolUs)
-          .sortBy(r => (r.us, -r.event_id))
-          .headOption
-        AsofFwdRow(userId, p.event_id, best.map(_.event_id),
-          best.map(_.value), best.map(_.us - p.us))
-      }
-      // keep a right iff some remaining left (buffered, or a future
-      // arrival — whose ts is ≥ wm ms by the watermark contract) can
-      // still have it in window: r ≥ that left's ts
-      val floorUs = (holdL.map(_.us) :+ wm * 1000L).min
-      state.update(AsofFwdState(holdL, rights.filter(_.us >= floorUs)))
-      if (holdL.nonEmpty)
-        state.setTimeoutTimestamp(
-          math.max(wm + 1, holdL.map(p => (p.us + tolUs) / 1000L).min + 1))
-      out.iterator
-    }
-
-    events
-      .withWatermark("ts", "2 hours")
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(flush)
+    streamingAsofJoin(events, "forward", Some(tolUs)).map(r =>
+      AsofFwdRow(r.user_id, r.event_id, r.matched_id, r.matched_value, r.gap_us))
   }
 
   /** Typed event for the streaming PIT feature builder: every event

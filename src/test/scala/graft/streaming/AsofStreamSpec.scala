@@ -98,4 +98,111 @@ class AsofStreamSpec extends SparkSpec {
     assert(got(20L).click_id.contains(21L) && got(20L).lag_us.contains(0L),
       s"equal-ts inclusion: ${got(20L)}")
   }
+
+  test("backward stream with a tolerance == batch asofJoin(tolerance) on the real events") {
+    val tolUs = 30L * 60000000L // 30 minutes
+    val dir = Files.createTempDirectory("asof-tol-in").toString
+    val evs = Tables.events(spark, sfDir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "purchase", 1).otherwise(0).as("tag"),
+        $"value")
+      .as[AsofEv].cache()
+    val mid = new Timestamp(
+      evs.select(percentile_approx($"ts", lit(0.5), lit(1000))).head()
+        .getTimestamp(0).getTime)
+    evs.filter($"ts" <= lit(mid)).write.mode("append").parquet(dir)
+    val in = spark.readStream.schema(evSchema).parquet(dir).as[AsofEv]
+    val q = EventStreams.streamingAsof(in, Some(tolUs))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_tol").start()
+    q.processAllAvailable()
+    evs.filter($"ts" > lit(mid)).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    Seq(kicker).toDS().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = streamed("asof_tol")
+    val ev = Tables.events(spark, sfDir)
+    val batch = graft.operators.AsofJoin.asofJoin(
+      ev.filter($"event_type" === "purchase").select($"user_id", $"ts", $"event_id"),
+      ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"),
+          $"value".as("click_value")),
+      Seq("user_id"), "ts", "click_id", "backward", Some(tolUs))
+      .select($"event_id", $"user_id", $"asof.click_id".as("click_id"),
+        $"asof.click_value".as("click_value"),
+        (unix_micros($"ts") - unix_micros($"asof.asof_ts")).as("lag_us"))
+    // the tolerance must actually bite on this data, or the test
+    // degenerates to the uncapped case
+    assert(batch.filter($"click_id".isNull).count() > 0,
+      "fixture too loose: no purchase exceeds the tolerance")
+    assert(got.count() > 0 && got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0, "streamed rows not in batch")
+    assert(batch.exceptAll(got).count() == 0, "batch rows missing from stream")
+  }
+
+  test("idle state is RECLAIMED: a capped machine's store empties as the watermark " +
+    "passes every horizon; uncapped backward keeps exactly the per-user anchors") {
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val t0 = Timestamp.valueOf("2024-07-01 08:00:00").getTime
+    def ts(m: Long) = new Timestamp(t0 + m * 60000L)
+    // three users, a right and a matched left each — nothing pending
+    // once the watermark passes
+    val evs = (1L to 3L).flatMap(u => Seq(
+      AsofEv(u, ts(10), u * 10, 0, 1.0),
+      AsofEv(u, ts(20), u * 10 + 1, 1, 0.0)))
+
+    // FORWARD (capped by construction): all six users' buffers drain
+    // and their state rows disappear — only the kicker's own left stays
+    val fdir = Files.createTempDirectory("asof-reclaim-f").toString
+    evs.toDS().write.mode("append").parquet(fdir)
+    val fin = spark.readStream.schema(evSchema).parquet(fdir).as[AsofEv]
+    val fq = EventStreams.streamingAsofForward(fin, 60000000L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_reclaim_f").start()
+    fq.processAllAvailable()
+    Seq(kicker).toDS().write.mode("append").parquet(fdir)
+    fq.processAllAvailable()
+    // one more empty-ish batch so timeouts fire under the advanced wm
+    Seq(kicker.copy(event_id = 1L, ts = Timestamp.valueOf("2031-01-01 00:00:00")))
+      .toDS().write.mode("append").parquet(fdir)
+    fq.processAllAvailable()
+    val fRows = stateRows(fq)
+    fq.stop()
+    assert(fRows <= 1, s"forward state not reclaimed: $fRows rows (want <= 1, the kicker)")
+
+    // BACKWARD with tolerance: anchors are swept too
+    val bdir = Files.createTempDirectory("asof-reclaim-b").toString
+    evs.toDS().write.mode("append").parquet(bdir)
+    val bin = spark.readStream.schema(evSchema).parquet(bdir).as[AsofEv]
+    val bq = EventStreams.streamingAsof(bin, Some(60000000L))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_reclaim_b").start()
+    bq.processAllAvailable()
+    Seq(kicker).toDS().write.mode("append").parquet(bdir)
+    bq.processAllAvailable()
+    Seq(kicker.copy(event_id = 1L, ts = Timestamp.valueOf("2031-01-01 00:00:00")))
+      .toDS().write.mode("append").parquet(bdir)
+    bq.processAllAvailable()
+    val bRows = stateRows(bq)
+    bq.stop()
+    assert(bRows <= 1, s"capped backward state not reclaimed: $bRows rows")
+
+    // UNCAPPED backward: the anchor is the semantics — exactly one
+    // state row per user with a right, plus the pending kicker
+    val udir = Files.createTempDirectory("asof-reclaim-u").toString
+    evs.toDS().write.mode("append").parquet(udir)
+    val uin = spark.readStream.schema(evSchema).parquet(udir).as[AsofEv]
+    val uq = EventStreams.streamingAsof(uin)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("asof_reclaim_u").start()
+    uq.processAllAvailable()
+    Seq(kicker).toDS().write.mode("append").parquet(udir)
+    uq.processAllAvailable()
+    val uRows = stateRows(uq)
+    uq.stop()
+    assert(uRows == 4, s"uncapped backward must keep 3 anchors + kicker: $uRows rows")
+  }
 }
