@@ -196,6 +196,13 @@ object Bench {
       }
       parts += results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
         .mkString(""""queries_3dp":{""", ",", "}")
+      // failed-rep counts moved here from the stdout line (the line's
+      // char budget is the binding constraint on headline growth; a
+      // failed query is still visible on the line as its -1.0 sentinel)
+      val failed = timed.filter(_._3 > 0)
+      if (failed.nonEmpty)
+        parts += failed.map { case (k, _, n) => "\"" + k + "\":" + n }
+          .mkString(""""failed_reps":{""", ",", "}")
       parts += """"load1_start":""" + num(load1Start, 2) + ""","load1_end":""" + num(load1(), 2)
       parts.result().mkString("{", ",", "}")
     }
@@ -204,19 +211,20 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () } // detail is best-effort, the line is the record
-    println(benchLine(results, timed.map(t => (t._1, t._3)), sfDir))
+    println(benchLine(results, sfDir))
     spark.stop()
   }
 
   /** The ONE stdout record line. Contract fields only
-    * (metric/value/unit/queries/sf + failed_reps when nonempty): the
-    * driver parses this from a 2000-char stdout tail that also holds
-    * sbt's `[success]` footer, so BenchDefenseSpec pins the line under
-    * 1900 chars for a registry-sized query set.
+    * (metric/value/unit/queries/sf): the driver parses this from a
+    * 2000-char stdout tail that also holds sbt's `[success]` footer,
+    * so BenchDefenseSpec pins the line under 1900 chars for a
+    * registry-sized query set. Per-query failed-rep counts live in
+    * BENCH_DETAIL.json (moved off the line when the headline registry
+    * hit 70 — a failed query still shows on the line as -1.0).
     */
   def benchLine(
       results: Seq[(String, Double)],
-      failedReps: Seq[(String, Int)],
       sfDir: String): String = {
     // 2 dp per query, display-capped at 99.99: the line's char budget
     // is the binding constraint (65 headliners at the old 999.99 cap
@@ -230,32 +238,13 @@ object Bench {
     val qJson = results
       .map { case (k, v) => "\"" + k + "\":" + num(math.min(v, 99.99), 2) }
       .mkString("{", ",", "}")
-    // total = sum of successful medians; failed queries are reported in
-    // failed_reps (and as -1.0 in queries), not subtracted from total.
-    // failed_reps is CAPPED at 4 entries (+ a count of the rest): a
-    // run where dozens of queries fail is already a broken record, and
-    // an unbounded map would push the line past the driver's 2000-char
-    // stdout tail exactly when every query fails (the worst case
-    // BenchDefenseSpec pins — the cap came down from 8 when the
-    // headline registry grew to 58 queries).
+    // total = sum of successful medians; failed queries are visible as
+    // -1.0 in queries (their rep counts in BENCH_DETAIL.json), not
+    // subtracted from total.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = {
-      // cap 1 (was 8, then 4, 3, 2): each registry growth spends
-      // line budget (s18 took the 62-headliner worst case to 1910
-      // chars at cap 2); full per-query failure detail lives in
-      // BENCH_DETAIL.json
-      val failed = failedReps.filter(_._2 > 0)
-      if (failed.isEmpty) ""
-      else {
-        val shown = failed.take(1).map { case (k, n) => "\"" + k + "\":" + n }
-          .mkString(""","failed_reps":{""", ",", "}")
-        val more = failed.length - 1
-        if (more > 0) shown + s""","failed_more":$more""" else shown
-      }
-    }
     // total at 3 dp: a raw double's 17-digit repr alone is ~1% of the
     // driver's tail window
-    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qJson,"sf":"$sfDir"$failedJson}"""
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
   }
 
   // ---- ambient-load self-defense plumbing (pinned by BenchDefenseSpec) ----

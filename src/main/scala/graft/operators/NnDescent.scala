@@ -305,4 +305,108 @@ object NnDescent {
       }
       .toDF("q_id", "node", "sim_micro", "rank")
   }
+
+  /** DISTRIBUTED beam search — the corpus-scale face of [[beamSearch]]
+    * for the read that justifies a graph index in a training-data
+    * pipeline: probing a NEW arbitrarily-large batch against the index
+    * (graph-based decontamination / semantic-dedup joins), where a
+    * driver loop over collected queries cannot run. Queries STAY a
+    * DataFrame; per query the search is row-identical to the driver
+    * face (GraphSearchSpec pins the equivalence) because both walk the
+    * same candidate sets with the same integer-micro scores and
+    * (−sim, node) tie order.
+    *
+    * Per hop, three declarative steps and NO driver state that scales
+    * with |Q|:
+    *
+    *  1. expansion: beam × graph out-edges — an id-keyed equi-join on
+    *     `node` (the n×k edge list is the persisted index side);
+    *  2. scoring: candidates × embeddings — a second id-keyed
+    *     equi-join on `node` that reuses step 1's partitioning, then
+    *     the native cosine kernel quantized to integer micros (zero
+    *     vectors drop, as in the driver face);
+    *  3. ranking: previous beam ∪ scored expansion, repartitioned ONCE
+    *     on `q_id`, then per-(q_id, node) dedup and the per-query
+    *     bottom-`beam` heap BOTH run exchange-free on that
+    *     partitioning (subset-clustering: hash(q_id) satisfies the
+    *     (q_id, node) dedup's distribution) — so each hop moves the
+    *     |Q|·beam·(k+1) candidate frame through exactly two shuffles
+    *     (node, q_id), each linear in |Q| and independent of corpus
+    *     size n. Hops localCheckpoint (the d06 iterative pattern).
+    *
+    * The query vector rides the beam frame (the `q_emb` column)
+    * instead of re-joining a queries table every hop — beam·(k+1)
+    * copies per query through each shuffle, the standard
+    * vector-join trade for O(hops) fewer corpus-scale joins. Because
+    * each hop's candidate set contains the previous beam, the per-query
+    * k-th-best similarity is non-decreasing in hops, exactly as the
+    * driver face.
+    *
+    * `entries`: optional (q_id, node) frame of per-query entry nodes
+    * (e.g. IVF-seeded); every query needs ≥ 1 row. Default: the same
+    * md5-ordered id sample as [[beamSearch]], one entry list shared by
+    * all queries (a broadcast cross join — |Q| × beam rows, never a
+    * shuffle). `graph` must carry (id, nbr); `emb` (vec_id, embedding);
+    * `queries` (q_id, q_emb). Returns (q_id, node, sim_micro, rank) —
+    * the driver face's schema; callers truncate rank to their k.
+    */
+  def beamSearchDistributed(
+      graph: DataFrame,
+      emb: DataFrame,
+      queries: DataFrame,
+      beam: Int,
+      hops: Int,
+      entries: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+
+    val q = queries.select(col("q_id"), col("q_emb"))
+    val seeded: DataFrame = entries match {
+      case Some(e) =>
+        q.join(e.select(col("q_id"), col("node")), Seq("q_id"))
+      case None =>
+        q.crossJoin(broadcast(
+          sampleEntryIds(emb, beam).toDF("node")))
+    }
+    val edges = graph.select(col("id").as("node"), col("nbr"))
+    val vecs = emb.select(col("vec_id").as("node"), col("embedding"))
+
+    def scored(cands: DataFrame): DataFrame = cands
+      .join(vecs, Seq("node"))
+      .select(col("q_id"), col("q_emb"), col("node"),
+        floor(round(cosineSimilarity(col("q_emb"), col("embedding")), 6)
+          * lit(1000000.0) + lit(0.5)).cast("long").as("sim_micro"))
+      .filter(col("sim_micro").isNotNull)
+
+    def topBeam(cands: DataFrame): DataFrame = cands
+      .repartition(col("q_id"))
+      // dedup then heap, both exchange-free on the q_id partitioning;
+      // duplicate (q_id, node) rows carry identical deterministic
+      // scores, so any survivor is THE row
+      .dropDuplicates("q_id", "node")
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"),
+        graft.functions.BottomKPairsAgg.bottomKPairs(
+          -col("sim_micro"), col("node").cast("double"), beam).as("top"))
+      .select(col("q_id"), col("q_emb"), posexplode(col("top")))
+      .select(col("q_id"), col("q_emb"), col("col.v").cast("long").as("node"),
+        (-col("col.h")).as("sim_micro"), (col("pos") + 1).cast("int").as("rank"))
+      .localCheckpoint(true)
+
+    def expanded(base: DataFrame): DataFrame = base
+      .select(col("q_id"), col("q_emb"), col("node"))
+      .join(edges, Seq("node"))
+      .select(col("q_id"), col("q_emb"), col("nbr").as("node"))
+
+    // hop 1 expands from the UNSCORED entry set (the driver face
+    // fetches entry adjacency before scoring, so even an unscoreable
+    // entry contributes its neighbors)
+    var beams = topBeam(scored(seeded.unionByName(expanded(seeded))))
+    (2 to hops).foreach { _ =>
+      beams = topBeam(beams.drop("rank").unionByName(scored(expanded(beams))))
+    }
+    beams.select(col("q_id"), col("node"), col("sim_micro"), col("rank"))
+  }
 }

@@ -1075,9 +1075,11 @@ object EventQueries {
       SELECT e.event_id, e.user_id, v.view_id AS next_view_id,
         CAST(epoch_us(v.ts) - epoch_us(e.ts) AS BIGINT) AS recovery_us
       FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts <= v.ts"""),
-    // registry-only: same cost shape as q56 (a sign flip on the
-    // traversal axis) — see q60's headline note
-    headline = false)
+    // headline: the forward direction exercises the sign-flipped
+    // traversal axis end-to-end under timing (q60 stays registry-only
+    // — its plan IS q56's plus a post-projection); the line budget was
+    // freed by moving failed_reps into BENCH_DETAIL.json
+    headline = true)
 
   val all: Seq[Q] =
     Seq(q17HourlyWindow, q18JsonExtract, q19Sessionize, q44Funnel, q45Retention,

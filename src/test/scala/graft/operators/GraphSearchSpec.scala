@@ -180,6 +180,50 @@ class GraphSearchSpec extends SparkSpec {
     assert(searchAt(realGraph, realEmb, 2, NQ) == searchAt(realGraph, realEmb, 2, NQ))
   }
 
+  test("DISTRIBUTED beam search == the driver face, row-identical — default and " +
+    "explicit entries, 1 through 3 hops") {
+    val q = realEmb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def rowsOf(df: DataFrame): Set[(Long, Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    (1 to 3).foreach { hops =>
+      val drv = rowsOf(NnDescent.beamSearch(realGraph, realEmb, q, 2 * K, hops))
+      val dst = rowsOf(NnDescent.beamSearchDistributed(realGraph, realEmb, q, 2 * K, hops))
+      assert(dst == drv, s"hops=$hops: distributed != driver " +
+        s"(only-dist: ${(dst -- drv).take(5)}; only-drv: ${(drv -- dst).take(5)})")
+    }
+    // explicit per-query entries (s20's mixed recipe) through the
+    // DataFrame entries face
+    val vecs = realEmb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val mixed = ivfEntriesOf(vecs, NQ, 16, 8)
+      .map { case (qid, es) => qid -> (es ++ defaultEntriesOf(vecs.keys.toSeq)).distinct }
+    val entriesDf = mixed.toSeq
+      .flatMap { case (qid, es) => es.map(n => (qid, n)) }
+      .toDF("q_id", "node")
+    val drvE = rowsOf(NnDescent.beamSearch(realGraph, realEmb, q, 2 * K, 2, Some(mixed)))
+    val dstE = rowsOf(NnDescent.beamSearchDistributed(
+      realGraph, realEmb, q, 2 * K, 2, Some(entriesDf)))
+    assert(dstE == drvE, "distributed != driver under explicit entries")
+  }
+
+  test("the distributed face plans id-keyed equi-joins only: no nested-loop or " +
+    "cartesian anywhere, and the per-hop shuffle count stays linear") {
+    val q = realEmb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // localCheckpoint per hop makes the FINAL plan hop-local: it must
+    // show the hop's two candidate shuffles (node-join + q_id
+    // repartition) and the checkpointed scan — never a loop-carried
+    // blow-up, never a nested loop. (The checkpoint also bounds what
+    // explain can show; each hop's plan is the repeating unit.)
+    val res = NnDescent.beamSearchDistributed(realGraph, realEmb, q, 2 * K, 3)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"non-equi join in the distributed search plan:\n$plan")
+    val exchanges = "\\+- Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"final hop plans $exchanges exchanges (want <= 4):\n$plan")
+  }
+
   test("s20's mixed entries (IVF probes ∪ id sample) dominate the sample-only " +
     "default at every hop, and reach its hop-2 recall in ONE hop") {
     // s20's entry upgrade (the HNSW-coarse-layer effect): starting the
