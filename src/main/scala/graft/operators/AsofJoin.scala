@@ -64,8 +64,9 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * right row rides one struct column, so all its fields come from the
   * SAME row even when a field is null. NULL join keys GROUP TOGETHER (window-partition semantics,
   * unlike a SQL join's never-match): both forms realize it — the
-  * sliced form stitches with a null-safe join — and the property spec
-  * pins their agreement on null-keyed rows.
+  * sliced form stitches on a non-null struct key whose field
+  * comparison treats nulls as equal — and the property spec pins
+  * their agreement on null-keyed rows.
   *
   * q56 runs this operator on purchases × clicks; the DuckDB oracles
   * pin its semantics against an independent native ASOF JOIN
@@ -117,7 +118,7 @@ object AsofJoin {
     // when chaining two as-of joins) would duplicate the carried
     // struct's field and make `asof.asof_ts` ambiguous downstream
     val reserved = Seq("asof", "asof_ts", "__tag", "__ord", "__lrow", "__rrow",
-      "__slice", "__local", "__inherit", "__sliceLast", "__u")
+      "__slice", "__local", "__inherit", "__sliceLast", "__u", "__grp", "__grp2")
     require(!(left.columns ++ right.columns).exists(c =>
       reserved.contains(c) || c.startsWith("__inh_")),
       s"inputs may not carry the operator's reserved columns " +
@@ -209,7 +210,12 @@ object AsofJoin {
     * each slice (`rowsBetween(unboundedPreceding, -1)`: strictly
     * earlier slices, whose rows all precede strictly in traversal
     * order). The final carry is `coalesce(local, inherited)` via a
-    * null-safe join on (keys, slice) that AQE broadcasts.
+    * join on the non-null (keys, slice) struct — AQE broadcasts it
+    * while the frame is small; past broadcast size (10^8 keys ×
+    * hundreds of slices at 100 TB) it degrades to ONE shuffled join
+    * of the tiny side only, because the join key is the corpus side's
+    * existing window partitioning (see the stitch comment in the
+    * body).
     *
     * @param sliceWidth slice width in the ts column's units — µs for
     *                   TimestampType, raw units for integral ts. Pure
@@ -230,11 +236,15 @@ object AsofJoin {
     require(sliceWidth > 0, s"sliceWidth must be positive, got $sliceWidth")
     val p = prep(left, right, keys, tsCol, rightTie, direction)
     // `div` = integral division (truncated; monotone either way, which
-    // is all slicing needs) — double `/` would round at µs magnitudes
+    // is all slicing needs) — double `/` would round at µs magnitudes.
+    // `__grp` is the NON-NULLABLE struct (keys, slice) — the window
+    // partition key AND the stitch join key, one expression (see the
+    // stitch comment below for why that identity is load-bearing).
     val unioned = p.l.unionByName(p.r)
       .withColumn("__slice", expr(s"__u div ${sliceWidth}L"))
+      .withColumn("__grp", struct((keys :+ "__slice").map(col): _*))
 
-    val w1 = Window.partitionBy((keys :+ "__slice").map(col): _*)
+    val w1 = Window.partitionBy(col("__grp"))
       .orderBy(col("__u").asc, col("__tag").asc, col("__ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = unioned
@@ -246,32 +256,47 @@ object AsofJoin {
     // (key, slice) a left row occupies appears — a right-empty slice
     // must still receive its inherited carry. max_by ignores rows
     // whose ordering key is null, so left rows never win.
-    val bounds = unioned.groupBy((keys :+ "__slice").map(col): _*)
+    val bounds = unioned.groupBy(col("__grp"))
       .agg(max_by(col("__rrow"),
         when(col("__tag") === 0, struct(col("__u"), col("__ord"))))
         .as("__sliceLast"))
-    val w2 = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__slice").asc)
+    val w2 = Window.partitionBy(keys.map(k => col("__grp").getField(k)): _*)
+      .orderBy(col("__grp").getField("__slice").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // inherited keys are renamed and joined NULL-SAFELY, for two
-    // reasons: (1) semantics — the carry windows group null keys
-    // together (a null key is one window partition), so the stitch
-    // join must too, or null-key rows would lose exactly their
-    // cross-slice inheritance; (2) the plan — an equi-join would
-    // inject isnotnull() filters into the build side's subtree,
-    // making it canonically unequal to the window branch and defeating
-    // exchange reuse of the shared upstream (measured on q59: the
-    // pushed filter alone blocked the sessionize exchange's reuse).
-    val inhKeys = keys.indices.map(i => s"__inh_$i") :+ "__inh_slice"
+    // The stitch joins on plain equality of `__grp`, and that ONE
+    // expression being both the carry window's partition key and the
+    // join key is load-bearing three ways:
+    //  (1) semantics — struct comparison treats null FIELDS as equal
+    //      (ordering semantics), so null join keys group together in
+    //      the stitch exactly as they do in the carry windows (a null
+    //      key is one window partition); a plain multi-column equi-join
+    //      would silently drop precisely the null-key rows'
+    //      cross-slice inheritance;
+    //  (2) the build-side plan — `__grp` is non-nullable (a struct
+    //      literal over its rows), so the LeftOuter join's inferred
+    //      isnotnull() on the build side folds away instead of pushing
+    //      into the census subtree, which keeps that subtree
+    //      canonically equal to the window branch and exchange reuse
+    //      alive (measured on q59: a pushed isnotnull alone blocked
+    //      the sessionize exchange's reuse — the r14 lesson that
+    //      motivated the old `<=>` stitch);
+    //  (3) the probe-side plan at scale — when the keys × slices frame
+    //      outgrows broadcast (10^8 keys at 100 TB) and the stitch
+    //      degrades to a shuffled join, the join's required
+    //      distribution hash(__grp) IS `local`'s existing window
+    //      partitioning, so the corpus side reuses it and pays ZERO
+    //      extra exchange — only the tiny side shuffles. The old
+    //      null-safe (`<=>`) keys planned as (coalesce(k), isnull(k))
+    //      expressions, which defeated that reuse and re-shuffled the
+    //      whole corpus exactly when the data was biggest (measured:
+    //      10 executed exchanges vs 6; PlanShapeSpec pins both
+    //      regimes).
     val inherited = bounds
       .withColumn("__inherit", last(col("__sliceLast"), ignoreNulls = true).over(w2))
-      .select((keys :+ "__slice").zip(inhKeys).map {
-        case (k, a) => col(k).as(a) } :+ col("__inherit"): _*)
-    val stitchOn = (keys :+ "__slice").zip(inhKeys)
-      .map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
+      .select(col("__grp").as("__grp2"), col("__inherit"))
 
     output(
-      local.join(inherited, stitchOn, "left")
+      local.join(inherited, col("__grp") === col("__grp2"), "left")
         .withColumn("asof", coalesce(col("__local"), col("__inherit"))),
       p, tolerance)
   }

@@ -422,9 +422,10 @@ class PlanShapeSpec extends SparkSpec {
     // [corpus], the boundary census's post-partial-agg exchange and
     // the per-key stitch window's exchange [both keys × slices tiny].
     // The census branch's sessionize subtree MUST come back as a
-    // ReusedExchange — the null-safe stitch join exists partly for
-    // this (an equi-join's isnotnull pushdown broke canonical
-    // equality; measured r14) — so sessionization runs ONCE.
+    // ReusedExchange — the stitch's non-nullable struct key exists
+    // partly for this (a nullable key's inferred isnotnull pushdown
+    // broke canonical equality; measured r14) — so sessionization
+    // runs ONCE.
     GraftExtensions.install(spark)
     spark.catalog.clearCache() // cached scans defeat runtime reuse
     val p = finalPlan(Registry.byName("q59_pit_features").run(spark, sfDir))
@@ -436,6 +437,53 @@ class PlanShapeSpec extends SparkSpec {
     // double-count
     assert(count(p, "+- Exchange ") == 4,
       s"q59's shuffle count drifted from the documented 2 corpus + 2 tiny:\n$p")
+  }
+
+  test("the sliced as-of stitch under a NON-BROADCAST regime costs exactly one " +
+    "extra tiny shuffle — the corpus side reuses its window partitioning") {
+    // At 100 TB the keys × slices frame outgrows broadcast (10^8 users
+    // × hundreds of slices), so the stitch must degrade to ONE
+    // shuffled join of the TINY side only. The stitch joins on the
+    // same non-nullable (keys, slice) struct the carry window
+    // partitions by, so the corpus side's hash(__grp) partitioning
+    // satisfies the join's distribution as-is; the old null-safe
+    // (`<=>`) keys planned as (coalesce(k), isnull(k)) and re-shuffled
+    // the whole corpus exactly when the data was biggest (measured
+    // before the fix: +2 executed exchanges, both corpus-scale).
+    import graft.core.Tables
+    import org.apache.spark.sql.functions.col
+    def exchangesAt(thresh: String): (Int, String) = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", thresh)
+      try {
+        val ev = Tables.events(spark, sfDir)
+        val df = graft.operators.AsofJoin.asofJoinSliced(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+          Seq("user_id"), "ts", "click_id", 86400000000L)
+        val p = finalPlan(df)
+        (count(p, "+- Exchange "), p)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    val (bc, pBc) = exchangesAt("10MB")
+    val (nb, pNb) = exchangesAt("-1")
+    assert(pBc.contains("BroadcastHashJoin"), s"broadcast regime lost its BHJ:\n$pBc")
+    assert(pNb.contains("SortMergeJoin") && !pNb.contains("BroadcastHashJoin"),
+      s"non-broadcast regime still broadcasts:\n$pNb")
+    // broadcast regime: w1 corpus + census agg + w2 (tiny). Disabling
+    // broadcast may only add the inherited side's join shuffle (tiny)
+    assert(nb == bc + 1,
+      s"stitch without broadcast costs ${nb - bc} extra exchanges (want 1):\nbc=$bc\n$pNb")
+    // and the corpus side must NOT re-shuffle for the join: no exchange
+    // keyed on coalesced/isnull-wrapped stitch keys anywhere
+    assert(!pNb.contains("hashpartitioning(coalesce"),
+      s"the stitch re-shuffles on wrapped keys:\n$pNb")
   }
 
   test("s12 folds its per-query top-k into the native bottom-k aggregate — no window stage") {
