@@ -220,28 +220,55 @@ object AsofJoin {
     * @param sliceWidth slice width in the ts column's units — µs for
     *                   TimestampType, raw units for integral ts. Pure
     *                   parallelism knob: the widest task becomes one
-    *                   key's busiest slice. Pick ≈ (expected span) /
-    *                   (desired per-key parallelism); hot keys with
-    *                   10^8 events spread across all their slices.
+    *                   key's busiest slice. [[DerivedWidth]] (the
+    *                   default, 0) derives span / defaultParallelism
+    *                   from a two-scalar min/max census over both
+    *                   sides (the q58 grid-bounds pattern) — one
+    *                   column-pruned extra scan — so a hot key's
+    *                   timeline spreads across ~one task per core at
+    *                   ANY data span without the caller guessing;
+    *                   SkewProbe measures the derived width within
+    *                   noise of the best hand-picked width on both
+    *                   skew regimes. Pass an explicit width ≈
+    *                   (expected span) / (desired per-key parallelism)
+    *                   to override.
     */
+  /** Sentinel: derive the slice width from the data (see asofJoinSliced). */
+  val DerivedWidth: Long = 0L
+
   def asofJoinSliced(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       tsCol: String,
       rightTie: String,
-      sliceWidth: Long,
+      sliceWidth: Long = DerivedWidth,
       direction: String = "backward",
       tolerance: Option[Long] = None): DataFrame = {
-    require(sliceWidth > 0, s"sliceWidth must be positive, got $sliceWidth")
+    require(sliceWidth >= 0,
+      s"sliceWidth must be positive (or DerivedWidth = 0 to derive), got $sliceWidth")
     val p = prep(left, right, keys, tsCol, rightTie, direction)
+    val width =
+      if (sliceWidth > 0) sliceWidth
+      else {
+        // span / parallelism: ~one slice per core, so one hot key's
+        // history spreads across the whole cluster stage. Min/max of
+        // the signed axis over BOTH sides (a column-pruned scan);
+        // empty inputs fall back to one slice.
+        val spark = left.sparkSession
+        val r = p.l.select(col("__u")).unionByName(p.r.select(col("__u")))
+          .agg(min(col("__u")), max(col("__u"))).head()
+        if (r.isNullAt(0)) 1L
+        else math.max(1L,
+          (r.getLong(1) - r.getLong(0) + 1) / spark.sparkContext.defaultParallelism)
+      }
     // `div` = integral division (truncated; monotone either way, which
     // is all slicing needs) — double `/` would round at µs magnitudes.
     // `__grp` is the NON-NULLABLE struct (keys, slice) — the window
     // partition key AND the stitch join key, one expression (see the
     // stitch comment below for why that identity is load-bearing).
     val unioned = p.l.unionByName(p.r)
-      .withColumn("__slice", expr(s"__u div ${sliceWidth}L"))
+      .withColumn("__slice", expr(s"__u div ${width}L"))
       .withColumn("__grp", struct((keys :+ "__slice").map(col): _*))
 
     val w1 = Window.partitionBy(col("__grp"))

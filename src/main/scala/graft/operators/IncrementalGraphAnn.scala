@@ -329,4 +329,39 @@ object IncrementalGraphAnn {
     SegmentCompaction.vacuumedCopy(spark, inStore, outStore,
       Map("edges" -> Seq("id", "nbr"), "vectors" -> Seq("vec_id")),
       targetBytesPerFile)
+
+  /** This store's id columns per part — [[StorePolicy]]'s vacuum
+    * contract (edges die with either endpoint, vectors by vec_id).
+    */
+  val idColsByPart: Map[String, Seq[String]] =
+    Map("edges" -> Seq("id", "nbr"), "vectors" -> Seq("vec_id"))
+
+  /** [[appendBatch]] + the [[StorePolicy.maintain]] closed loop: after
+    * the segment commits, the policy reads the store's observable
+    * state and — when segment count, small-file ratio or tombstone
+    * bytes cross their thresholds — compacts or vacuums IN PLACE (the
+    * crash-recoverable copy-and-swap). This is the production append
+    * path: micro-batch dribble and delete pressure are relieved as a
+    * side effect of appending, not by an operator remembering to run
+    * the copy. Caveat inherited from the swap contract: maintenance
+    * renumbers history to batch=0, so callers must hand out FRESH
+    * batch ids after any non-NoOp return (re-delivering a pre-swap id
+    * trips the id-clash guard rather than silently no-opping — the
+    * class doc's retry exception, now on the maintenance boundary
+    * too).
+    *
+    * @return the maintenance action taken (NoOp when no threshold
+    *         crossed)
+    */
+  def appendAndMaintain(
+      batch: DataFrame,
+      stateDir: String,
+      batchId: Long,
+      k: Int,
+      beam: Int,
+      hops: Int,
+      cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
+    appendBatch(batch, stateDir, batchId, k, beam, hops)
+    StorePolicy.maintain(batch.sparkSession, stateDir, idColsByPart, cfg)
+  }
 }

@@ -113,7 +113,8 @@ object StorePolicy {
     * fresh store at `outStore` ([[SegmentCompaction.compactedCopy]] /
     * [[SegmentCompaction.vacuumedCopy]]). Returns the action taken;
     * on [[NoOp]] nothing is written. The caller swaps paths at a
-    * quiescent batch boundary.
+    * quiescent batch boundary — or calls [[maintain]], which runs
+    * this copy AND the swap as one crash-recoverable protocol.
     *
     * @param idColsByPart vacuum's id columns per part
     *                     ([[SegmentCompaction.vacuumedCopy]]'s contract)
@@ -133,5 +134,86 @@ object StorePolicy {
         SegmentCompaction.vacuumedCopy(spark, inStore, outStore, idColsByPart)
     }
     action
+  }
+
+  /** The CLOSED LOOP: decide → materialize → path-swap, in place —
+    * the maintenance hook the incremental stores call after an append
+    * (e.g. [[IncrementalGraphAnn.appendAndMaintain]]), so segment
+    * accumulation and tombstone pressure are relieved automatically
+    * instead of by an operator remembering to run the copy.
+    *
+    * Protocol (single-writer, at a QUIESCENT batch boundary — no
+    * concurrent reader or writer, SegmentCompaction's documented swap
+    * contract; assumes atomic directory rename, i.e. HDFS/local
+    * semantics):
+    *
+    *  1. [[recover]] any interrupted prior attempt (below);
+    *  2. [[maintainedCopy]] into `<stateDir>.maint` — on [[NoOp]]
+    *     nothing was written and nothing swaps;
+    *  3. swap: rename `stateDir` → `<stateDir>.old`, rename the
+    *     committed `.maint` → `stateDir`, delete `.old`.
+    *
+    * Every crash window re-converges on the next call: a crash during
+    * (2) leaves the live store untouched and an uncommitted-or-stale
+    * `.maint` that recovery deletes; between the two renames of (3)
+    * the live path is briefly absent but `.old` + a COMMITTED `.maint`
+    * uniquely identify the state and recovery completes the swap;
+    * after the second rename, recovery just deletes the leftover
+    * `.old`. Reads are identical before and after any action by
+    * SegmentCompaction's pure-function-of-row-union argument —
+    * StorePolicySpec pins the append-loop behavior, the threshold
+    * crossings, and both crash recoveries.
+    *
+    * The copy renumbers history to `batch=0`, so the writer's batch-id
+    * bookkeeping must not re-deliver pre-swap ids (the sketch faces
+    * absorb them; [[IncrementalGraphAnn]]'s id-clash guard errors —
+    * its class doc's retry exception).
+    */
+  def maintain(
+      spark: SparkSession,
+      stateDir: String,
+      idColsByPart: Map[String, Seq[String]],
+      cfg: Config = Config()): Action = {
+    val statePath = new Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val work = new Path(stateDir + ".maint")
+    val old = new Path(stateDir + ".old")
+    recover(fs, statePath, work, old)
+    val action = maintainedCopy(spark, stateDir, work.toString, idColsByPart, cfg)
+    if (action != NoOp) {
+      require(committed(fs, work, "batch=").nonEmpty,
+        s"maintenance copy at $work did not commit")
+      require(fs.rename(statePath, old), s"swap: rename $statePath -> $old failed")
+      require(fs.rename(work, statePath), s"swap: rename $work -> $statePath failed")
+      fs.delete(old, true)
+    }
+    action
+  }
+
+  /** Re-converge after a crashed [[maintain]]. Idempotent; called at
+    * every maintain entry. State is identified by which of the three
+    * dirs exist (see maintain's window analysis): a missing live dir
+    * with a committed `.maint` resumes the swap; a missing live dir
+    * with no committed `.maint` rolls `.old` back (defensive — the
+    * protocol never reaches it); otherwise leftovers are deleted.
+    */
+  private def recover(
+      fs: FileSystem, statePath: Path, work: Path, old: Path): Unit = {
+    if (fs.exists(old)) {
+      if (!fs.exists(statePath)) {
+        if (committed(fs, work, "batch=").nonEmpty) {
+          require(fs.rename(work, statePath),
+            s"recovery: rename $work -> $statePath failed")
+        } else {
+          require(fs.rename(old, statePath),
+            s"recovery: rollback $old -> $statePath failed")
+        }
+      }
+      fs.delete(old, true)
+    }
+    // a stale copy target (crashed before or during the copy, or a
+    // completed copy whose swap never started) is simply redone — the
+    // decision may differ now that more segments have landed
+    fs.delete(work, true)
   }
 }

@@ -742,7 +742,8 @@ object EventQueries {
     * touches costs a sort, not a quadratic blow-up. At 100 TB the
     * window key is the join key, so skew = per-user event count —
     * which is why this runs the SLICED two-phase form
-    * (`AsofJoin.asofJoinSliced`, 1-day slices): a bot user's history
+    * (`AsofJoin.asofJoinSliced`, derived span/parallelism slice
+    * width): a bot user's history
     * spreads across its slices instead of serializing through one
     * task. Both inputs are filters over the SAME scan and the union
     * is scan-local.
@@ -768,8 +769,7 @@ object EventQueries {
         .select($"user_id", $"ts", $"event_id".as("click_id"),
           $"value".as("click_value"))
       graft.operators.AsofJoin
-        .asofJoinSliced(purchases, clicks, Seq("user_id"), "ts", "click_id",
-          sliceWidth = 86400000000L)
+        .asofJoinSliced(purchases, clicks, Seq("user_id"), "ts", "click_id")
         .select($"event_id", $"user_id",
           $"asof.click_id".as("click_id"),
           $"asof.click_value".as("click_value"),
@@ -888,8 +888,7 @@ object EventQueries {
         .select($"user_id", $"ts", $"event_id".as("obs_id"),
           $"value".as("obs_value"))
       graft.operators.AsofJoin
-        .asofJoinSliced(grid, views, Seq("user_id"), "ts", "obs_id",
-          sliceWidth = 86400000000L)
+        .asofJoinSliced(grid, views, Seq("user_id"), "ts", "obs_id")
         .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"),
           $"asof.obs_id".as("obs_id"), $"asof.obs_value".as("obs_value"),
           expr("(unix_micros(ts) - unix_micros(asof.asof_ts)) div 3600000000")
@@ -952,8 +951,7 @@ object EventQueries {
         .select($"user_id", unix_micros($"ts").as("jts"), $"event_id",
           floor($"value" * 100 + lit(0.5)).cast("long").as("label_cents"))
       graft.operators.AsofJoin
-        .asofJoinSliced(purchases, stats, Seq("user_id"), "jts", "session_id",
-          sliceWidth = 86400000000L)
+        .asofJoinSliced(purchases, stats, Seq("user_id"), "jts", "session_id")
         .select($"event_id", $"user_id", $"label_cents",
           $"asof.feat_n_events".as("feat_n_events"),
           $"asof.feat_value_cents".as("feat_value_cents"),
@@ -1014,7 +1012,7 @@ object EventQueries {
           $"value".as("click_value"))
       graft.operators.AsofJoin
         .asofJoinSliced(purchases, clicks, Seq("user_id"), "ts", "click_id",
-          sliceWidth = 86400000000L, tolerance = Some(600000000L))
+          tolerance = Some(600000000L))
         .select($"event_id", $"user_id",
           $"asof.click_id".as("click_id"),
           $"asof.click_value".as("click_value"),
@@ -1062,7 +1060,7 @@ object EventQueries {
         .select($"user_id", $"ts", $"event_id".as("view_id"))
       graft.operators.AsofJoin
         .asofJoinSliced(errors, views, Seq("user_id"), "ts", "view_id",
-          sliceWidth = 86400000000L, direction = "forward")
+          direction = "forward")
         .select($"event_id", $"user_id",
           $"asof.view_id".as("next_view_id"),
           (unix_micros($"asof.asof_ts") - unix_micros($"ts")).as("recovery_us"))

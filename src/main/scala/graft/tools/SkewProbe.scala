@@ -82,7 +82,14 @@ object SkewProbe {
         .asofJoinSliced(purchases, clicks, Seq("user_id"), "ts", "click_id",
           sliceWidth = 86400000000L)
     }
-    require(n1 == n2, s"forms disagree on (rows, matched): $n1 vs $n2")
+    // the derived default (span / defaultParallelism, from the min/max
+    // census) — must land within noise of the best hand-picked width
+    val n3 = time("sliced_derived") {
+      graft.operators.AsofJoin
+        .asofJoinSliced(purchases, clicks, Seq("user_id"), "ts", "click_id")
+    }
+    require(n1 == n2 && n2 == n3,
+      s"forms disagree on (rows, matched): $n1 vs $n2 vs $n3")
     spark.stop()
   }
 }

@@ -80,7 +80,10 @@ class AsofJoinPropertySpec extends SparkSpec {
       val single = run(AsofJoin.asofJoin(l, r, Seq("k"), "ts", "tie"))
       Seq(1L, 3L, 100L).forall { w =>
         run(AsofJoin.asofJoinSliced(l, r, Seq("k"), "ts", "tie", w)) == single
-      }
+      } &&
+        // the DERIVED default (span/parallelism census) is just another
+        // width — row-identity must hold for it too
+        run(AsofJoin.asofJoinSliced(l, r, Seq("k"), "ts", "tie")) == single
     }, minTests = 8)
   }
 
