@@ -925,14 +925,15 @@ object SimilarityQueries {
       val stats = spread.agg(
         count(lit(1)).as("n_docs"),
         sum(exprs.term_freqs($"text").getField("dl")).as("s_tok"))
-      // The query-term table comes from the FILTERED raw docs, not
-      // from the corpus-wide cache: the 1-in-97 filter reaches the
-      // scan, so this branch is corpus/97-sized work; kernel freqs are
-      // per-doc unique, so no distinct is needed
-      val qt = docs.filter($"doc_id" % 97 === 0)
-        .select($"doc_id".as("query_id"),
-          explode(exprs.term_freqs($"text").getField("freqs")).as("f"))
-        .select($"query_id", $"f.term".as("term"))
+      // The query-term table is DERIVED from the posting frame (a
+      // 1-in-97 filter after the shared spread exchange): the third
+      // kernel evaluation the old raw-scan branch paid is gone, and
+      // qt's stage reads the exchange the census is reading anyway —
+      // it finishes inside the census's window, so the broadcast
+      // build leaves the critical path. Kernel freqs are per-doc
+      // unique, so no distinct is needed.
+      val qt = tf.filter($"doc_id" % 97 === 0)
+        .select($"doc_id".as("query_id"), $"term")
       // Scoring (df census restricted to query vocabulary hence
       // broadcastable, integer-micro contributions via floor — no
       // per-row BigDecimal, bigint sums, integer 4-dp half-up,
