@@ -316,6 +316,31 @@ object IncrementalGraphAnn {
       .filter(col("rank") <= k)
   }
 
+  /** [[searchTopK]] for a CORPUS-SCALE query batch —
+    * [[NnDescent.beamSearchDistributed]] over the maintained store:
+    * queries stay a DataFrame, so a multi-billion-row batch probes the
+    * index with no driver state scaling in |Q| (the graph-based
+    * decontamination / semdedup read d17 runs against the in-session
+    * graph, here against the durable one). Same snapshot (`belowBatch`)
+    * and tombstone semantics as the driver face; `entries` is the
+    * DataFrame form ((q_id, node), every query covered).
+    */
+  def searchTopKDistributed(
+      spark: SparkSession,
+      stateDir: String,
+      queries: DataFrame,
+      k: Int,
+      beam: Int,
+      hops: Int,
+      belowBatch: Long = Long.MaxValue,
+      entries: Option[DataFrame] = None): DataFrame = {
+    val del = Tombstones.deletedIds(spark, stateDir)
+    NnDescent.beamSearchDistributed(
+      graphFrom(spark, stateDir, k, belowBatch, del).select(col("id"), col("nbr")),
+      vectorsFrom(spark, stateDir, belowBatch, del), queries, beam, hops, entries)
+      .filter(col("rank") <= k)
+  }
+
   /** Physical delete for this face: [[SegmentCompaction.vacuumedCopy]]
     * with the graph store's id columns — vectors die by `vec_id`,
     * edges with EITHER endpoint. The fresh store serves identically

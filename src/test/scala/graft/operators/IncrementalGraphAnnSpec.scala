@@ -181,4 +181,29 @@ class IncrementalGraphAnnSpec extends SparkSpec {
     assert(inc >= batch - 0.15, s"incremental recall $inc collapsed vs batch $batch")
     assert(inc >= 0.60, s"incremental recall $inc below absolute floor")
   }
+
+  test("the DISTRIBUTED probe face over the maintained store == the driver face, " +
+    "including through tombstones") {
+    val dir = freshDir()
+    buildIncremental(dir)
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def rows(df: DataFrame): Set[String] = df.collect().map(_.toString).toSet
+    assert(
+      rows(IncrementalGraphAnn.searchTopKDistributed(spark, dir, q, K, Beam, Hops)) ==
+        rows(IncrementalGraphAnn.searchTopK(spark, dir, q, K, Beam, Hops)),
+      "distributed != driver over the committed store")
+    // erase a handful of ids: both faces must agree on the store minus
+    // the tombstoned rows (deletes pierce the graph and the vectors)
+    val victims = IncrementalGraphAnn.searchTopK(spark, dir, q, 3, Beam, Hops)
+      .filter(col("node") >= NQ).limit(4)
+      .collect().map(_.getLong(1)).distinct.toSeq
+    assert(victims.nonEmpty, "fixture degenerate: no victims to tombstone")
+    Tombstones.append(spark, dir, 1L, victims)
+    val drv = rows(IncrementalGraphAnn.searchTopK(spark, dir, q, K, Beam, Hops))
+    val dst = rows(IncrementalGraphAnn.searchTopKDistributed(spark, dir, q, K, Beam, Hops))
+    assert(dst == drv, "distributed != driver after tombstones")
+    assert(!victims.exists(v => drv.exists(_.contains(s",$v,"))),
+      "a tombstoned id survived in search results")
+  }
 }
