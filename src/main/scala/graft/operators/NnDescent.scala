@@ -350,6 +350,42 @@ object NnDescent {
     * `queries` (q_id, q_emb). Returns (q_id, node, sim_micro, rank) —
     * the driver face's schema; callers truncate rank to their k.
     */
+  /** IVF-seeded entries for [[beamSearchDistributed]], derived IN-PLAN:
+    * per query, the `probes` nearest coarse-centroid NODES by rounded
+    * cosine — s20's entry recipe (the HNSW-coarse-layer effect), but
+    * computed distributively so a corpus-scale query batch seeds
+    * without driver math. Centroids (model-sized, the dense first-N
+    * vec_ids by the s02 convention) ride one broadcast; scoring is
+    * |Q| × |cents| kernel rows through a partial-aggregating bottom-k
+    * on (−sim, c_id) — round-6 micro scores and the id tie-break, the
+    * exact `probeBefore` order (zero-norm centroids score NULL and
+    * drop, probeBefore's nulls-last). Returns (q_id, node) — union it
+    * with a sample-entry cross join for s20's coverage mix.
+    */
+  def ivfEntries(
+      queries: DataFrame,
+      cents: Array[Array[Float]],
+      probes: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(probes >= 1 && probes <= cents.length,
+      s"probes must be in [1, ${cents.length}], got $probes")
+    val centsDf = cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("node", "c_emb")
+    queries.select(col("q_id"), col("q_emb"))
+      .crossJoin(broadcast(centsDf))
+      .select(col("q_id"), col("node"),
+        floor(round(cosineSimilarity(col("q_emb"), col("c_emb")), 6)
+          * lit(1000000.0) + lit(0.5)).cast("long").as("sim_micro"))
+      .filter(col("sim_micro").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.BottomKPairsAgg.bottomKPairs(
+        -col("sim_micro"), col("node").cast("double"), probes).as("top"))
+      .select(col("q_id"), explode(col("top")).as("p"))
+      .select(col("q_id"), col("p.v").cast("long").as("node"))
+  }
+
   def beamSearchDistributed(
       graph: DataFrame,
       emb: DataFrame,

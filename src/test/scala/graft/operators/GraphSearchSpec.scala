@@ -207,6 +207,36 @@ class GraphSearchSpec extends SparkSpec {
     assert(dstE == drvE, "distributed != driver under explicit entries")
   }
 
+  test("in-plan IVF entries == the driver derivation, and the fully-distributed " +
+    "mixed-entry search == the driver face") {
+    val vecs = realEmb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = (0L until 16L).map(vecs).toArray
+    val q = realEmb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = NnDescent.ivfEntries(q, cents, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = ivfEntriesOf(vecs, NQ, 16, 8).map { case (k, v) => k -> v.toSet }
+    assert(got == want, s"in-plan IVF entries diverge from the driver recipe")
+    // end-to-end: distributed search seeded by (in-plan IVF ∪ sample)
+    // equals the driver face under the equivalent mixed entry map —
+    // the s20 recipe with ZERO driver math on the query side
+    import spark.implicits._
+    val sampleDf = defaultEntriesOf(vecs.keys.toSeq).toDF("node")
+    val entriesDf = NnDescent.ivfEntries(q, cents, 8)
+      .unionByName(q.select(col("q_id")).crossJoin(broadcast(sampleDf)))
+    val mixed = ivfEntriesOf(vecs, NQ, 16, 8)
+      .map { case (qid, es) => qid -> (es ++ defaultEntriesOf(vecs.keys.toSeq)).distinct }
+    def rowsOf(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(
+      rowsOf(NnDescent.beamSearchDistributed(realGraph, realEmb, q, 2 * K, 2,
+        Some(entriesDf))) ==
+        rowsOf(NnDescent.beamSearch(realGraph, realEmb, q, 2 * K, 2, Some(mixed))),
+      "fully-distributed mixed-entry search != driver face")
+  }
+
   test("the distributed face plans id-keyed equi-joins only: no nested-loop or " +
     "cartesian anywhere, and the per-hop shuffle count stays linear") {
     val q = realEmb.filter(col("vec_id") < NQ)
