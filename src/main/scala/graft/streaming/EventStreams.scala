@@ -675,21 +675,43 @@ object EventStreams {
       val (ready, holdL) = lefts.partition(p => horizonMs(p) < wm)
       // every right a ready left can match has already arrived (backward:
       // rights ≤ t are inside the watermark; forward: rights ≤ t + tol
-      // are, by the same horizon argument) — so matching is a pure scan
-      // of anchor ∪ buffer, no replay interleave needed
-      val cands = st.anchor.toSeq ++ rights
-      val out = ready.sortBy(p => (p.us, p.event_id)).map { p =>
-        val best =
-          if (forward)
-            cands.filter(r => r.us >= p.us && r.us - p.us <= tolUs.get)
-              .sortBy(r => (r.us, -r.event_id)).headOption
-          else
-            cands.filter(r => r.us <= p.us && tolUs.forall(p.us - r.us <= _))
-              .sortBy(r => (-r.us, -r.event_id)).headOption
-        AsofJoinedRow(userId, p.event_id, best.map(_.event_id),
-          best.map(_.value),
-          best.map(r => if (forward) r.us - p.us else p.us - r.us))
-      }
+      // are, by the same horizon argument) — so matching is a MERGE
+      // SWEEP over anchor ∪ buffer: both sides sorted once, one
+      // monotone pointer, O((L+R) log(L+R)) per flush instead of the
+      // naive L×R scan (which bites on exactly the burst user whose
+      // history the batch side slices — a bot delivering 10^5 events
+      // in one micro-batch would pay 10^10 comparisons). The pick is
+      // closed-form at the pointer: backward's best is the LAST
+      // candidate ≤ t in (ts, id) order (max ts, then max id — the
+      // window's tie rule) and anything earlier only has a larger gap,
+      // so the tolerance check needs only that one candidate; forward
+      // symmetrically takes the FIRST candidate ≥ t in (ts, −id) order.
+      val sortedL = ready.sortBy(p => (p.us, p.event_id))
+      val cands = (st.anchor.toSeq ++ rights).toIndexedSeq
+      val out =
+        if (forward) {
+          val arr = cands.sortBy(r => (r.us, -r.event_id))
+          var i = 0
+          sortedL.map { p =>
+            while (i < arr.length && arr(i).us < p.us) i += 1
+            val best =
+              if (i < arr.length && arr(i).us - p.us <= tolUs.get) Some(arr(i))
+              else None
+            AsofJoinedRow(userId, p.event_id, best.map(_.event_id),
+              best.map(_.value), best.map(_.us - p.us))
+          }
+        } else {
+          val arr = cands.sortBy(r => (r.us, r.event_id))
+          var j = -1
+          sortedL.map { p =>
+            while (j + 1 < arr.length && arr(j + 1).us <= p.us) j += 1
+            val best =
+              if (j >= 0 && tolUs.forall(p.us - arr(j).us <= _)) Some(arr(j))
+              else None
+            AsofJoinedRow(userId, p.event_id, best.map(_.event_id),
+              best.map(_.value), best.map(p.us - _.us))
+          }
+        }
       val (anchor, keepR) =
         if (forward) {
           // keep a right iff some remaining left (buffered, or a future
