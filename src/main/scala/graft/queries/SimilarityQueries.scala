@@ -1872,9 +1872,11 @@ object SimilarityQueries {
     * serves every consumer — the reason the index exists).
     *
     * Determinism: the searched graph IS s19's (identical CTE chain),
-    * entries the operator's md5-ordered id sample, integer-micro
-    * scores, id tie-breaks; each hop replays as a MATERIALIZED CTE and
-    * the argmax-bench join mirrors d15's oracle algebra.
+    * entries the s20 mix — in-plan IVF probes ([[NnDescent.ivfEntries]]
+    * — distributed, so the recipe survives a billion-row benchmark)
+    * ∪ the md5-ordered id sample — integer-micro scores, id
+    * tie-breaks; each hop replays as a MATERIALIZED CTE and the
+    * argmax-bench join mirrors d15's oracle algebra.
     */
   val d17GraphDecontaminate = Q(
     "d17_graph_decontaminate",
@@ -1886,9 +1888,20 @@ object SimilarityQueries {
           .knnGraph(e, "vec_id", "embedding", NnK, NnRounds))
       val bench = e.filter($"vec_id" % 20 === 0)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      // s20's mixed entry recipe, FULLY distributed: in-plan IVF
+      // probes (the coarse layer aims each benchmark item at its
+      // region) ∪ the operator's md5-ordered id sample (coverage) —
+      // zero driver math on the corpus-scale query side
+      val sample = graft.operators.NnDescent.sampleEntryIds(
+        e.select($"vec_id", $"embedding"), BeamWidth)
+      val entries = graft.operators.NnDescent
+        .ivfEntries(bench, centroidArray(s, dir), EntryProbes)
+        .unionByName(bench.select($"q_id")
+          .crossJoin(broadcast(sample.toDF("node"))))
       val hits = graft.operators.NnDescent
         .beamSearchDistributed(g.select($"id", $"nbr"),
-          e.select($"vec_id", $"embedding"), bench, BeamWidth, BeamHops)
+          e.select($"vec_id", $"embedding"), bench, BeamWidth, BeamHops,
+          Some(entries))
         .filter($"node" % 20 =!= 0 && $"sim_micro" >= DecontamTauMicro)
         .select($"q_id", $"node", $"sim_micro")
       val agg = hits.groupBy($"node")
@@ -1905,7 +1918,19 @@ object SimilarityQueries {
       qv AS MATERIALIZED (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 20 = 0),
       $sampleEntriesSql,
+      cents_b AS (
+        SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < $NCENTROIDS),
+      probes_b AS (
+        SELECT q_id, c_id AS node FROM (
+          SELECT q.q_id, c.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${cosSql("q.q_emb", "c.c_emb")} DESC, c.c_id ASC) AS prn
+          FROM qv q, cents_b c)
+        WHERE prn <= $EntryProbes),
       beam0 AS MATERIALIZED (
+        SELECT q_id, node FROM probes_b
+        UNION
         SELECT q.q_id, s.node FROM qv q, samp s),${beamChainSql(BeamHops, BeamWidth)},
       hits AS MATERIALIZED (
         SELECT q_id, node, sim_micro FROM beam$BeamHops

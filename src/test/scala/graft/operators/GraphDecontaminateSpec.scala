@@ -54,11 +54,12 @@ class GraphDecontaminateSpec extends SparkSpec {
     // cluster structure to navigate — the same regime where d16's IVF
     // measures 0.76 at nprobe 8/16); the flag-recall measured here is
     // the fraction of d15's exhaustively-flagged vectors the hop-3
-    // beam reaches: 0.93 (67/72) on the sf0.001 fixture — the walk
-    // BEATS the IVF screen because a ≥ τ pair is far out in this
-    // corpus's similarity tail, exactly what a top-beam walk chases.
-    // Floor carries slack for testdata regeneration but trips on a
-    // broken expansion.
+    // beam reaches: 0.958 (69/72) on the sf0.001 fixture with the s20
+    // mixed entries (in-plan IVF ∪ sample; sample-only measured 0.93)
+    // — the walk BEATS the IVF screen because a ≥ τ pair is far out in
+    // this corpus's similarity tail, exactly what a top-beam walk
+    // chases. Floor carries slack for testdata regeneration but trips
+    // on a broken expansion or entry seeding.
     val recall = graph.keySet.intersect(exact.keySet).size.toDouble / exact.size
     info(s"graph-probe flag recall vs exact: $recall " +
       s"(${graph.size} of ${exact.size} flagged)")
