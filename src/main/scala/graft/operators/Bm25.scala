@@ -121,11 +121,11 @@ object Bm25 {
       // only k-sized heaps per query per partition, where the old
       // pair-agg → row_number window shape exchanged EVERY scored
       // (query, doc) pair and then paid a sort + window stage (r12's
-      // one remaining perf barrier). doc_id rides as the double
-      // payload (exact to 2^53).
+      // one remaining perf barrier). doc_id rides as the LONG payload
+      // (bit-exact for arbitrary 64-bit ids).
       .groupBy(col("query_id"))
-      .agg(graft.functions.BottomKPairsAgg.bottomKPairs(
-        -col("score_i"), col("doc_id").cast("double"), k).as("top"))
+      .agg(graft.functions.BottomKPairsAgg.bottomKIdPairs(
+        -col("score_i"), col("doc_id"), k).as("top"))
       // eval() returns the pairs already sorted by (h asc, v asc) =
       // (score desc, doc_id asc) — rank is the array position
       .select(col("query_id"), posexplode(col("top")))

@@ -187,4 +187,37 @@ object IncrementalAnn {
       codes, idCol, "c_id", probes, queries, qIdCol, qVecCol, model.cb, topK)
   }
 
+  /** This store's [[StorePolicy.Layout]]: the single `codes` part
+    * commits with its parquet marker (`codes/_SUCCESS`); vacuum drops
+    * rows by the caller's id column (freeing the ids for
+    * re-insertion); and codes are PHYSICALLY cell-partitioned — the
+    * layout says so, so the maintained copy re-writes `c_id=`
+    * directories and probe-side partition pruning survives
+    * compaction. The frozen `model/` dir is store-level aux state the
+    * swap carries automatically.
+    */
+  def layout(idCol: String = "vec_id"): StorePolicy.Layout = StorePolicy.Layout(
+    commitMarker = "codes/_SUCCESS",
+    idColsByPart = Map("codes" -> Seq(idCol)),
+    partitionColsByPart = Map("codes" -> Seq("c_id")))
+
+  /** [[appendBatch]] + the [[StorePolicy.maintain]] closed loop (the
+    * [[IncrementalGraphAnn.appendAndMaintain]] precedent): segment
+    * dribble and tombstone pressure are relieved as a side effect of
+    * appending. Maintenance renumbers history to batch=0 — callers
+    * must hand out fresh batch ids after a non-NoOp return (a
+    * re-delivered pre-swap id would duplicate its vectors in the
+    * store; the codes are deterministic, but top-k would then surface
+    * duplicate ids).
+    */
+  def appendAndMaintain(
+      newVecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      indexDir: String,
+      batchId: Long,
+      cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
+    appendBatch(newVecs, vecCol, idCol, indexDir, batchId)
+    StorePolicy.maintain(newVecs.sparkSession, indexDir, layout(idCol), cfg)
+  }
 }

@@ -152,4 +152,31 @@ object IncrementalClusters {
       onClusters(clusters(batch.sparkSession, stateDir), batchId)
     }
   }
+
+  /** Multi-part segments (sigs, then edges) committed by the
+    * LAST-WRITTEN part's parquet marker — hence `edges/_SUCCESS` is
+    * the commit signal [[StorePolicy]] watches. No tombstones, so
+    * vacuum never fires.
+    */
+  val layout: StorePolicy.Layout =
+    StorePolicy.Layout(commitMarker = "edges/_SUCCESS")
+
+  /** [[appendBatch]] + the [[StorePolicy.maintain]] closed loop (the
+    * [[IncrementalGraphAnn.appendAndMaintain]] precedent). Maintenance
+    * renumbers history to batch=0 — callers must hand out fresh batch
+    * ids after a non-NoOp return (a re-delivered pre-swap id would
+    * re-append sigs/edges rows; reads dedup both, but the store would
+    * carry the duplicates until the next fold).
+    */
+  def appendAndMaintain(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      threshold: Double = 0.5,
+      batchId: Option[Long] = None,
+      cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
+    appendBatch(newDocs, idCol, textCol, stateDir, threshold, batchId)
+    StorePolicy.maintain(newDocs.sparkSession, stateDir, layout, cfg)
+  }
 }

@@ -120,4 +120,30 @@ object IncrementalDsir {
       .agg(count(lit(1)).as("n_feats"),
         round(sum(col("lr")), 4).as("log_ratio"))
   }
+
+  /** Multi-part segments (census/feats) committed by a segment-level
+    * marker written LAST — [[StorePolicy]]'s default layout (no
+    * tombstones, so vacuum never fires).
+    */
+  val layout: StorePolicy.Layout = StorePolicy.Layout()
+
+  /** [[appendBatch]] + the [[StorePolicy.maintain]] closed loop (the
+    * [[IncrementalGraphAnn.appendAndMaintain]] precedent). Maintenance
+    * renumbers history to batch=0, and THIS face's census sums are NOT
+    * re-delivery-idempotent across that boundary — callers MUST hand
+    * out fresh batch ids after a non-NoOp return (the swap-contract
+    * caveat, load-bearing here).
+    */
+  def appendAndMaintain(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTargetCol: String,
+      stateDir: String,
+      batchId: Long,
+      buckets: Int = Dsir.DefaultBuckets,
+      cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
+    appendBatch(newDocs, idCol, textCol, isTargetCol, stateDir, batchId, buckets)
+    StorePolicy.maintain(newDocs.sparkSession, stateDir, layout, cfg)
+  }
 }

@@ -203,8 +203,8 @@ object IncrementalGraphAnn {
       .dropDuplicates("id", "nbr", "sim_micro")
     undirected
       .groupBy(col("id"))
-      .agg(graft.functions.BottomKPairsAgg.bottomKPairs(
-        -col("sim_micro"), col("nbr").cast("double"), k).as("top"))
+      .agg(graft.functions.BottomKPairsAgg.bottomKIdPairs(
+        -col("sim_micro"), col("nbr"), k).as("top"))
       .select(col("id"), posexplode(col("top")))
       .select(col("id"), col("col.v").cast("long").as("nbr"),
         (-col("col.h")).as("sim_micro"), (col("pos") + 1).cast("int").as("rank"))
@@ -361,6 +361,11 @@ object IncrementalGraphAnn {
   val idColsByPart: Map[String, Seq[String]] =
     Map("edges" -> Seq("id", "nbr"), "vectors" -> Seq("vec_id"))
 
+  /** This store's [[StorePolicy.Layout]]: segment-level marker
+    * (written LAST by [[writeSegment]]), the vacuum contract above.
+    */
+  val layout: StorePolicy.Layout = StorePolicy.Layout(idColsByPart = idColsByPart)
+
   /** [[appendBatch]] + the [[StorePolicy.maintain]] closed loop: after
     * the segment commits, the policy reads the store's observable
     * state and — when segment count, small-file ratio or tombstone
@@ -387,6 +392,6 @@ object IncrementalGraphAnn {
       hops: Int,
       cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
     appendBatch(batch, stateDir, batchId, k, beam, hops)
-    StorePolicy.maintain(batch.sparkSession, stateDir, idColsByPart, cfg)
+    StorePolicy.maintain(batch.sparkSession, stateDir, layout, cfg)
   }
 }

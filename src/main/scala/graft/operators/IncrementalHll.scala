@@ -90,4 +90,27 @@ object IncrementalHll {
     */
   def estimate(spark: SparkSession, stateDir: String): DataFrame =
     HllSketch.estimateFromRegisters(mergedRegisters(spark, stateDir), "g")
+
+  /** Flat segment store, Spark's own segment marker — [[StorePolicy]]'s
+    * default layout (no tombstones, so vacuum never fires).
+    */
+  val layout: StorePolicy.Layout = StorePolicy.Layout()
+
+  /** [[appendBatch]] + the [[StorePolicy.maintain]] closed loop (the
+    * [[IncrementalGraphAnn.appendAndMaintain]] precedent): micro-batch
+    * segment dribble is compacted as a side effect of appending.
+    * Maintenance renumbers history to batch=0; callers should hand out
+    * fresh ids after a non-NoOp return, though for THIS face even a
+    * re-delivered pre-swap id is absorbed by the max-merge algebra.
+    */
+  def appendAndMaintain(
+      batch: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      stateDir: String,
+      batchId: Long,
+      cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
+    appendBatch(batch, groupCol, valueCol, stateDir, batchId)
+    StorePolicy.maintain(batch.sparkSession, stateDir, layout, cfg)
+  }
 }

@@ -153,4 +153,33 @@ object IncrementalIndex {
       count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
     Bm25.scoreTopK(tf, qt, stats, k)
   }
+
+  /** This store's [[StorePolicy.Layout]]: parts commit with per-part
+    * parquet markers, postings written LAST — so `postings/_SUCCESS`
+    * is the segment's commit signal; both parts die by doc_id under
+    * vacuum (which ends the tombstone filter cost AND frees deleted
+    * doc_ids for re-insertion).
+    */
+  val layout: StorePolicy.Layout = StorePolicy.Layout(
+    commitMarker = "postings/_SUCCESS",
+    idColsByPart = Map("docs" -> Seq("doc_id"), "postings" -> Seq("doc_id")))
+
+  /** [[appendBatch]] + the [[StorePolicy.maintain]] closed loop (the
+    * [[IncrementalGraphAnn.appendAndMaintain]] precedent): segment
+    * dribble and tombstone pressure are relieved as a side effect of
+    * appending. Maintenance renumbers history to batch=0 — callers
+    * must hand out fresh batch ids after a non-NoOp return (a
+    * re-delivered pre-swap id would re-append its postings and skew
+    * df/n_docs until the next fold).
+    */
+  def appendAndMaintain(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      batchId: Long,
+      cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
+    appendBatch(newDocs, idCol, textCol, indexDir, batchId)
+    StorePolicy.maintain(newDocs.sparkSession, indexDir, layout, cfg)
+  }
 }

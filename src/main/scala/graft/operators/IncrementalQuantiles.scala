@@ -112,4 +112,28 @@ object IncrementalQuantiles {
       outCol: String = "est_q",
       k: Int = SampleQuantiles.DefaultK): DataFrame =
     SampleQuantiles.estimateFromSample(mergedSample(spark, stateDir, k), ps, outCol)
+
+  /** Flat segment store, Spark's own segment marker — [[StorePolicy]]'s
+    * default layout (no tombstones, so vacuum never fires).
+    */
+  val layout: StorePolicy.Layout = StorePolicy.Layout()
+
+  /** [[appendBatch]] + the [[StorePolicy.maintain]] closed loop (the
+    * [[IncrementalGraphAnn.appendAndMaintain]] precedent). Maintenance
+    * renumbers history to batch=0; callers should hand out fresh ids
+    * after a non-NoOp return, though for THIS face even a re-delivered
+    * pre-swap id is absorbed by the KMV set-dedup + re-bottom-k merge.
+    */
+  def appendAndMaintain(
+      batch: DataFrame,
+      gCol: Column,
+      vCol: Column,
+      keyCol: Column,
+      stateDir: String,
+      batchId: Long,
+      k: Int = SampleQuantiles.DefaultK,
+      cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
+    appendBatch(batch, gCol, vCol, keyCol, stateDir, batchId, k)
+    StorePolicy.maintain(batch.sparkSession, stateDir, layout, cfg)
+  }
 }

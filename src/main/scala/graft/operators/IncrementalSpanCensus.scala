@@ -146,4 +146,29 @@ object IncrementalSpanCensus {
       .select(col(idCol))
     docs.join(stats, Seq(idCol), "left_semi")
   }
+
+  /** Single-part segments committed by the census part's parquet
+    * marker — `census/_SUCCESS` is the commit signal [[StorePolicy]]
+    * watches. No tombstones, so vacuum never fires.
+    */
+  val layout: StorePolicy.Layout =
+    StorePolicy.Layout(commitMarker = "census/_SUCCESS")
+
+  /** [[appendBatch]] + the [[StorePolicy.maintain]] closed loop (the
+    * [[IncrementalGraphAnn.appendAndMaintain]] precedent). Maintenance
+    * renumbers history to batch=0, and THIS face's census counts are
+    * NOT re-delivery-idempotent across that boundary — callers MUST
+    * hand out fresh batch ids after a non-NoOp return.
+    */
+  def appendAndMaintain(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      censusDir: String,
+      batchId: Long,
+      n: Int = 5,
+      cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
+    appendBatch(newDocs, idCol, textCol, censusDir, batchId, n)
+    StorePolicy.maintain(newDocs.sparkSession, censusDir, layout, cfg)
+  }
 }

@@ -51,28 +51,33 @@ object NnDescent {
     * construction, and a stride collision (two j with the same s_j)
     * just yields a duplicate edge that the candidate UNION dedups on
     * both engines. `ids` must carry a single long `id` column; the
-    * 1-row `nRow` frame (columns `n`, `mn`, `mx`) rides as a broadcast
-    * so the plan stays one action (the X10 pattern).
+    * 1-row `nRow` frame (columns `n`, `mn`, `mx`, `nd`) rides as a
+    * broadcast so the plan stays one action (the X10 pattern).
     *
     * DENSE-ID CONTRACT: the (id + stride) mod n arithmetic only lands
     * on real nodes when ids are exactly 0..n-1 — a sparse id space
     * (a vacuumed [[IncrementalGraphAnn]] store, non-contiguous
     * appends) would silently seed edges to nonexistent nodes, which
     * the embedding-fetch joins then drop, starving the init graph.
-    * The census carries min/max so the contract is ENFORCED in-plan
-    * (`assert_true`, zero extra actions): a sparse build fails loudly
-    * at execution instead of converging on a crippled seed. Sparse
-    * corpora reach a graph through [[IncrementalGraphAnn]]'s insertion
-    * path, or by ranking ids densely before the build.
+    * The census carries min/max/distinct-count so the contract is
+    * ENFORCED in-plan (`assert_true`, zero extra actions): mn = 0,
+    * mx = n−1 AND nd = n is exactly equivalent to ids being the set
+    * 0..n−1 (n distinct values bounded by [0, n−1] leave no room for
+    * a duplicate masking an interior gap — the {0,2,2} corpus the
+    * min/max-only guard waved through). A sparse or duplicated build
+    * fails loudly at execution instead of converging on a crippled
+    * seed. Sparse corpora reach a graph through
+    * [[IncrementalGraphAnn]]'s insertion path, or by ranking ids
+    * densely before the build.
     */
   def initNeighbors(ids: DataFrame, nRow: DataFrame, k: Int): DataFrame =
     ids.crossJoin(broadcast(nRow))
       .select(col("id"), explode(expr(s"sequence(1, $k)")).as("j"),
-        col("n"), col("mn"), col("mx"))
+        col("n"), col("mn"), col("mx"), col("nd"))
       .select(col("id"), expr(
         """(id + 1 + (cast(conv(substring(md5(concat('s19:', cast(j as string))), 1, 8), 16, 10) as bigint)
           |  % (n - 1))) % n
-          | + ifnull(cast(assert_true(mn = 0 and mx = n - 1,
+          | + ifnull(cast(assert_true(mn = 0 and mx = n - 1 and nd = n,
           |     'NnDescent.initNeighbors requires DENSE ids 0..n-1; sparse stores build via IncrementalGraphAnn or rank ids first') as bigint), 0)""".stripMargin).as("nbr"))
 
   /** One refinement round: candidates = current ∪ reversed ∪ 2-hop
@@ -100,8 +105,8 @@ object NnDescent {
       .filter(col("sim_micro").isNotNull)
     scored
       .groupBy(col("id"))
-      .agg(graft.functions.BottomKPairsAgg.bottomKPairs(
-        -col("sim_micro"), col("cand").cast("double"), k).as("top"))
+      .agg(graft.functions.BottomKPairsAgg.bottomKIdPairs(
+        -col("sim_micro"), col("cand"), k).as("top"))
       .select(col("id"), posexplode(col("top")))
       .select(col("id"), col("col.v").cast("long").as("nbr"),
         (-col("col.h")).as("sim_micro"), (col("pos") + 1).cast("int").as("rank"))
@@ -115,7 +120,8 @@ object NnDescent {
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val ids = e.select(col("vec_id").as("id"))
     val nRow = e.agg(count(lit(1)).as("n"),
-      min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx"))
+      min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx"),
+      countDistinct(col("vec_id")).as("nd"))
     var g = initNeighbors(ids, nRow, k)
     (1 to rounds).foreach { _ =>
       g = refineRound(g.select(col("id"), col("nbr")), e, k)
@@ -380,8 +386,8 @@ object NnDescent {
           * lit(1000000.0) + lit(0.5)).cast("long").as("sim_micro"))
       .filter(col("sim_micro").isNotNull)
       .groupBy(col("q_id"))
-      .agg(graft.functions.BottomKPairsAgg.bottomKPairs(
-        -col("sim_micro"), col("node").cast("double"), probes).as("top"))
+      .agg(graft.functions.BottomKPairsAgg.bottomKIdPairs(
+        -col("sim_micro"), col("node"), probes).as("top"))
       .select(col("q_id"), explode(col("top")).as("p"))
       .select(col("q_id"), col("p.v").cast("long").as("node"))
   }
@@ -424,8 +430,8 @@ object NnDescent {
       .dropDuplicates("q_id", "node")
       .groupBy(col("q_id"))
       .agg(first(col("q_emb")).as("q_emb"),
-        graft.functions.BottomKPairsAgg.bottomKPairs(
-          -col("sim_micro"), col("node").cast("double"), beam).as("top"))
+        graft.functions.BottomKPairsAgg.bottomKIdPairs(
+          -col("sim_micro"), col("node"), beam).as("top"))
       .select(col("q_id"), col("q_emb"), posexplode(col("top")))
       .select(col("q_id"), col("q_emb"), col("col.v").cast("long").as("node"),
         (-col("col.h")).as("sim_micro"), (col("pos") + 1).cast("int").as("rank"))

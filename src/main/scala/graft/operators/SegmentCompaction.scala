@@ -46,14 +46,46 @@ import org.apache.spark.sql.SparkSession
   */
 object SegmentCompaction {
 
-  private def committedBatches(fs: FileSystem, statePath: Path): Seq[(Long, Path)] =
+  private def committedBatches(
+      fs: FileSystem, statePath: Path,
+      marker: String = "_SUCCESS"): Seq[(Long, Path)] =
     if (!fs.exists(statePath)) Seq.empty
     else fs.listStatus(statePath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .flatMap(st =>
         scala.util.Try(st.getPath.getName.stripPrefix("batch=").toLong)
           .toOption.map(id => (id, st.getPath)))
-      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      .filter { case (_, p) => fs.exists(new Path(p, marker)) }
+
+  /** Union-read one part across segments and write it into the output
+    * segment, preserving any physical partitioning the layout declares
+    * for it (per-dir basePath reads — a naive multi-path read trips
+    * partition discovery over the `batch=` parents — and a
+    * repartition BY the partition columns so the fold doesn't explode
+    * into files-per-task-per-partition-value).
+    */
+  private def copyPart(
+      spark: SparkSession,
+      fs: FileSystem,
+      dirs: Seq[Path],
+      out: Path,
+      partCols: Seq[String],
+      targetBytesPerFile: Long,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val n = sizedPartitions(fs, dirs, targetBytesPerFile)
+    if (partCols.isEmpty) {
+      transform(spark.read.parquet(dirs.map(_.toString): _*))
+        .repartition(n)
+        .write.parquet(out.toString)
+    } else {
+      import org.apache.spark.sql.functions.col
+      transform(dirs
+        .map(d => spark.read.option("basePath", d.toString).parquet(d.toString))
+        .reduce(_.unionByName(_)))
+        .repartition(n, partCols.map(col): _*)
+        .write.partitionBy(partCols: _*).parquet(out.toString)
+    }
+  }
 
   private def partsOf(fs: FileSystem, seg: Path): Seq[String] =
     fs.listStatus(seg).toSeq
@@ -76,10 +108,11 @@ object SegmentCompaction {
       spark: SparkSession,
       inStore: String,
       outStore: String,
-      targetBytesPerFile: Long = 128L * 1024 * 1024): Int = {
+      targetBytesPerFile: Long = 128L * 1024 * 1024,
+      layout: StorePolicy.Layout = StorePolicy.Layout()): Int = {
     val inPath = new Path(inStore)
     val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = committedBatches(fs, inPath)
+    val segs = committedBatches(fs, inPath, layout.commitMarker)
     require(segs.nonEmpty, s"no committed batches under $inStore")
     val outPath = new Path(outStore)
     // gate on committed BATCHES only: a crash between the tombstone
@@ -104,17 +137,16 @@ object SegmentCompaction {
     val parts = partsOf(fs, segs.head._2)
     if (parts.isEmpty) {
       // flat segments: Spark's own _SUCCESS commits the copy
-      val dirs = segs.map(_._2)
-      spark.read.parquet(dirs.map(_.toString): _*)
-        .repartition(sizedPartitions(fs, dirs, targetBytesPerFile))
-        .write.parquet(outSeg.toString)
+      copyPart(spark, fs, segs.map(_._2), outSeg,
+        layout.partitionColsByPart.getOrElse("", Nil),
+        targetBytesPerFile, identity)
     } else {
       parts.foreach { part =>
         val dirs = segs.map { case (_, p) => new Path(p, part) }
           .filter(fs.exists(_))
-        spark.read.parquet(dirs.map(_.toString): _*)
-          .repartition(sizedPartitions(fs, dirs, targetBytesPerFile))
-          .write.parquet(new Path(outSeg, part).toString)
+        copyPart(spark, fs, dirs, new Path(outSeg, part),
+          layout.partitionColsByPart.getOrElse(part, Nil),
+          targetBytesPerFile, identity)
       }
       // marker LAST — commits the multi-part segment atomically
       fs.create(new Path(outSeg, "_SUCCESS"), true).close()
@@ -140,10 +172,11 @@ object SegmentCompaction {
       inStore: String,
       outStore: String,
       idColsByPart: Map[String, Seq[String]],
-      targetBytesPerFile: Long = 128L * 1024 * 1024): Int = {
+      targetBytesPerFile: Long = 128L * 1024 * 1024,
+      layout: StorePolicy.Layout = StorePolicy.Layout()): Int = {
     val inPath = new Path(inStore)
     val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = committedBatches(fs, inPath)
+    val segs = committedBatches(fs, inPath, layout.commitMarker)
     require(segs.nonEmpty, s"no committed batches under $inStore")
     val outPath = new Path(outStore)
     require(committedBatches(fs, outPath).isEmpty &&
@@ -152,19 +185,20 @@ object SegmentCompaction {
     val outSeg = new Path(outPath, "batch=0")
     fs.delete(outSeg, true)
 
-    def vacuumed(dirs: Seq[Path], part: String) = {
-      val df = spark.read.parquet(dirs.map(_.toString): _*)
+    def vacuum(part: String)(df: org.apache.spark.sql.DataFrame) =
       Tombstones.dropDeleted(df, idColsByPart.getOrElse(part, Nil), inStore)
-        .repartition(sizedPartitions(fs, dirs, targetBytesPerFile))
-    }
     val parts = partsOf(fs, segs.head._2)
     if (parts.isEmpty) {
-      vacuumed(segs.map(_._2), "").write.parquet(outSeg.toString)
+      copyPart(spark, fs, segs.map(_._2), outSeg,
+        layout.partitionColsByPart.getOrElse("", Nil),
+        targetBytesPerFile, vacuum(""))
     } else {
       parts.foreach { part =>
         val dirs = segs.map { case (_, p) => new Path(p, part) }
           .filter(fs.exists(_))
-        vacuumed(dirs, part).write.parquet(new Path(outSeg, part).toString)
+        copyPart(spark, fs, dirs, new Path(outSeg, part),
+          layout.partitionColsByPart.getOrElse(part, Nil),
+          targetBytesPerFile, vacuum(part))
       }
       fs.create(new Path(outSeg, "_SUCCESS"), true).close()
     }

@@ -42,6 +42,39 @@ object StorePolicy {
   case object Compact extends Action
   case object Vacuum extends Action
 
+  /** Store layout descriptor — the ONE fact sheet a face hands the
+    * policy/compaction machinery so the whole maintenance loop is
+    * generic (the r15 verdict's "store layout descriptor →
+    * idColsByPart" hook, widened with the two other things layouts
+    * actually differ in):
+    *
+    *  - `commitMarker`: relative path under `batch=<id>` whose
+    *    existence commits a segment. The sketch faces use Spark's own
+    *    segment-level `_SUCCESS`; the multi-part faces that commit via
+    *    their LAST-WRITTEN part's parquet marker name it here
+    *    (`postings/_SUCCESS`, `codes/_SUCCESS`, `edges/_SUCCESS`,
+    *    `census/_SUCCESS`) — without it the policy would see zero
+    *    committed segments and never fire.
+    *  - `idColsByPart`: vacuum's id columns per part
+    *    ([[SegmentCompaction.vacuumedCopy]]'s contract; flat stores
+    *    key on `""`).
+    *  - `partitionColsByPart`: physical partition columns a part's
+    *    segments are written with (IncrementalAnn's `codes` are
+    *    cell-partitioned for probe pruning) — the maintained copy
+    *    must re-write with the same partitioning or compaction would
+    *    silently trade away the read path's partition pruning.
+    *
+    * Maintained copies always commit their single output segment with
+    * a segment-level `_SUCCESS` (flat: Spark's own; multi-part: manual
+    * marker last) IN ADDITION to the per-part parquet markers, so the
+    * output is committed under both conventions and every face reads
+    * it unchanged.
+    */
+  final case class Layout(
+      commitMarker: String = "_SUCCESS",
+      idColsByPart: Map[String, Seq[String]] = Map.empty,
+      partitionColsByPart: Map[String, Seq[String]] = Map.empty)
+
   /** Observable state the policy decides on, derived by [[statsOf]]
     * from the store's filesystem layout alone (committed segments
     * only — uncommitted attempts are invisible to reads and to the
@@ -63,21 +96,27 @@ object StorePolicy {
       smallFileRatio: Double = 0.5,
       vacuumTombstoneBytes: Long = 8L * 1024 * 1024)
 
-  private def committed(fs: FileSystem, statePath: Path, prefix: String): Seq[Path] =
+  private def committed(
+      fs: FileSystem, statePath: Path, prefix: String,
+      marker: String = "_SUCCESS"): Seq[Path] =
     if (!fs.exists(statePath)) Seq.empty
     else fs.listStatus(statePath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .map(_.getPath)
-      .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+      .filter(p => fs.exists(new Path(p, marker)))
 
   /** Walk the store once: committed `batch=` segments' parquet data
     * files (recursive — multi-part segments keep data under named
-    * subdirs) and the committed `delete=` union's bytes.
+    * subdirs) and the committed `delete=` union's bytes. Segment
+    * commit-ness is judged by the layout's marker; tombstone segments
+    * always commit with Spark's own `_SUCCESS`.
     */
-  def statsOf(spark: SparkSession, stateDir: String, cfg: Config = Config()): StoreStats = {
+  def statsOf(
+      spark: SparkSession, stateDir: String, cfg: Config = Config(),
+      layout: Layout = Layout()): StoreStats = {
     val statePath = new Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = committed(fs, statePath, "batch=")
+    val segs = committed(fs, statePath, "batch=", layout.commitMarker)
     def dataFilesUnder(p: Path): Seq[Long] = {
       val it = fs.listFiles(p, true)
       val sizes = scala.collection.mutable.ArrayBuffer[Long]()
@@ -116,22 +155,24 @@ object StorePolicy {
     * quiescent batch boundary — or calls [[maintain]], which runs
     * this copy AND the swap as one crash-recoverable protocol.
     *
-    * @param idColsByPart vacuum's id columns per part
-    *                     ([[SegmentCompaction.vacuumedCopy]]'s contract)
+    * @param layout the store's [[Layout]] (commit marker, vacuum id
+    *               columns, physical partitioning)
     */
   def maintainedCopy(
       spark: SparkSession,
       inStore: String,
       outStore: String,
-      idColsByPart: Map[String, Seq[String]],
+      layout: Layout,
       cfg: Config = Config()): Action = {
-    val action = decide(statsOf(spark, inStore, cfg), cfg)
+    val action = decide(statsOf(spark, inStore, cfg, layout), cfg)
     action match {
       case NoOp =>
       case Compact =>
-        SegmentCompaction.compactedCopy(spark, inStore, outStore)
+        SegmentCompaction.compactedCopy(spark, inStore, outStore,
+          layout = layout)
       case Vacuum =>
-        SegmentCompaction.vacuumedCopy(spark, inStore, outStore, idColsByPart)
+        SegmentCompaction.vacuumedCopy(spark, inStore, outStore,
+          layout.idColsByPart, layout = layout)
     }
     action
   }
@@ -172,17 +213,35 @@ object StorePolicy {
   def maintain(
       spark: SparkSession,
       stateDir: String,
-      idColsByPart: Map[String, Seq[String]],
+      layout: Layout,
       cfg: Config = Config()): Action = {
     val statePath = new Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val work = new Path(stateDir + ".maint")
     val old = new Path(stateDir + ".old")
     recover(fs, statePath, work, old)
-    val action = maintainedCopy(spark, stateDir, work.toString, idColsByPart, cfg)
+    val action = maintainedCopy(spark, stateDir, work.toString, layout, cfg)
     if (action != NoOp) {
+      // maintained copies always commit with a segment-level marker
+      // (flat: Spark's own; multi-part: manual, written last)
       require(committed(fs, work, "batch=").nonEmpty,
         s"maintenance copy at $work did not commit")
+      // carry store-level AUX state the copy does not produce (e.g.
+      // IncrementalAnn's frozen `model/`) — everything that is not a
+      // segment, a tombstone, or a marker — or the swap would drop it
+      fs.listStatus(statePath).toSeq
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          !n.startsWith("batch=") && !n.startsWith("delete=") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }
+        .foreach { p =>
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            fs, p, fs, new Path(work, p.getName), false, true,
+            spark.sparkContext.hadoopConfiguration),
+            s"maintenance: aux copy of $p into $work failed")
+        }
       require(fs.rename(statePath, old), s"swap: rename $statePath -> $old failed")
       require(fs.rename(work, statePath), s"swap: rename $work -> $statePath failed")
       fs.delete(old, true)

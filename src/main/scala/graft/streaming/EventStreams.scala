@@ -641,6 +641,15 @@ object EventStreams {
     *    from the store entirely — forward (and capped backward) state
     *    does not grow with ever-seen users (AsofStreamSpec pins the
     *    store row counts).
+    *
+    * CHECKPOINT COMPATIBILITY: the r15 unification replaced the two
+    * per-direction state encoders (AsofState / AsofFwdState) with
+    * [[AsofUniState]]. flatMapGroupsWithState state schemas are baked
+    * into streaming checkpoints, so a streamingAsof/streamingAsofForward
+    * query checkpointed on a pre-r15 build CANNOT be resumed on this
+    * one (restart fails or misdecodes state) — restart those streams
+    * from a fresh checkpoint directory. Equally, any future change to
+    * AsofUniState's shape breaks checkpoints written by this build.
     */
   def streamingAsofJoin(
       events: Dataset[AsofEv],

@@ -221,4 +221,59 @@ class AsofJoinPropertySpec extends SparkSpec {
       assert(got(2L).isEmpty, s"(0,1) must NOT borrow (0,0)'s right row: $got")
     }
   }
+
+  test("derived width census runs ONCE per input pair: memo hit, direction-blind") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asof-memo").toString
+    Seq((1, 10L, 1L), (1, 95L, 2L)).toDF("k", "ts", "lv")
+      .write.mode("overwrite").parquet(s"$dir/l")
+    Seq((1, 5L, 10L, 7L), (1, 90L, 11L, 8L)).toDF("k", "ts", "tie", "rv")
+      .write.mode("overwrite").parquet(s"$dir/r")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = spark.read.parquet(s"$dir/r")
+
+    // the census is a blocking head() at PLAN-BUILD time, so jobs
+    // launched while CONSTRUCTING the frame count it directly
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // listener delivery is async; the census job is BLOCKING inside
+      // body, so a short settle window after it returns is enough
+      try { body; Thread.sleep(300) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      n.get()
+    }
+
+    AsofJoin.clearSpanMemo()
+    val first = jobsDuring {
+      AsofJoin.asofJoinSliced(l, r, Seq("k"), "ts", "tie")
+    }
+    assert(first >= 1, "first derived-width call must run the census")
+    val second = jobsDuring {
+      AsofJoin.asofJoinSliced(l, r, Seq("k"), "ts", "tie")
+    }
+    assert(second == 0, s"second call re-ran the census ($second jobs)")
+    // span is sign-invariant, so the forward read shares the memo too
+    val fwd = jobsDuring {
+      AsofJoin.asofJoinSliced(l, r, Seq("k"), "ts", "tie",
+        direction = "forward", tolerance = Some(1000L))
+    }
+    assert(fwd == 0, s"forward direction re-ran the census ($fwd jobs)")
+
+    // rewriting the data under the SAME path must invalidate (PlanKey
+    // file digest), or a stale span would silently misconfigure widths
+    Seq((1, 10L, 1L)).toDF("k", "ts", "lv")
+      .write.mode("overwrite").parquet(s"$dir/l")
+    val l2 = spark.read.parquet(s"$dir/l")
+    val rewritten = jobsDuring {
+      AsofJoin.asofJoinSliced(l2, r, Seq("k"), "ts", "tie")
+    }
+    assert(rewritten >= 1, "rewritten input must miss the memo")
+    AsofJoin.clearSpanMemo()
+  }
 }

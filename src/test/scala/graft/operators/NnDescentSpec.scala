@@ -118,4 +118,36 @@ class NnDescentSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("DENSE ids")), s"wrong failure: $ex")
   }
+
+  test("a duplicate id masking an interior gap fails the build LOUDLY too") {
+    // min/max/count alone wave this through (mn = 0, mx = n-1, |rows| =
+    // n): id 1 replaced by a second copy of id 2 — the {0,2,2} shape
+    // from the r15 advice. The distinct-count leg of the census must
+    // catch it.
+    val dup = realEmb.withColumn("vec_id",
+      when($"vec_id" === 1L, 2L).otherwise($"vec_id"))
+    val ex = intercept[Exception] {
+      NnDescent.knnGraph(dup, "vec_id", "embedding", K, 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("DENSE ids")), s"wrong failure: $ex")
+  }
+
+  test("bottom-k id payloads round-trip ids above 2^53 bit-exactly") {
+    // the r15 hazard: ids through the DOUBLE payload slot flatten above
+    // 2^53 (both big ids below collapse to the same double). The long
+    // variant every id call site now uses must keep them distinct.
+    val big = (1L << 53) + 1L
+    val rows = Seq((1L, 10L, big), (1L, 20L, big + 1), (1L, 30L, 7L))
+      .toDF("g", "h", "id")
+    val got = rows.groupBy($"g")
+      .agg(graft.functions.BottomKPairsAgg.bottomKIdPairs($"h", $"id", 3).as("top"))
+      .select(explode($"top").as("p"))
+      .select($"p.h", $"p.v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, big), (20L, big + 1), (30L, 7L)))
+    // and the double slot genuinely cannot tell 2^53 from 2^53 + 1
+    assert((1L << 53).toDouble == big.toDouble)
+  }
 }

@@ -51,7 +51,7 @@ class StorePolicySpec extends SparkSpec {
     (4L to 5L).foreach(writeSeg(dir, _, 5))
     val before = served(dir)
     val out1 = Files.createTempDirectory("policy-c").toString
-    assert(maintainedCopy(spark, dir, out1, Map("" -> Seq("row_id")), cfg) == Compact,
+    assert(maintainedCopy(spark, dir, out1, StorePolicy.Layout(idColsByPart = Map("" -> Seq("row_id"))), cfg) == Compact,
       "5 > 4 segments must trigger compaction")
     assert(served(out1) == before, "compaction changed the served rows")
     assert(statsOf(spark, out1, cfg).committedSegments == 1)
@@ -68,7 +68,7 @@ class StorePolicySpec extends SparkSpec {
     assert(tombstoned == before -- Set(1000L -> "seg1-row0", 2001L -> "seg2-row1"),
       "tombstones must subtract at read time before any vacuum")
     val out2 = Files.createTempDirectory("policy-v").toString
-    assert(maintainedCopy(spark, out1, out2, Map("" -> Seq("row_id")), cfg) == Vacuum,
+    assert(maintainedCopy(spark, out1, out2, StorePolicy.Layout(idColsByPart = Map("" -> Seq("row_id"))), cfg) == Vacuum,
       "tombstone union past broadcast size must trigger vacuum")
     assert(served(out2) == tombstoned, "vacuum changed the served rows")
     val after = statsOf(spark, out2, cfg)
@@ -102,7 +102,7 @@ class StorePolicySpec extends SparkSpec {
   test("maintain closes the loop IN PLACE: an append loop crosses each threshold, " +
     "the right action fires automatically, and reads never change") {
     val dir = Files.createTempDirectory("policy-loop").toString
-    def step(): Action = StorePolicy.maintain(spark, dir, Map("" -> Seq("row_id")), cfg)
+    def step(): Action = StorePolicy.maintain(spark, dir, StorePolicy.Layout(idColsByPart = Map("" -> Seq("row_id"))), cfg)
     val actions = (1L to 5L).map { id =>
       writeSeg(dir, id, 5)
       val before = served(dir)
@@ -135,9 +135,9 @@ class StorePolicySpec extends SparkSpec {
 
     // window 1: copy committed, swap never started — the live store is
     // untouched; the next maintain discards the stale copy and redoes
-    assert(maintainedCopy(spark, dir, s"$dir.maint", Map("" -> Seq("row_id")), cfg)
+    assert(maintainedCopy(spark, dir, s"$dir.maint", StorePolicy.Layout(idColsByPart = Map("" -> Seq("row_id"))), cfg)
       == Compact)
-    assert(StorePolicy.maintain(spark, dir, Map("" -> Seq("row_id")), cfg) == Compact)
+    assert(StorePolicy.maintain(spark, dir, StorePolicy.Layout(idColsByPart = Map("" -> Seq("row_id"))), cfg) == Compact)
     assert(served(dir) == before && statsOf(spark, dir, cfg).committedSegments == 1)
 
     // window 2: crashed BETWEEN the renames — live path absent, .old +
@@ -147,10 +147,10 @@ class StorePolicySpec extends SparkSpec {
     val dir2 = Files.createTempDirectory("policy-crash2").toString
     (1L to 5L).foreach(writeSeg(dir2, _, 5))
     val before2 = served(dir2)
-    assert(maintainedCopy(spark, dir2, s"$dir2.maint", Map("" -> Seq("row_id")), cfg)
+    assert(maintainedCopy(spark, dir2, s"$dir2.maint", StorePolicy.Layout(idColsByPart = Map("" -> Seq("row_id"))), cfg)
       == Compact)
     assert(fs.rename(path(dir2), path(s"$dir2.old")))
-    assert(StorePolicy.maintain(spark, dir2, Map("" -> Seq("row_id")), cfg) == NoOp)
+    assert(StorePolicy.maintain(spark, dir2, StorePolicy.Layout(idColsByPart = Map("" -> Seq("row_id"))), cfg) == NoOp)
     assert(served(dir2) == before2, "recovered store serves different rows")
     assert(statsOf(spark, dir2, cfg).committedSegments == 1)
     assert(!fs.exists(path(s"$dir2.old")) && !fs.exists(path(s"$dir2.maint")),
@@ -162,7 +162,7 @@ class StorePolicySpec extends SparkSpec {
     (1L to 2L).foreach(writeSeg(dir3, _, 5))
     fs.mkdirs(path(s"$dir3.old"))
     val before3 = served(dir3)
-    assert(StorePolicy.maintain(spark, dir3, Map("" -> Seq("row_id")), cfg) == NoOp)
+    assert(StorePolicy.maintain(spark, dir3, StorePolicy.Layout(idColsByPart = Map("" -> Seq("row_id"))), cfg) == NoOp)
     assert(served(dir3) == before3)
     assert(!fs.exists(path(s"$dir3.old")), "leftover trash must be deleted")
   }
