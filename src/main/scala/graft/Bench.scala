@@ -243,8 +243,10 @@ object Bench {
     // subtracted from total.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // total at 3 dp: a raw double's 17-digit repr alone is ~1% of the
-    // driver's tail window
-    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    // driver's tail window. sf as BASENAME (r16): the full path spent
+    // 15 chars of the line budget; queriesFromRecord matches by
+    // endsWith, so old full-path records and new basenames interread.
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qJson,"sf":"${new java.io.File(sfDir).getName}"}"""
   }
 
   // ---- ambient-load self-defense plumbing (pinned by BenchDefenseSpec) ----

@@ -394,4 +394,79 @@ object IncrementalGraphAnn {
     appendBatch(batch, stateDir, batchId, k, beam, hops)
     StorePolicy.maintain(batch.sparkSession, stateDir, layout, cfg)
   }
+
+  /** Decontamination flags for ONE batch of arriving corpus vectors
+    * against the maintained store (which here indexes the BENCHMARK /
+    * eval set): every batch row beam-probes the store via
+    * [[searchTopKDistributed]]; rows whose best hit clears `tauMicro`
+    * (integer-micro rounded cosine, the d15/d16/d17 τ convention) are
+    * flagged with the hit count, best similarity, and a deterministic
+    * argmax contaminant id (max sim, min id — d17's tie-break, grouped
+    * by the PROBE side since here the probes are the corpus). A pure
+    * read: no state is written, so the output is a function of
+    * (batch rows, committed store, `belowBatch`) only — which is what
+    * makes the streaming face below idempotent under re-delivery and
+    * stream ≡ batch by construction (StreamingGraphDecontaminateSpec).
+    *
+    * Pass a committed `belowBatch` snapshot id to pin the eval set for
+    * a whole streaming run while the store keeps growing (the
+    * GraphStoreDecontaminateSpec reproducibility property).
+    */
+  def decontaminateBatch(
+      batch: DataFrame,
+      stateDir: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beam: Int,
+      hops: Int,
+      tauMicro: Long,
+      belowBatch: Long = Long.MaxValue,
+      entries: Option[DataFrame] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val q = batch.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_emb"))
+    val hits =
+      searchTopKDistributed(spark, stateDir, q, k, beam, hops, belowBatch, entries)
+        .filter(col("sim_micro") >= tauMicro)
+        .select(col("q_id"), col("node"), col("sim_micro"))
+    val agg = hits.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim_micro")).as("best_micro"))
+    agg
+      .join(hits.select(col("q_id"), col("sim_micro").as("best_micro"), col("node")),
+        Seq("q_id", "best_micro"))
+      .groupBy(col("q_id"), col("n_hits"), col("best_micro"))
+      .agg(min(col("node")).as("best_contaminant"))
+      .select(col("q_id").as(idCol), col("n_hits"),
+        (col("best_micro") / lit(1000000.0)).as("best_cos"),
+        col("best_contaminant"))
+  }
+
+  /** Structured Streaming face of [[decontaminateBatch]]: new corpus
+    * batches arriving via foreachBatch are decontaminated against the
+    * maintained graph store with NO driver loop over the batch — the
+    * probe is [[NnDescent.beamSearchDistributed]], linear in the batch
+    * size per hop and independent of store size. Flags for each
+    * micro-batch go to `onFlags` (publish, anti-join the batch,
+    * quarantine — the caller's sink). Because the read writes no
+    * state, at-least-once re-delivery simply recomputes identical
+    * flags; the caller's sink dedupes by its own batchId key (the
+    * [[IncrementalClusters.attach]] convention).
+    */
+  def streamingDecontaminate(
+      batches: DataFrame,
+      stateDir: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beam: Int,
+      hops: Int,
+      tauMicro: Long,
+      belowBatch: Long = Long.MaxValue)(
+      onFlags: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onFlags(
+        decontaminateBatch(batch, stateDir, idCol, vecCol, k, beam, hops,
+          tauMicro, belowBatch),
+        batchId)
+    }
 }

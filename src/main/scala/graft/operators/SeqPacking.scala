@@ -52,6 +52,39 @@ object SeqPacking {
       .toDF("doc_id", "bucket", "bin_id", "tok")
   }
 
+  /** Pack `(doc_id, bucket, ord, tok)` rows into next-fit bins of
+    * `capacity` tokens, walking each bucket in `ord` order instead of
+    * doc-id order — the face a training manifest needs when the walk
+    * order is an epoch-shuffle position, not the storage id. Same
+    * secondary-sort shape as [[packTokenCounts]] (repartition on
+    * bucket, sortWithinPartitions, one O(1)-state pass); `ord` must be
+    * unique within a bucket for the output to be deterministic.
+    * Returns (doc_id, bucket, bin_id, tok); `bin_id` restarts at 1 per
+    * bucket.
+    */
+  def packOrdered(toks: DataFrame, capacity: Long): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    toks.select($"doc_id".cast("long"), $"bucket".cast("long"),
+        $"ord".cast("long"), $"tok".cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .repartition($"bucket")
+      .sortWithinPartitions($"bucket", $"ord")
+      .mapPartitions { it =>
+        var curBucket = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (docId, bucket, _, tok) =>
+          if (bucket != curBucket) { curBucket = bucket; bin = 1L; fill = tok }
+          else if (fill + tok <= capacity) { fill += tok }
+          else { bin += 1L; fill = tok }
+          (docId, bucket, bin, tok)
+        }
+      }
+      .toDF("doc_id", "bucket", "bin_id", "tok")
+  }
+
   /** Pack a documents table by whitespace token count (the repo-wide
     * tokenization contract).
     */

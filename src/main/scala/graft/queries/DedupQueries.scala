@@ -73,23 +73,23 @@ object DedupQueries {
     * Used by d02 (verification input) and d03 (estimate output) so the
     * two oracles can never drift from each other.
     */
-  private[queries] def lshCandSql(src: String = "documents"): String = {
+  private[queries] def lshCandSql(src: String = "documents", sfx: String = ""): String = {
     val hashExpr = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
-    s"""lsh_sh AS (
+    s"""lsh_sh$sfx AS (
         SELECT DISTINCT doc_id, sh FROM (
           SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM $src)),
-      hashed AS (SELECT doc_id, $hashExpr AS h FROM lsh_sh),
-      mh AS (
+      hashed$sfx AS (SELECT doc_id, $hashExpr AS h FROM lsh_sh$sfx),
+      mh$sfx AS (
         SELECT doc_id, i, min(((2*i + 1) * h + (7 + 11*i)) % $P) AS mv
-        FROM hashed, (SELECT unnest(range($NumHashes)) AS i)
+        FROM hashed$sfx, (SELECT unnest(range($NumHashes)) AS i)
         GROUP BY doc_id, i),
-      bands AS (
+      bands$sfx AS (
         SELECT doc_id, i // $BandRows AS band_id,
           string_agg(mv::VARCHAR, '_' ORDER BY i) AS bkey
-        FROM mh GROUP BY doc_id, i // $BandRows),
-      cand AS (
+        FROM mh$sfx GROUP BY doc_id, i // $BandRows),
+      cand$sfx AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands$sfx a JOIN bands$sfx b
           ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -9,83 +9,87 @@ import graft.core.Tables
   * the 100 TB job actually runs. Per-query benchmarks measure each
   * operator in isolation; these entries measure the cross-stage costs
   * (checkpoint placement, shuffle reuse, stage overlap) that only
-  * appear when the stages are chained.
+  * appear when the stages are chained, and hash-pin the stage
+  * INTERFACES (the pipe01 precedent: cross-stage bugs don't show in
+  * per-stage oracles).
   */
 object PipelineQueries {
 
-  /** pipe01: the full data-hygiene ladder HygieneLadderSpec proves
-    * correct on a planted corpus, run end-to-end on the real
-    * `documents` table and measured as ONE job —
+  /** The hygiene ladder's data: the normalized working corpus, the
+    * held-out benchmark split, and the six surviving sets s1..s6.
+    */
+  private final case class Ladder(
+      corp: DataFrame, bench: DataFrame, stages: Seq[DataFrame])
+
+  /** The full data-hygiene ladder HygieneLadderSpec proves correct on
+    * a planted corpus —
     *
     *   normalize → exact dedup → near dedup (est_sim ≥ 0.8)
     *     → span budget (dup_frac ≤ 0.5) → decontaminate (vs the
     *   doc_id % 37 = 0 benchmark split, d08's convention)
     *     → repetition gate → quality gate (t03 score ≥ 0.64)
     *
-    * Output is the per-document DISPOSITION: `dropped_at` names the
-    * FIRST stage that dropped each document ('kept' for survivors), so
-    * the oracle hash pins every stage's exact victim set, not just
-    * survivor counts. Thresholds are the operators' defaults except
-    * the quality gate (0.64 ≈ the corpus's 25th percentile — a gate
-    * that drops nothing measures nothing).
+    * Thresholds are the operators' defaults except the quality gate
+    * (0.64 ≈ the corpus's 25th percentile — a gate that drops nothing
+    * measures nothing).
     *
     * Scale shape: each stage is its own operator's documented shape
     * (content-hash census, banded LSH, span census, broadcast
     * benchmark probe, zero-shuffle kernels); the ladder adds only
-    * doc_id-keyed semi/anti joins between stages, and the final
-    * disposition is a chain of doc_id-keyed left joins over id-only
-    * frames. The corpus repartitions ONCE at the top (the s01/s12
-    * single-row-group spread); every stage inherits that width.
-    *
-    * Stage-set note (why the oracle can be a flat CTE chain): a doc's
-    * minhash signature, span set, shingle set and scores depend only
-    * on its OWN text, so each stage's per-doc state is computable on
-    * the full corpus and then restricted to that stage's input set —
-    * except the SPAN CENSUS and near-dup CANDIDATE PAIRS, which
-    * depend on the surviving SET and are therefore computed over the
-    * stage's input CTE (s1/s2) exactly as the operators do.
+    * doc_id-keyed semi/anti joins between stages. The corpus
+    * repartitions ONCE at the top (the s01/s12 single-row-group
+    * spread); every stage inherits that width.
     */
-  val pipe01HygieneLadder = Q(
-    "pipe01_hygiene_ladder",
-    (s, dir) => {
-      import s.implicits._
-      import graft.operators._
-      val docs = Tables.documents(s, dir)
-      val norm = graft.functions.exprs.normalize_text($"text")
-      val bench = docs.filter($"doc_id" % 37 === 0)
-        .select($"doc_id", norm.as("text"))
-      val corp = docs.filter($"doc_id" % 37 =!= 0)
-        .select($"doc_id", norm.as("text"))
-        .repartition(s.sparkContext.defaultParallelism)
-      val s1 = TextDedup.exactDedup(corp, "doc_id", "text")
-      val s2 = TextDedup.dropNearDuplicates(s1, "doc_id", "text", threshold = 0.8)
-      val s3 = SpanDedup.dropSpanDuplicated(s2, "doc_id", "text", n = 5, maxDupFrac = 0.5)
-      val s4 = Decontaminate.removeContaminatedBloom(s3, bench, "doc_id", "text")
-      val s5 = RepetitionFilter.dropRepetitive(s4, "doc_id", "text")
-      val s6 = s5.filter(
-        graft.functions.TextFunctions.qualityScore($"text") >= 0.64)
-      def mark(df: DataFrame, m: String) =
-        df.select($"doc_id", lit(1).as(m))
-      corp.select($"doc_id")
-        .join(mark(s1, "m1"), Seq("doc_id"), "left")
-        .join(mark(s2, "m2"), Seq("doc_id"), "left")
-        .join(mark(s3, "m3"), Seq("doc_id"), "left")
-        .join(mark(s4, "m4"), Seq("doc_id"), "left")
-        .join(mark(s5, "m5"), Seq("doc_id"), "left")
-        .join(mark(s6, "m6"), Seq("doc_id"), "left")
-        .select($"doc_id",
-          when($"m1".isNull, "exact")
-            .when($"m2".isNull, "near")
-            .when($"m3".isNull, "span")
-            .when($"m4".isNull, "decontaminate")
-            .when($"m5".isNull, "repetition")
-            .when($"m6".isNull, "quality")
-            .otherwise("kept").as("dropped_at"))
-    },
-    Some {
-      val q = graft.functions.TextFunctions.qualityScoreSql
-      val w = graft.functions.TextFunctions.wsTokensSql
-      s"""WITH corp AS MATERIALIZED (
+  private def hygieneLadder(s: SparkSession, dir: String): Ladder = {
+    import s.implicits._
+    import graft.operators._
+    val docs = Tables.documents(s, dir)
+    val norm = graft.functions.exprs.normalize_text($"text")
+    val bench = docs.filter($"doc_id" % 37 === 0)
+      .select($"doc_id", norm.as("text"))
+    val corp = docs.filter($"doc_id" % 37 =!= 0)
+      .select($"doc_id", norm.as("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val s1 = TextDedup.exactDedup(corp, "doc_id", "text")
+    val s2 = TextDedup.dropNearDuplicates(s1, "doc_id", "text", threshold = 0.8)
+    val s3 = SpanDedup.dropSpanDuplicated(s2, "doc_id", "text", n = 5, maxDupFrac = 0.5)
+    val s4 = Decontaminate.removeContaminatedBloom(s3, bench, "doc_id", "text")
+    val s5 = RepetitionFilter.dropRepetitive(s4, "doc_id", "text")
+    val s6 = s5.filter(
+      graft.functions.TextFunctions.qualityScore($"text") >= 0.64)
+    Ladder(corp, bench, Seq(s1, s2, s3, s4, s5, s6))
+  }
+
+  /** Per-document DISPOSITION over a ladder: `dropped_at` names the
+    * FIRST stage that dropped each document ('kept' for survivors), so
+    * an oracle hash on this frame pins every stage's exact victim set,
+    * not just survivor counts. A chain of doc_id-keyed left joins over
+    * id-only frames.
+    */
+  private def disposition(l: Ladder): DataFrame = {
+    val s = l.corp.sparkSession
+    import s.implicits._
+    def mark(df: DataFrame, m: String) =
+      df.select($"doc_id", lit(1).as(m))
+    val names = Seq("exact", "near", "span", "decontaminate", "repetition", "quality")
+    val joined = l.stages.zipWithIndex.foldLeft(l.corp.select($"doc_id")) {
+      case (acc, (st, i)) => acc.join(mark(st, s"m${i + 1}"), Seq("doc_id"), "left")
+    }
+    joined.select($"doc_id",
+      names.zipWithIndex.foldLeft(null: org.apache.spark.sql.Column) {
+        case (null, (n, i)) => when(col(s"m${i + 1}").isNull, n)
+        case (acc, (n, i))  => acc.when(col(s"m${i + 1}").isNull, n)
+      }.otherwise("kept").as("dropped_at"))
+  }
+
+  /** DuckDB CTE chain replaying the ladder bit-for-bit: corp/benchd
+    * normalization through the six surviving sets s1..s6. Shared by
+    * the pipe01 and pipe02 oracles so they can never drift.
+    */
+  private def ladderSql: String = {
+    val q = graft.functions.TextFunctions.qualityScoreSql
+    val w = graft.functions.TextFunctions.wsTokensSql
+    s"""corp AS MATERIALIZED (
         SELECT doc_id,
           trim(regexp_replace(regexp_replace(nfc_normalize(text),
             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f\\x{200b}-\\x{200f}\\x{2060}\\x{feff}]', '', 'g'),
@@ -162,24 +166,230 @@ object PipelineQueries {
       s5 AS MATERIALIZED (
         SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM rep)),
       -- stage 6: quality gate
-      s6 AS MATERIALIZED (SELECT * FROM s5 WHERE $q >= 0.64)
-      SELECT c.doc_id,
-        CASE WHEN s1.doc_id IS NULL THEN 'exact'
+      s6 AS MATERIALIZED (SELECT * FROM s5 WHERE $q >= 0.64)"""
+  }
+
+  /** The disposition CASE + left-join tail shared by both oracles. */
+  private val droppedAtSql =
+    """CASE WHEN s1.doc_id IS NULL THEN 'exact'
              WHEN s2.doc_id IS NULL THEN 'near'
              WHEN s3.doc_id IS NULL THEN 'span'
              WHEN s4.doc_id IS NULL THEN 'decontaminate'
              WHEN s5.doc_id IS NULL THEN 'repetition'
              WHEN s6.doc_id IS NULL THEN 'quality'
-             ELSE 'kept' END AS dropped_at
-      FROM corp c
+             ELSE 'kept' END"""
+
+  private val dispositionJoinSql =
+    """FROM corp c
       LEFT JOIN s1 ON s1.doc_id = c.doc_id
       LEFT JOIN s2 ON s2.doc_id = c.doc_id
       LEFT JOIN s3 ON s3.doc_id = c.doc_id
       LEFT JOIN s4 ON s4.doc_id = c.doc_id
       LEFT JOIN s5 ON s5.doc_id = c.doc_id
       LEFT JOIN s6 ON s6.doc_id = c.doc_id"""
+
+  /** pipe01: the hygiene ladder run end-to-end on the real `documents`
+    * table and measured as ONE job; output is the per-document
+    * disposition (see [[disposition]]).
+    *
+    * Stage-set note (why the oracle can be a flat CTE chain): a doc's
+    * minhash signature, span set, shingle set and scores depend only
+    * on its OWN text, so each stage's per-doc state is computable on
+    * the full corpus and then restricted to that stage's input set —
+    * except the SPAN CENSUS and near-dup CANDIDATE PAIRS, which
+    * depend on the surviving SET and are therefore computed over the
+    * stage's input CTE (s1/s2) exactly as the operators do.
+    */
+  val pipe01HygieneLadder = Q(
+    "pipe01_hygiene_ladder",
+    (s, dir) => disposition(hygieneLadder(s, dir)),
+    Some(s"""WITH $ladderSql
+      SELECT c.doc_id, $droppedAtSql AS dropped_at
+      $dispositionJoinSql"""),
+    headline = true)
+
+  // pipe02 knobs. The mixture budget is t12's 700 tokens/source: at
+  // sf0.01 the per-source train census is ~1.9k tokens (thr ≈ 37%),
+  // at sf0.1 ~19k (thr ≈ 4%) — the gate bites at genuinely different
+  // acceptance rates at both verified SFs. Shards sized so sf0.01's
+  // selection still populates every shard.
+  private val Pipe02MixBudget = 700L
+  private val Pipe02Shards = 8L
+  private val Pipe02Capacity = 512L
+
+  /** pipe02: the rest of the pretraining-data run — what a training
+    * job actually executes AFTER the hygiene ladder:
+    *
+    *   ladder (pipe01) → near-dup clusters at est_sim ≥ 0.5 (d06)
+    *     → leakage-safe cluster split 80/10/10 (t22 — whole near-dup
+    *   families land on one side by construction)
+    *     → per-source mixture gate on the TRAIN split (t12 — rate =
+    *   min(1, budget / measured source tokens), deterministic hash)
+    *     → epoch shuffle + shard (t15 — salted portable-hash
+    *   permutation) → next-fit sequence packing within each shard in
+    *   shuffle order ([[graft.operators.SeqPacking.packOrdered]]).
+    *
+    * Output is the TRAINING MANIFEST, one row per corpus document:
+    * where it dropped ('kept' survivors), its near-dup cluster id and
+    * split, whether the mixture gate selected it (val/test are never
+    * subsampled), its token count, and — for selected train docs —
+    * the (shard, pos, bin_id) cell the training reader consumes. Every stage interface
+    * is inside the oracle hash, so a cross-stage drift (cluster ids
+    * feeding the split, the census feeding the gate, positions feeding
+    * the packer) fails the gate even when each per-stage oracle stays
+    * green.
+    *
+    * Scale shape: the ladder is pipe01's; its disposition is
+    * localCheckpointed so the six-stage DAG executes ONCE and the
+    * downstream stages re-derive the kept corpus by one doc_id join.
+    * Clusters come from the banded-LSH chain (bounded by candidate
+    * pairs, ≪ corpus); split/gate/shard are codegen'd hash
+    * projections plus one source-census shuffle; packing is the
+    * secondary-sort pattern (repartition on shard, O(1) state). At
+    * 100 TB nothing here materializes more than (id, small-int)
+    * frames beyond the corpus passes the ladder already does.
+    */
+  val pipe02PretrainManifest = Q(
+    "pipe02_manifest",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators._
+      val l = hygieneLadder(s, dir)
+      // one ladder execution: disposition is checkpointed, the kept
+      // corpus re-derives from it by a single doc_id join against the
+      // (cheap, re-computable) normalized corpus
+      val disp = disposition(l).localCheckpoint()
+      val kept = l.corp.join(
+        disp.filter($"dropped_at" === "kept").select($"doc_id"), Seq("doc_id"))
+      // leakage-safe split: cluster at 0.5, split whole clusters (t22)
+      val pairs = TextDedup.minhashCandidates(kept, "doc_id", "text")
+        .filter($"est_sim" >= 0.5)
+        .select($"doc_a", $"doc_b")
+      val comps = NearDupClusters.connectedComponents(pairs)
+      val splitB = pmod(
+        graft.functions.exprs.token_hash60($"cluster_id".cast("string")), lit(100L))
+      val split = kept
+        .join(Tables.documents(s, dir).select($"doc_id", $"source"), Seq("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce($"comp", $"doc_id"))
+        .withColumn("split",
+          when(splitB < 80, "train").when(splitB < 90, "val").otherwise("test"))
+        .withColumn("tok",
+          graft.functions.TextFunctions.tokenCount($"text").cast("long"))
+        .select($"doc_id", $"source", $"cluster_id", $"split", $"tok")
+      // per-source mixture gate on the train split (t12's machinery,
+      // "p2mix_" salt decorrelates from t12's own assignment)
+      val train = split.filter($"split" === "train")
+      val totals = train.groupBy($"source").agg(sum($"tok").as("src_tokens"))
+      val mixB = pmod(
+        graft.functions.exprs.token_hash60(
+          concat(lit("p2mix_"), $"doc_id".cast("string"))), lit(10000L))
+      val gated = train.join(broadcast(totals), Seq("source"))
+        .withColumn("thr",
+          least(lit(10000L),
+            floor(lit(10000.0) * lit(Pipe02MixBudget) / greatest($"src_tokens", lit(1L)))
+              .cast("long")))
+        .select($"doc_id", $"tok", (mixB < $"thr").as("sel"))
+      val selected = gated.filter($"sel").select($"doc_id", $"tok")
+      // epoch shuffle + shard, then pack within shard in shuffle order
+      val sharded = Sharding.epochShuffle(selected, "doc_id", "p2e0_", Pipe02Shards)
+      val packed = SeqPacking.packOrdered(
+        sharded.join(selected, Seq("doc_id"))
+          .select($"doc_id", $"shard".as("bucket"), $"pos".as("ord"), $"tok"),
+        Pipe02Capacity)
+      disp
+        .join(split.select($"doc_id", $"cluster_id", $"split", $"tok"),
+          Seq("doc_id"), "left")
+        .join(gated.select($"doc_id", $"sel"), Seq("doc_id"), "left")
+        .join(sharded, Seq("doc_id"), "left")
+        .join(packed.select($"doc_id", $"bin_id"), Seq("doc_id"), "left")
+        .select($"doc_id", $"dropped_at", $"cluster_id", $"split",
+          when($"split".isNull, lit(null).cast("boolean"))
+            .when($"split" === "train", $"sel")
+            .otherwise(lit(true)).as("selected"),
+          $"tok", $"shard", $"pos", $"bin_id")
+    },
+    Some {
+      val th = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+      val splitHash = th("CAST(coalesce(c2.comp, k.doc_id) AS VARCHAR)")
+      s"""WITH RECURSIVE $ladderSql,
+      -- kept corpus with source + token census
+      ksrc AS MATERIALIZED (
+        SELECT k.doc_id, d.source, k.tok FROM
+          (SELECT doc_id,
+             CAST(len(${graft.functions.TextFunctions.wsTokensSql}) AS BIGINT) AS tok
+           FROM s6) k
+        JOIN documents d USING (doc_id)),
+      -- near-dup clusters at 0.5 over the kept set (t22's machinery)
+      ${DedupQueries.lshCandSql("s6", "2")},
+      est2 AS (
+        SELECT c.doc_a, c.doc_b,
+          round(sum(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END)
+            / ${graft.operators.TextDedup.NumHashes}.0, 4) AS est_sim
+        FROM cand2 c
+        JOIN mh2 ma ON ma.doc_id = c.doc_a
+        JOIN mh2 mb ON mb.doc_id = c.doc_b AND ma.i = mb.i
+        GROUP BY c.doc_a, c.doc_b),
+      p2 AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM est2 WHERE est_sim >= 0.5),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM p2
+        UNION SELECT doc_b, doc_a FROM p2),
+      reach AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      comps AS (
+        SELECT a AS doc_id, least(a, min(b)) AS comp
+        FROM reach GROUP BY a),
+      -- leakage-safe cluster split
+      splitd AS MATERIALIZED (
+        SELECT k.doc_id, k.source, k.tok,
+          coalesce(c2.comp, k.doc_id) AS cluster_id,
+          CASE WHEN $splitHash % 100 < 80 THEN 'train'
+               WHEN $splitHash % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM ksrc k LEFT JOIN comps c2 USING (doc_id)),
+      -- per-source mixture gate on the train split
+      tot2 AS (
+        SELECT source, CAST(sum(tok) AS BIGINT) AS src_tokens
+        FROM splitd WHERE split = 'train' GROUP BY source),
+      gate AS MATERIALIZED (
+        SELECT s.doc_id, s.tok,
+          (${th("'p2mix_' || CAST(s.doc_id AS VARCHAR)")} % 10000)
+            < least(10000, CAST(floor(10000.0 * $Pipe02MixBudget
+                / greatest(t.src_tokens, 1)) AS BIGINT)) AS sel
+        FROM splitd s JOIN tot2 t USING (source) WHERE s.split = 'train'),
+      -- epoch shuffle + shard over the selection
+      shd AS MATERIALIZED (
+        SELECT doc_id, tok, CAST(h % $Pipe02Shards AS BIGINT) AS shard,
+          CAST(row_number() OVER (
+            PARTITION BY h % $Pipe02Shards ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+        FROM (SELECT doc_id, tok,
+                ${th("'p2e0_' || CAST(doc_id AS VARCHAR)")} AS h
+              FROM gate WHERE sel)),
+      -- next-fit packing within each shard in shuffle order
+      pack2 AS (
+        SELECT shard, pos, doc_id, tok, CAST(1 AS BIGINT) AS bin_id, tok AS fill
+        FROM shd WHERE pos = 1
+        UNION ALL
+        SELECT t.shard, t.pos, t.doc_id, t.tok,
+          CASE WHEN p.fill + t.tok <= $Pipe02Capacity THEN p.bin_id ELSE p.bin_id + 1 END,
+          CASE WHEN p.fill + t.tok <= $Pipe02Capacity THEN p.fill + t.tok ELSE t.tok END
+        FROM pack2 p JOIN shd t ON t.shard = p.shard AND t.pos = p.pos + 1)
+      SELECT c.doc_id, $droppedAtSql AS dropped_at,
+        sp.cluster_id AS cluster_id, sp.split AS split,
+        CASE WHEN sp.doc_id IS NULL THEN NULL
+             WHEN sp.split = 'train' THEN g.sel
+             ELSE true END AS selected,
+        sp.tok AS tok, sh2.shard AS shard, sh2.pos AS pos, pk.bin_id AS bin_id
+      $dispositionJoinSql
+      LEFT JOIN splitd sp ON sp.doc_id = c.doc_id
+      LEFT JOIN gate g ON g.doc_id = c.doc_id
+      LEFT JOIN shd sh2 ON sh2.doc_id = c.doc_id
+      LEFT JOIN pack2 pk ON pk.doc_id = c.doc_id"""
     },
     headline = true)
 
-  val all: Seq[Q] = Seq(pipe01HygieneLadder)
+  val all: Seq[Q] = Seq(pipe01HygieneLadder, pipe02PretrainManifest)
 }

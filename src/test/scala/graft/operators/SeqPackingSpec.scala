@@ -44,6 +44,30 @@ class SeqPackingSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
 
+  test("packOrdered walks ord order, not doc-id order") {
+    // doc ids reversed vs ord: id 10 (ord 1, 60) then id 9 (ord 2, 30)
+    // share bin 1; id 8 (ord 3, 40) overflows into bin 2. Doc-id order
+    // would pack (8:40, 9:30) into bin 1 and 10 into bin 2 instead.
+    val toks = Seq(
+      (10L, 0L, 1L, 60L), (9L, 0L, 2L, 30L), (8L, 0L, 3L, 40L))
+      .toDF("doc_id", "bucket", "ord", "tok")
+    val packed = SeqPacking.packOrdered(toks, C)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(packed == Map(10L -> 1L, 9L -> 1L, 8L -> 2L))
+  }
+
+  test("packOrdered with ord = doc_id == packTokenCounts") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select($"doc_id", pmod($"doc_id", lit(4)).cast("long").as("bucket"),
+      $"doc_id".as("ord"),
+      graft.functions.TextFunctions.tokenCount($"text").cast("long").as("tok"))
+    val a = SeqPacking.packOrdered(toks, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val b = SeqPacking.packTokenCounts(toks.drop("ord"), 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("packing is deterministic under input repartitioning") {
     val docs = Tables.documents(spark, sfDir)
     val a = SeqPacking.packDocuments(docs, 128, 8)

@@ -488,7 +488,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("s12 folds its per-query top-k into the native bottom-k aggregate — no window stage") {
     val p = plan("s12_bm25_topk")
-    assert(p.contains("bottom_k_pairs"),
+    assert(p.contains("bottom_k_id_pairs"),
       s"s12's top-k lost the native bottom-k aggregate:\n$p")
     assert(!p.contains("Window") && !p.contains("Sort "),
       s"s12 reintroduced a window/sort barrier after the pair aggregation:\n$p")

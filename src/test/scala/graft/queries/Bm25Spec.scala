@@ -44,7 +44,7 @@ class Bm25Spec extends SparkSpec {
     // per-query top-10 is the native bottom-k heap aggregate (partial
     // aggregation truncates map-side); a window/sort stage here would
     // re-exchange every scored pair (the r12 perf barrier)
-    assert(p.contains("bottom_k_pairs"),
+    assert(p.contains("bottom_k_id_pairs"),
       s"top-10 must run as the native bottom-k aggregate, plan:\n$p")
     assert(!p.contains("Window"),
       s"s12 reintroduced a window barrier, plan:\n$p")
