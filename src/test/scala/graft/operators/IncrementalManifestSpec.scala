@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.queries.Registry
+
+/** The incremental manifest's accumulated state answers exactly like
+  * one-shot pipe02 on the union — under an id-ordered 3-way split and
+  * wholesale re-delivery of a committed batch (the
+  * IncrementalHygieneLadder delivery template, extended to the
+  * downstream stages). The comparison target is the REGISTRY's pipe02
+  * frame itself, so the equivalence is against exactly what the
+  * oracle gate hashes — including the read-time cluster re-derivation
+  * (clusters cannot be incremental edge state: the span stage's
+  * verdict depends on future docs, so kept membership is only final
+  * at read).
+  */
+class IncrementalManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("incman").toString
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val norm = graft.functions.exprs.normalize_text($"text")
+  private lazy val bench = docs.filter($"doc_id" % 37 === 0)
+    .select($"doc_id", norm.as("text")).cache()
+  private lazy val corp = docs.filter($"doc_id" % 37 =!= 0)
+    .select($"doc_id", norm.as("text"), $"source").cache()
+
+  private def canon(df: DataFrame): Set[Seq[String]] =
+    df.collect().map((r: Row) =>
+      (0 until r.length).map(i => String.valueOf(r.get(i)))).toSet
+
+  private lazy val oneShot: Set[Seq[String]] =
+    canon(Registry.byName("pipe02_manifest").run(spark, sfDir))
+
+  private def man(dir: String): Set[Seq[String]] =
+    canon(IncrementalManifest.manifest(spark, dir, "doc_id"))
+
+  private def ingest(dir: String, batch: DataFrame, id: Long): Unit =
+    IncrementalManifest.processBatch(
+      batch, bench, "doc_id", "text", "source", dir, id)
+
+  private lazy val (b0, b1, b2) = {
+    val ids = corp.select($"doc_id").orderBy($"doc_id").collect().map(_.getLong(0))
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    (corp.filter($"doc_id" <= c1),
+      corp.filter($"doc_id" > c1 && $"doc_id" <= c2),
+      corp.filter($"doc_id" > c2))
+  }
+
+  test("3-way id-ordered split: accumulated manifest == one-shot pipe02") {
+    val dir = freshDir()
+    ingest(dir, b0, 0L)
+    ingest(dir, b1, 1L)
+    ingest(dir, b2, 2L)
+    val got = man(dir)
+    assert(got == oneShot,
+      s"diverges: only-inc ${got.diff(oneShot).take(3)}, only-oneshot ${oneShot.diff(got).take(3)}")
+    // non-vacuity: the downstream stages really fired
+    val m = IncrementalManifest.manifest(spark, dir, "doc_id")
+    assert(m.filter($"split" === "train" && $"selected").count() > 0)
+    assert(m.filter($"bin_id".isNotNull).count() > 0)
+  }
+
+  test("re-delivery of a committed batch is a no-op on the manifest") {
+    val dir = freshDir()
+    ingest(dir, b0, 0L)
+    ingest(dir, b1, 1L)
+    val mid = man(dir)
+    ingest(dir, b0, 0L) // at-least-once retry, out of order
+    assert(man(dir) == mid)
+    ingest(dir, b2, 2L)
+    assert(man(dir) == oneShot)
+  }
+}
