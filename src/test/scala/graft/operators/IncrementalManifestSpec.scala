@@ -77,4 +77,23 @@ class IncrementalManifestSpec extends SparkSpec {
     ingest(dir, b2, 2L)
     assert(man(dir) == oneShot)
   }
+
+  test("crash between the ladder commit and the meta commit repairs on retry") {
+    val dir = freshDir()
+    ingest(dir, b0, 0L)
+    ingest(dir, b1, 1L)
+    // crash window: batch 1's ladder segments are committed but its
+    // meta segment lost its marker (and carries WRONG partial
+    // contents — the retry must overwrite, not trust it)
+    val metaSeg = new java.io.File(s"$dir/meta/batch=1")
+    assert(metaSeg.isDirectory, "fixture: meta segment missing entirely")
+    b1.limit(1).select($"doc_id", $"source",
+        lit(0L).as("tok"), lit(0L).as("mh_0"))
+      .write.mode("overwrite").parquet(metaSeg.toString)
+    new java.io.File(metaSeg, "_SUCCESS").delete()
+    // uncommitted garbage is invisible to reads and repaired by retry
+    ingest(dir, b1, 1L)
+    ingest(dir, b2, 2L)
+    assert(man(dir) == oneShot)
+  }
 }
