@@ -196,6 +196,10 @@ object Bench {
       }
       parts += results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
         .mkString(""""queries_3dp":{""", ",", "}")
+      // the stdout line stopped carrying the per-query map (r17: the
+      // 1900-char budget was spent at 72 headliners) — the detail file
+      // is now the per-query record, so it must be self-describing
+      parts += s""""sf":"${new java.io.File(sfDir).getName}""""
       // failed-rep counts moved here from the stdout line (the line's
       // char budget is the binding constraint on headline growth; a
       // failed query is still visible on the line as its -1.0 sentinel)
@@ -211,42 +215,49 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () } // detail is best-effort, the line is the record
+    // Self-defense history: the stdout line no longer carries the
+    // per-query map, so future rounds' drift trigger would go blind as
+    // the old BENCH_r*.json records age out of relevance. Append this
+    // run's full-precision readings as ONE old-shape record line —
+    // bestPrevQueries scans the history file alongside the round
+    // records. Best-effort, ~2 KB per run.
+    try {
+      val hist = new java.io.FileWriter(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl"), true)
+      val qj = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      try hist.write(
+        s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qj,"sf":"${new java.io.File(sfDir).getName}"}""" + "\n")
+      finally hist.close()
+    } catch { case _: Throwable => () }
     println(benchLine(results, sfDir))
     spark.stop()
   }
 
   /** The ONE stdout record line. Contract fields only
-    * (metric/value/unit/queries/sf): the driver parses this from a
-    * 2000-char stdout tail that also holds sbt's `[success]` footer,
-    * so BenchDefenseSpec pins the line under 1900 chars for a
-    * registry-sized query set. Per-query failed-rep counts live in
-    * BENCH_DETAIL.json (moved off the line when the headline registry
-    * hit 70 — a failed query still shows on the line as -1.0).
+    * (metric/value/unit/n/n_failed/sf): the driver parses this from a
+    * 2000-char stdout tail that also holds sbt's `[success]` footer.
+    * The per-query seconds map moved ENTIRELY to BENCH_DETAIL.json
+    * (`queries_3dp`) in r17 — at 72 headliners the map alone spent
+    * 1808 of the 1900-char budget, leaving no headroom for new
+    * entries; the slim line is O(1) in registry size, so the budget
+    * is permanently solved (BenchDefenseSpec pins it under 300 chars
+    * for the full registry). `n` = queries timed, `n_failed` = queries
+    * whose every rep failed (their names and rep counts are in the
+    * detail's `failed_reps`/`queries_3dp` as -1.0) — kept on the line
+    * so a breakage is visible even if only the tail survives. Per-run
+    * full-precision readings also append to BENCH_HISTORY.jsonl for
+    * the drift trigger.
     */
   def benchLine(
       results: Seq[(String, Double)],
       sfDir: String): String = {
-    // 2 dp per query, display-capped at 99.99: the line's char budget
-    // is the binding constraint (65 headliners at the old 999.99 cap
-    // hit 1917 chars vs the 1900 budget). 10 ms granularity is far
-    // below this host's ±3x ambient noise; a >100 s sf0.1 median would
-    // have blown the driver's wall-clock long before formatting
-    // matters, so the cap only bounds the absurd-input case the
-    // tail-window spec pins. The -1.0 all-reps-failed sentinel passes
-    // through. Full 3-dp readings ride in BENCH_DETAIL.json
-    // (`queries_3dp`).
-    val qJson = results
-      .map { case (k, v) => "\"" + k + "\":" + num(math.min(v, 99.99), 2) }
-      .mkString("{", ",", "}")
-    // total = sum of successful medians; failed queries are visible as
-    // -1.0 in queries (their rep counts in BENCH_DETAIL.json), not
-    // subtracted from total.
+    // total = sum of successful medians; failed queries count in
+    // n_failed, not subtracted from total. sf as BASENAME (r16).
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // total at 3 dp: a raw double's 17-digit repr alone is ~1% of the
-    // driver's tail window. sf as BASENAME (r16): the full path spent
-    // 15 chars of the line budget; queriesFromRecord matches by
-    // endsWith, so old full-path records and new basenames interread.
-    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qJson,"sf":"${new java.io.File(sfDir).getName}"}"""
+    val nFailed = results.count(_._2 < 0)
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","n":${results.size},"n_failed":$nFailed,"sf":"${new java.io.File(sfDir).getName}"}"""
   }
 
   // ---- ambient-load self-defense plumbing (pinned by BenchDefenseSpec) ----
@@ -303,17 +314,27 @@ object Bench {
       quiet.get(name).exists(a => a > 0 && median >= 0.2 && median > 2 * a)
 
   /** Best (minimum) recorded same-SF per-query medians across every
-    * BENCH_r*.json in `dirs`. Minimum across ALL rounds, not just the
-    * last: the previous round alone can itself be the outlier (r7's
-    * d06/d08/d09 episode).
+    * BENCH_r*.json in `dirs`, plus every line of each dir's
+    * BENCH_HISTORY.jsonl (the per-run record Bench appends itself —
+    * the round records stopped carrying per-query maps when the
+    * stdout line slimmed down in r17). Minimum across ALL rounds, not
+    * just the last: the previous round alone can itself be the
+    * outlier (r7's d06/d08/d09 episode).
     */
   def bestPrevQueries(dirs: Seq[java.io.File], sfBase: String): Map[String, Double] = try {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rounds = dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-    rounds.flatMap { f =>
-      queriesFromRecord(
-        new com.fasterxml.jackson.databind.ObjectMapper().readTree(f), sfBase)
-    }.groupBy(_._1)
+      .flatMap(f => scala.util.Try(mapper.readTree(f)).toOption)
+    val history = dirs.map(d => new java.io.File(d, "BENCH_HISTORY.jsonl"))
+      .filter(_.isFile)
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().toList finally src.close()
+      }
+      .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
+    (rounds ++ history).flatMap(queriesFromRecord(_, sfBase))
+      .groupBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2).filter(_ > 0).minOption.getOrElse(-1.0) }
   } catch { case _: Throwable => Map.empty }
 

@@ -424,7 +424,18 @@ object IncrementalGraphAnn {
       belowBatch: Long = Long.MaxValue,
       entries: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
-    val q = batch.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_emb"))
+    // numeric-id contract, enforced in-plan (the NnDescent assert_true
+    // pattern, zero extra actions): a non-numeric idCol would cast to
+    // NULL and silently collapse every probe into one q_id group
+    // (ADVICE r16) — fail loudly per offending row instead.
+    val q = batch.select(
+      (col(idCol).cast("long") + coalesce(
+        when(col(idCol).isNotNull && col(idCol).cast("long").isNull,
+          assert_true(lit(false),
+            concat(lit(s"decontaminateBatch requires a numeric '$idCol'; got: "),
+              col(idCol))).cast("long")),
+        lit(0L))).as("q_id"),
+      col(vecCol).as("q_emb"))
     val hits =
       searchTopKDistributed(spark, stateDir, q, k, beam, hops, belowBatch, entries)
         .filter(col("sim_micro") >= tauMicro)

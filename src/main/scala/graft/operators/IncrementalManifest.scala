@@ -88,6 +88,151 @@ object IncrementalManifest {
     }
   }
 
+  /** [[processBatch]] + the [[maintain]] closed loop — the convention
+    * every other incremental face exposes (IncrementalDsir.scala's
+    * appendAndMaintain shape), so the manifest's state stops being the
+    * one store that accumulates segments forever (r16 watch item).
+    */
+  def processBatchAndMaintain(
+      newDocs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      stateDir: String,
+      batchId: Long,
+      nearThreshold: Double = 0.8,
+      spanN: Int = 5,
+      minQuality: Double = 0.64,
+      cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
+    processBatch(newDocs, bench, idCol, textCol, sourceCol, stateDir, batchId,
+      nearThreshold, spanN, minQuality)
+    maintain(newDocs.sparkSession, stateDir, cfg)
+  }
+
+  /** The manifest state's sub-stores: the ladder's four plus `meta` —
+    * each a flat `batch=<id>`/`_SUCCESS` store (default
+    * [[StorePolicy.Layout]]) whose reads are pure functions of its row
+    * union, so [[SegmentCompaction.compactedCopy]] is read-identity
+    * per sub-store.
+    */
+  private val subStores = Seq("exact", "near", "spans", "verdicts", "meta")
+
+  /** Per-sub-store layout: flat segments, Spark's own `_SUCCESS`. */
+  val layout: StorePolicy.Layout = StorePolicy.Layout()
+
+  /** Maintenance for the COMPOSITE store — [[StorePolicy.maintain]]'s
+    * decide → materialize → swap loop lifted to the manifest's five
+    * sub-stores, with ONE root-level swap instead of five independent
+    * ones. Atomicity across sub-stores matters here: compaction
+    * renumbers history to `batch=0`, so independently-maintained
+    * `verdicts` and `meta` could transiently disagree on batch ids and
+    * the [[manifest]] crash-window check (verdict ids ⊆ meta ids)
+    * would false-alarm; folding all five into `<stateDir>.maint` and
+    * committing with a root `_SUCCESS` before a single rename swap
+    * keeps the id sets aligned through every crash window.
+    *
+    * Decision: each sub-store is measured with [[StorePolicy.statsOf]]
+    * and the whole store compacts when ANY sub-store's
+    * [[StorePolicy.decide]] is actionable (these stores carry no
+    * tombstones, so the only actionable decision is Compact);
+    * compacting the quiet sub-stores alongside is read-identity and
+    * keeps every sub-store's history uniformly `batch=0`. Same
+    * single-writer / quiescent-boundary / no-pre-swap-id-re-delivery
+    * contract as [[StorePolicy.maintain]] — post-swap, a re-delivered
+    * pre-swap batch id would re-screen against state that already
+    * contains the batch itself (every doc would drop as an exact dup),
+    * so the writer's bookkeeping must only hand out fresh ids.
+    */
+  def maintain(
+      spark: SparkSession,
+      stateDir: String,
+      cfg: StorePolicy.Config = StorePolicy.Config()): StorePolicy.Action = {
+    val root = new Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val work = new Path(stateDir + ".maint")
+    val old = new Path(stateDir + ".old")
+    recover(fs, root, work, old)
+    val present = subStores.map(new Path(root, _)).filter(p =>
+      committed(fs, p).nonEmpty)
+    val actionable = present.exists { p =>
+      StorePolicy.decide(
+        StorePolicy.statsOf(spark, p.toString, cfg, layout), cfg) !=
+        StorePolicy.NoOp
+    }
+    if (!actionable) StorePolicy.NoOp
+    else {
+      // the fold must not bake in a verdicts/meta crash window — after
+      // renumbering the subset check could never catch it (manifest()'s
+      // contract note)
+      if (committed(fs, new Path(root, "meta")).nonEmpty)
+        requireMetaCoversVerdicts(fs, root, stateDir)
+      present.foreach { p =>
+        SegmentCompaction.compactedCopy(spark, p.toString,
+          new Path(work, p.getName).toString, layout = layout)
+      }
+      // carry store-level aux state (anything that is not a sub-store
+      // or a marker) — the StorePolicy.maintain convention
+      if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          !subStores.contains(n) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .foreach { p =>
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            fs, p, fs, new Path(work, p.getName), false, true,
+            spark.sparkContext.hadoopConfiguration),
+            s"maintenance: aux copy of $p into $work failed")
+        }
+      // root marker LAST — commits the composite copy atomically
+      fs.create(new Path(work, "_SUCCESS"), true).close()
+      require(fs.rename(root, old), s"swap: rename $root -> $old failed")
+      require(fs.rename(work, root), s"swap: rename $work -> $root failed")
+      fs.delete(old, true)
+      StorePolicy.Compact
+    }
+  }
+
+  /** Re-converge after a crashed [[maintain]] — the
+    * [[StorePolicy]] recovery shape with the composite root marker:
+    * a missing live dir with a root-committed `.maint` resumes the
+    * swap; a missing live dir without one rolls `.old` back;
+    * leftovers are deleted. Idempotent, called at every entry.
+    */
+  private def recover(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, work: Path, old: Path): Unit = {
+    if (fs.exists(old)) {
+      if (!fs.exists(root)) {
+        if (fs.exists(new Path(work, "_SUCCESS"))) {
+          require(fs.rename(work, root),
+            s"recovery: rename $work -> $root failed")
+        } else {
+          require(fs.rename(old, root),
+            s"recovery: rollback $old -> $root failed")
+        }
+      }
+      fs.delete(old, true)
+    }
+    fs.delete(work, true)
+  }
+
+  /** Every committed verdict batch id must have a committed meta
+    * segment — fails with the missing ids (the crash window between
+    * the two commits; re-delivering those batches repairs it).
+    */
+  private def requireMetaCoversVerdicts(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      stateDir: String): Unit = {
+    val metaIds = committed(fs, new Path(root, "meta")).map(_._1).toSet
+    val missing = committed(fs, new Path(root, "verdicts")).map(_._1)
+      .filterNot(metaIds).sorted
+    require(missing.isEmpty,
+      s"ladder verdict batches [${missing.mkString(", ")}] have no " +
+        s"committed meta segment under $stateDir — a crash landed between " +
+        "the verdict and meta commits; re-deliver those batches to repair")
+  }
+
   /** The full pipe02 manifest over everything ingested so far —
     * (idCol, dropped_at, cluster_id, split, selected, tok, shard, pos,
     * bin_id), bit-equal to the one-shot `pipe02_manifest` on the union
@@ -106,8 +251,17 @@ object IncrementalManifest {
       shardSalt: String = "p2e0_"): DataFrame = {
     val root = new Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaPaths = committed(fs, new Path(root, "meta")).map(_._2.toString)
+    val metaSegs = committed(fs, new Path(root, "meta"))
+    val metaPaths = metaSegs.map(_._2.toString)
     require(metaPaths.nonEmpty, s"no committed meta segments under $stateDir")
+    // loud input contract (ADVICE r16): a crash between the ladder's
+    // verdict commit and the meta commit — or a lost meta _SUCCESS —
+    // read BEFORE the repairing retry would otherwise hand that
+    // batch's kept docs silent NULL split/tok/cluster_id, violating
+    // the manifest's own null discipline. One listStatus per store;
+    // [[maintain]] preserves the invariant by folding both stores in
+    // one atomic swap (and re-checks it before folding).
+    requireMetaCoversVerdicts(fs, root, stateDir)
     val disp = IncrementalHygieneLadder.dispositions(spark, stateDir, idCol)
       .localCheckpoint(true)
     val keptMeta = spark.read.parquet(metaPaths: _*)

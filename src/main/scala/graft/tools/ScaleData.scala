@@ -22,14 +22,17 @@ import org.apache.spark.sql.functions._
   *    vectors indexed against a fixed trained quantizer). Copies
   *    share vector VALUES, so scaled search results stay well-defined
   *    through the (distance, id) tie-break both engines use.
-  *  - `documents`: each copy offsets doc_id AND prefixes every token
-  *    with a copy tag (`~1~the ~1~quick ...` — '~' is asserted absent
-  *    from the source corpus, so no source token can alias a tagged
-  *    one), making copies pairwise disjoint in shingle space. Prefixing every token uniformly is a
-  *    Jaccard-preserving bijection per copy, so d03's true-pair count
-  *    scales exactly linearly — no cross-copy near-dups, no artificial
-  *    candidate blowup that would make the scaled run LOOK
-  *    superlinear. Copy 0 is byte-identical to the source corpus.
+  *  - `documents`: each copy offsets doc_id AND prefixes every
+  *    NON-STOPWORD token with the copy number in digits (`the 1quick
+  *    1fox ...`), making non-stopword tokens pairwise disjoint across
+  *    copies while preserving the t03 quality score BIT-EXACTLY
+  *    (token count, stopword hits and punct count are all unchanged —
+  *    see the inline derivation), so the quality gate keeps the same
+  *    per-copy set and post-quality pipeline stages finally see a
+  *    corpus that scales ∝ SF (the r16 copy-tag artifact, fixed).
+  *    Tagging is a Jaccard-preserving bijection per copy, so dedup
+  *    pair structure replicates copy 0 per copy. Copy 0 is
+  *    byte-identical to the source corpus.
   *  - everything else: copied verbatim (dims don't scale).
   *
   * Output keeps the driver's single-file-per-table layout
@@ -89,28 +92,48 @@ object ScaleData {
     replicate("orders") { (df, _) =>
       df.withColumn("o_orderkey", $"o_orderkey" + $"__k" * lit(span))
     }
-    // The copy tag must be a character the source alphabet cannot
-    // produce, or tagging is not a disjoint bijection: with a plain
-    // "c<k>" prefix, copy 0's literal token "c1foo" equals copy 1's
-    // tagging of "foo", creating cross-copy shingle overlap that biases
-    // the linear-scaling measurement. It must ALSO be single-byte
-    // ASCII: the first choice here ('§', 2 UTF-8 bytes) made DuckDB's
-    // BYTE-based levenshtein disagree with Spark's codepoint-based one
-    // on the scale-up (9 vs the correct 7 on a d11 pair) — the base
-    // corpus is pure ASCII, so the tag must not introduce the one
-    // multi-byte character that splits the engines. '~' is
-    // out-of-alphabet AND one byte — assert it, don't assume it.
-    val marker = "~"
-    require(
-      spark.read.parquet(s"$inDir/documents.parquet")
-        .filter($"text".contains(marker)).isEmpty,
-      s"source corpus contains the copy-tag marker '$marker'; pick another")
-    replicate("documents") { (df, _) =>
-      df.withColumn("doc_id", $"doc_id" + $"__k" * lit(docSpan))
-        .withColumn("text",
-          when($"__k" === 0, $"text").otherwise(
-            regexp_replace($"text", lit("(\\S+)"),
-              concat(lit(marker), $"__k".cast("string"), lit(marker), lit("$1")))))
+    // The copy tag must be QUALITY-NEUTRAL: r16's '~<k>~' prefix on
+    // every token sank every non-zero copy at the t03 quality gate
+    // ('~' counts as punctuation and the tagged stopwords stop
+    // matching the stopword list), so every post-quality pipeline
+    // stage saw a copy-0-sized corpus at any SF (SCALE.md r16; the
+    // round-16 watch item). t03's score is
+    //   1 − |stopword_ratio − 0.4| − punct_ratio
+    // so a tag preserves it exactly iff it (a) leaves token count
+    // unchanged, (b) leaves stopword tokens untouched and never turns
+    // a tagged token INTO a stopword, and (c) adds no punctuation
+    // (chars outside [a-z0-9 ]). Digit prefixes on NON-stopword
+    // tokens satisfy all three against this corpus, which is asserted
+    // strictly [a-z ]: digits are not punct, no source token contains
+    // a digit (so '12foo' parses unambiguously as copy 12 — the
+    // maximal digit prefix — and can never alias a source token or
+    // another copy's tag), and a digit-bearing token is never in the
+    // stopword list. Per copy the map token→'<k>'+token (stopwords
+    // fixed) is a bijection on tokens and hence on word shingles, so
+    // within-copy Jaccard — and with it every dedup/repetition/
+    // quality verdict that is a function of token identity structure —
+    // replicates copy 0 exactly, while non-stopword tokens stay
+    // pairwise disjoint across copies. Residue (measured, documented
+    // in SCALE.md): copies now SHARE all-stopword shingles (runs of
+    // ≥5 consecutive stopwords, p ≈ 0.065^5 per position) and a doc
+    // of ONLY stopwords would be cross-copy byte-identical; both are
+    // ~1-in-10^6 events that cannot push a cross-copy pair over any
+    // Jaccard threshold, and every checker recomputes the same data
+    // both engines read, so they bias no measurement.
+    locally {
+      val src = spark.read.parquet(s"$inDir/documents.parquet")
+      require(src.filter(!$"text".rlike("^[a-z ]*$")).isEmpty,
+        "source corpus must be strictly [a-z ] for quality-neutral digit " +
+          "tagging (digit-free: tag parse; punct-free: punct_ratio stays 0)")
+      val stopAlt = graft.functions.TextFunctions.stopwords.mkString("|")
+      replicate("documents") { (df, _) =>
+        df.withColumn("doc_id", $"doc_id" + $"__k" * lit(docSpan))
+          .withColumn("text",
+            when($"__k" === 0, $"text").otherwise(
+              regexp_replace($"text",
+                lit(s"(?<![a-z0-9])(?!(?:$stopAlt)(?![a-z0-9]))([a-z]+)"),
+                concat($"__k".cast("string"), lit("$1")))))
+      }
     }
     // `events`: each copy keeps the SAME users but shifts time by
     // copy × (span rounded up to whole days + 1) — the platform ages

@@ -91,23 +91,46 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(prev("q01_pricing_summary") == 0.5)
   }
 
-  test("stdout line fits the driver's 2000-char tail window for the full headline set") {
+  test("stdout line fits the driver's 2000-char tail window for the FULL registry") {
     // The r9 record came back parsed:null because the line (with three
-    // per-query detail maps inlined) outgrew the tail capture. The line
-    // must stay under 1900 chars — the window also holds sbt's
-    // `[success]` footer — for the CURRENT headline registry, worst-case
-    // formatting (4-digit seconds; failed-rep counts live in
-    // BENCH_DETAIL.json since the registry hit 70 headliners).
-    val names = graft.queries.Registry.headline.map(_.name)
+    // per-query detail maps inlined) outgrew the tail capture; by r16
+    // the per-query map ALONE spent 1808 of the 1900-char budget at 72
+    // headliners. r17 moved it entirely to BENCH_DETAIL.json
+    // (`queries_3dp`) + BENCH_HISTORY.jsonl: the line is now O(1) in
+    // registry size — pin it WELL under budget for the whole registry,
+    // worst-case formatting, so headliner growth can never regress it.
+    val names = graft.queries.Registry.all.map(_.name)
     val results = names.map(n => n -> 9999.999)
     val line = Bench.benchLine(results, "/root/testdata/sf0.1")
-    assert(line.length < 1900,
-      s"bench line ${line.length} chars — would overflow the driver tail window; " +
-        "move fields to BENCH_DETAIL.json or trim the headline set")
+    assert(line.length < 300,
+      s"bench line ${line.length} chars — the slim-line contract regressed")
     assert(line.startsWith("{\"metric\":\"total\""))
-    // and it must be the parseable record the defense reads back
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
-    assert(node.path("queries").size() == names.size)
+    assert(node.path("n").asInt() == names.size)
+    assert(node.path("n_failed").asInt() == 0)
+    assert(node.path("sf").asText() == "sf0.1")
+    // a failed query is visible on the line
+    val line2 = Bench.benchLine(Seq("ok" -> 1.0, "dead" -> -1.0), "/tmp/sf0.1")
+    val node2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line2)
+    assert(node2.path("n_failed").asInt() == 1)
+    assert(node2.path("value").asDouble() == 1.0)
+  }
+
+  test("BENCH_HISTORY.jsonl lines feed the drift trigger (r17 slim-line successor)") {
+    // The slim stdout line carries no per-query map, so driver records
+    // from r17 on are blind to the drift trigger; Bench's own appended
+    // history file is the replacement source — and the min must span
+    // BOTH sources (old round records + history lines).
+    val d = tempDir()
+    writeRound(d, 8, driverJson(0.1, "/root/testdata/sf0.1",
+      Map("s01_ann_bruteforce" -> 1.167)))
+    java.nio.file.Files.write(new java.io.File(d, "BENCH_HISTORY.jsonl").toPath,
+      ("""{"metric":"total","value":9.0,"unit":"sec","queries":{"s01_ann_bruteforce":0.4,"new_q":2.5},"sf":"sf0.1"}""" + "\n" +
+        """{"metric":"total","value":9.0,"unit":"sec","queries":{"new_q":1.75},"sf":"sf0.1"}""" + "\n" +
+        """{"metric":"total","value":9.0,"unit":"sec","queries":{"new_q":0.01},"sf":"sf0.01"}""" + "\n").getBytes("UTF-8"))
+    val prev = Bench.bestPrevQueries(Seq(d), "sf0.1")
+    assert(prev("s01_ann_bruteforce") == 0.4) // min across record + history
+    assert(prev("new_q") == 1.75) // history-only query, cross-SF line excluded
   }
 
   test("planted 4x outlier above the 0.5s floor triggers the rerun") {

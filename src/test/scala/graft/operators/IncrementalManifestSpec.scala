@@ -91,9 +91,74 @@ class IncrementalManifestSpec extends SparkSpec {
         lit(0L).as("tok"), lit(0L).as("mh_0"))
       .write.mode("overwrite").parquet(metaSeg.toString)
     new java.io.File(metaSeg, "_SUCCESS").delete()
+    // a read INSIDE the window must fail loudly with the missing batch
+    // id (ADVICE r16) — not hand the batch's kept docs NULL
+    // split/tok/cluster_id in silence
+    val e = intercept[IllegalArgumentException](
+      IncrementalManifest.manifest(spark, dir, "doc_id").collect())
+    assert(e.getMessage.contains("[1]") &&
+      e.getMessage.contains("no committed meta segment"))
     // uncommitted garbage is invisible to reads and repaired by retry
     ingest(dir, b1, 1L)
     ingest(dir, b2, 2L)
     assert(man(dir) == oneShot)
+  }
+
+  test("maintenance: append loop crosses a compaction, manifest() unchanged") {
+    val dir = freshDir()
+    val cfg = StorePolicy.Config(maxSegments = 1)
+    ingest(dir, b0, 0L)
+    ingest(dir, b1, 1L)
+    val mid = man(dir)
+    // 2 committed segments per sub-store > maxSegments=1 → Compact,
+    // applied to ALL five sub-stores under one atomic root swap
+    assert(IncrementalManifest.maintain(spark, dir, cfg) == StorePolicy.Compact)
+    for (p <- Seq("exact", "near", "spans", "verdicts", "meta")) {
+      val segs = new java.io.File(s"$dir/$p").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+      assert(segs == Seq("batch=0"), s"$p not folded: $segs")
+    }
+    assert(man(dir) == mid, "compaction must be read-identity")
+    // the store keeps serving appends after the swap (fresh id — the
+    // no-pre-swap-id-re-delivery contract), closing the loop end to end
+    assert(IncrementalManifest.processBatchAndMaintain(
+      b2, bench, "doc_id", "text", "source", dir, 2L, cfg = cfg) ==
+      StorePolicy.Compact)
+    assert(man(dir) == oneShot)
+    // quiescent store with default thresholds: nothing to do
+    assert(IncrementalManifest.maintain(spark, dir) == StorePolicy.NoOp)
+  }
+
+  test("maintenance swap crash windows re-converge (resume and rollback)") {
+    val dir = freshDir()
+    ingest(dir, b0, 0L)
+    ingest(dir, b1, 1L)
+    val mid = man(dir)
+    val (live, work, old) =
+      (new java.io.File(dir), new java.io.File(dir + ".maint"), new java.io.File(dir + ".old"))
+    // window 1 — crash BETWEEN the two renames: live dir absent, .old
+    // holds the pre-swap store, .maint is root-committed. Recovery at
+    // the next maintain entry must resume the swap (keep .maint).
+    assert(live.renameTo(work))
+    new java.io.File(work, "_SUCCESS").createNewFile()
+    assert(old.mkdirs()) // stale pre-swap leftovers
+    IncrementalManifest.maintain(spark, dir)
+    assert(live.isDirectory && !work.exists() && !old.exists())
+    assert(man(dir) == mid)
+    // window 2 — crash DURING the copy: live store intact, .maint
+    // uncommitted junk, no .old. Recovery deletes the junk; the store
+    // answers unchanged.
+    assert(work.mkdirs())
+    new java.io.File(work, "junk").createNewFile()
+    IncrementalManifest.maintain(spark, dir)
+    assert(!work.exists())
+    assert(man(dir) == mid)
+    // window 3 — rollback: live dir absent, .maint NOT root-committed,
+    // .old holds the real store. Recovery must restore .old.
+    assert(live.renameTo(old))
+    assert(work.mkdirs())
+    IncrementalManifest.maintain(spark, dir)
+    assert(live.isDirectory && !old.exists())
+    assert(man(dir) == mid)
   }
 }

@@ -15,7 +15,7 @@ budget, with NO loss of coverage:
            verified kept set, compared against pipe02's downstream
            columns. One LSH chain instead of two.
 """
-import json, math, sys
+import json, math, re, sys
 import duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
@@ -43,10 +43,17 @@ print("OK stage A: pipe02.dropped_at == verified pipe01 dump, all docs")
 # read them from the oracle SQL itself to avoid drift
 osql = json.loads(open(f"{out}/oracle_sql.json").read())["pipe02_manifest"]
 # extract everything from 'ksrc AS MATERIALIZED' onwards, swapping the
-# s6 source for the verified kept set
+# s6 source for the verified kept set. Word-boundary rewrites with
+# asserted counts: an unanchored replace("FROM s6", ...) would slice a
+# future 's6x' CTE or silently rewrite nothing if the oracle drifts —
+# stage B must fail LOUDLY on drift, not verify a corrupted query
+# (ADVICE r16).
+assert osql.count("ksrc AS MATERIALIZED") == 1, \
+    "oracle drift: expected exactly one 'ksrc AS MATERIALIZED' anchor"
 i = osql.index("ksrc AS MATERIALIZED")
 tail = osql[i:]
-tail = tail.replace("FROM s6", "FROM s6v")
+tail, n_sub = re.subn(r"\bFROM s6\b", "FROM s6v", tail)
+assert n_sub == 1, f"oracle drift: expected exactly 1 'FROM s6' in the tail, rewrote {n_sub}"
 prefix = """WITH RECURSIVE s6v AS MATERIALIZED (
     SELECT d.doc_id,
       trim(regexp_replace(regexp_replace(nfc_normalize(d.text),
@@ -58,6 +65,8 @@ prefix = """WITH RECURSIVE s6v AS MATERIALIZED (
 # the final SELECT in `tail` joins the disposition CTE chain (corp,
 # s1..s6) which we did not build -- replace it with a downstream-only
 # projection over the verified kept set
+assert tail.count("SELECT c.doc_id,") == 1, \
+    "oracle drift: expected exactly one final 'SELECT c.doc_id,' projection"
 j = tail.index("SELECT c.doc_id,")
 stage_b = prefix + tail[:j] + """
   SELECT k.doc_id,
