@@ -312,7 +312,46 @@ object PipelineQueries {
     Some {
       val th = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
       val splitHash = th("CAST(coalesce(c2.comp, k.doc_id) AS VARCHAR)")
-      s"""WITH RECURSIVE $ladderSql,
+      // NO `WITH RECURSIVE`: DuckDB 1.0 re-inlines every CTE per
+      // reference inside a recursive WITH block — `AS MATERIALIZED`
+      // stops protecting the ladder chain and the one-shot oracle
+      // exhausted >79 GB of spill at sf10 (r16's capacity wall; d12's
+      // lesson with a new face). Both formerly-recursive walks unroll
+      // to bounded MATERIALIZED ladders with error() convergence
+      // guards (lpCompSql's self-checking pattern): components via
+      // min-label propagation (rounds cover LSH-dense component
+      // eccentricity), packing via the bin-boundary ladder below.
+      val LpRounds = 10
+      val lpRounds = (1 to LpRounds).map { i =>
+        s"""lab2_$i AS MATERIALIZED (
+        SELECT v, min(lab) AS lab FROM (
+          SELECT v, lab FROM lab2_${i - 1}
+          UNION ALL
+          SELECT e.a AS v, l.lab FROM und2 e JOIN lab2_${i - 1} l ON l.v = e.b)
+        GROUP BY v)"""
+      }.mkString(",\n      ")
+      // Max bins per shard the unroll covers. Next-fit bin i+1 starts
+      // at the first position whose capacity-window prefix sum
+      // overflows bin i — each ladder round derives one more boundary
+      // per shard from the (shard, pos, cum) prefix frame, so rounds
+      // needed = max bins in any shard. The mixture gate bounds
+      // selected TRAIN tokens at ~budget per source at EVERY SF
+      // (that is its job), so bins/shard is SF-independent and small;
+      // the guard raises rather than silently truncating if a corpus
+      // ever outgrows it.
+      val PackBins = 16
+      val packRounds = (2 to PackBins).map { i =>
+        s"""pkb_$i AS MATERIALIZED (
+        SELECT b.shard, CAST($i AS BIGINT) AS bin_id,
+          min(p.pos) AS start, arg_min(p.cum - p.tok, p.pos) AS base
+        FROM pkb_${i - 1} b JOIN pre2 p
+          ON p.shard = b.shard AND p.pos > b.start
+          AND p.cum - b.base > $Pipe02Capacity
+        GROUP BY b.shard)"""
+      }.mkString(",\n      ")
+      val packUnion = (1 to PackBins).map(i => s"SELECT * FROM pkb_$i")
+        .mkString("\n        UNION ALL ")
+      s"""WITH $ladderSql,
       -- kept corpus with source + token census
       ksrc AS MATERIALIZED (
         SELECT k.doc_id, d.source, k.tok FROM
@@ -332,16 +371,24 @@ object PipelineQueries {
         GROUP BY c.doc_a, c.doc_b),
       p2 AS MATERIALIZED (
         SELECT doc_a, doc_b FROM est2 WHERE est_sim >= 0.5),
-      und AS (
+      und2 AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM p2
         UNION SELECT doc_b, doc_a FROM p2),
-      reach AS (
-        SELECT a, b FROM und
-        UNION
-        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      -- unrolled min-label propagation (lpCompSql's pattern): each
+      -- round is edge-sized; a recursive transitive closure would
+      -- materialize O(Σ cluster²) rows AND poison the whole WITH
+      -- block's MATERIALIZED protection
+      lab2_0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lab FROM und2),
+      $lpRounds,
+      conv2 AS (
+        SELECT CASE WHEN count(*) > 0 THEN error(
+            'pipe02 label propagation not converged after $LpRounds rounds')
+          ELSE 0 END AS chk
+        FROM lab2_$LpRounds x
+        JOIN lab2_${LpRounds - 1} y ON y.v = x.v AND y.lab <> x.lab),
       comps AS (
-        SELECT a AS doc_id, least(a, min(b)) AS comp
-        FROM reach GROUP BY a),
+        SELECT v AS doc_id, lab AS comp FROM lab2_$LpRounds
+        WHERE (SELECT chk FROM conv2) = 0),
       -- leakage-safe cluster split
       splitd AS MATERIALIZED (
         SELECT k.doc_id, k.source, k.tok,
@@ -368,15 +415,39 @@ object PipelineQueries {
         FROM (SELECT doc_id, tok,
                 ${th("'p2e0_' || CAST(doc_id AS VARCHAR)")} AS h
               FROM gate WHERE sel)),
-      -- next-fit packing within each shard in shuffle order
+      -- next-fit packing within each shard in shuffle order, as the
+      -- UNROLLED bin-boundary ladder: with cum = prefix-sum(tok), the
+      -- bin starting at s (whose preceding prefix is base = cum(s-1))
+      -- ends right before the first pos t > s with cum(t) - base >
+      -- capacity — uniformly correct for the jumbo-doc case too (a
+      -- doc with tok > capacity opens a bin whose fill already
+      -- overflows, so the very next pos breaks). Each round derives
+      -- one more boundary per shard; a doc's bin_id is the count of
+      -- boundaries at or before its position.
+      pre2 AS MATERIALIZED (
+        SELECT shard, pos, doc_id, tok,
+          CAST(sum(tok) OVER (PARTITION BY shard ORDER BY pos) AS BIGINT) AS cum
+        FROM shd),
+      pkb_1 AS MATERIALIZED (
+        SELECT shard, CAST(1 AS BIGINT) AS bin_id, CAST(1 AS BIGINT) AS start,
+          CAST(0 AS BIGINT) AS base
+        FROM (SELECT DISTINCT shard FROM pre2)),
+      $packRounds,
+      pkb_all AS MATERIALIZED (
+        $packUnion),
+      convp AS (
+        SELECT CASE WHEN count(*) > 0 THEN error(
+            'pipe02 packing unroll exhausted $PackBins bins in a shard')
+          ELSE 0 END AS chk
+        FROM pkb_all b JOIN pre2 p
+          ON b.bin_id = $PackBins AND p.shard = b.shard
+          AND p.pos > b.start AND p.cum - b.base > $Pipe02Capacity),
       pack2 AS (
-        SELECT shard, pos, doc_id, tok, CAST(1 AS BIGINT) AS bin_id, tok AS fill
-        FROM shd WHERE pos = 1
-        UNION ALL
-        SELECT t.shard, t.pos, t.doc_id, t.tok,
-          CASE WHEN p.fill + t.tok <= $Pipe02Capacity THEN p.bin_id ELSE p.bin_id + 1 END,
-          CASE WHEN p.fill + t.tok <= $Pipe02Capacity THEN p.fill + t.tok ELSE t.tok END
-        FROM pack2 p JOIN shd t ON t.shard = p.shard AND t.pos = p.pos + 1)
+        SELECT p.shard, p.pos, p.doc_id, p.tok, max(b.bin_id) AS bin_id
+        FROM pre2 p JOIN pkb_all b
+          ON b.shard = p.shard AND b.start <= p.pos
+        WHERE (SELECT chk FROM convp) = 0
+        GROUP BY p.shard, p.pos, p.doc_id, p.tok)
       SELECT c.doc_id, $droppedAtSql AS dropped_at,
         sp.cluster_id AS cluster_id, sp.split AS split,
         CASE WHEN sp.doc_id IS NULL THEN NULL

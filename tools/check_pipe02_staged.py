@@ -52,9 +52,11 @@ assert osql.count("ksrc AS MATERIALIZED") == 1, \
     "oracle drift: expected exactly one 'ksrc AS MATERIALIZED' anchor"
 i = osql.index("ksrc AS MATERIALIZED")
 tail = osql[i:]
+# exactly two reads of s6 in the tail: ksrc's token census and the
+# cluster chain's shingle scan (lshCandSql("s6","2"))
 tail, n_sub = re.subn(r"\bFROM s6\b", "FROM s6v", tail)
-assert n_sub == 1, f"oracle drift: expected exactly 1 'FROM s6' in the tail, rewrote {n_sub}"
-prefix = """WITH RECURSIVE s6v AS MATERIALIZED (
+assert n_sub == 2, f"oracle drift: expected exactly 2 'FROM s6' in the tail, rewrote {n_sub}"
+prefix = """WITH s6v AS MATERIALIZED (
     SELECT d.doc_id,
       trim(regexp_replace(regexp_replace(nfc_normalize(d.text),
         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f\\x{200b}-\\x{200f}\\x{2060}\\x{feff}]', '', 'g'),
