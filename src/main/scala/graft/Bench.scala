@@ -238,6 +238,10 @@ object Bench {
   /** The ONE stdout record line. Contract fields only
     * (metric/value/unit/n/n_failed/sf): the driver parses this from a
     * 2000-char stdout tail that also holds sbt's `[success]` footer.
+    * The driver-tolerates-no-`queries` question (ADVICE r17) is
+    * settled empirically: BENCH_r17.json went through the real driver
+    * on this slim shape and came back rc=0 with `parsed` populated
+    * (metric/value/unit/n/n_failed/sf) — the slim line is safe.
     * The per-query seconds map moved ENTIRELY to BENCH_DETAIL.json
     * (`queries_3dp`) in r17 — at 72 headliners the map alone spent
     * 1808 of the 1900-char budget, leaving no headroom for new

@@ -425,16 +425,25 @@ object IncrementalGraphAnn {
       entries: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     // numeric-id contract, enforced in-plan (the NnDescent assert_true
-    // pattern, zero extra actions): a non-numeric idCol would cast to
-    // NULL and silently collapse every probe into one q_id group
-    // (ADVICE r16) — fail loudly per offending row instead.
+    // pattern, zero extra actions): a non-numeric OR NULL idCol would
+    // otherwise collapse every such probe into one NULL q_id group
+    // (ADVICE r16 + r17) — fail loudly per offending row with the
+    // offending value instead. Two eval traps this shape dodges:
+    //  - try_cast, not cast: under ANSI (the Spark 4 default) a plain
+    //    cast throws its own generic CAST_INVALID_INPUT before this
+    //    guard's message can fire; under non-ANSI it nulls silently;
+    //  - the assert must be a CaseWhen VALUE branch, never an addend:
+    //    Add is null-intolerant and short-circuits left-to-right, so
+    //    `nullId + assert_true(...)` returns NULL without ever
+    //    evaluating the assert (measured — the r17 guard shape was
+    //    dead code under both ANSI modes).
+    val tryId = expr(s"try_cast(`$idCol` AS BIGINT)")
     val q = batch.select(
-      (col(idCol).cast("long") + coalesce(
-        when(col(idCol).isNotNull && col(idCol).cast("long").isNull,
-          assert_true(lit(false),
-            concat(lit(s"decontaminateBatch requires a numeric '$idCol'; got: "),
-              col(idCol))).cast("long")),
-        lit(0L))).as("q_id"),
+      when(tryId.isNull,
+        assert_true(lit(false),
+          concat(lit(s"decontaminateBatch requires a non-null numeric '$idCol'; got: "),
+            coalesce(col(idCol).cast("string"), lit("NULL")))).cast("long"))
+        .otherwise(tryId).as("q_id"),
       col(vecCol).as("q_emb"))
     val hits =
       searchTopKDistributed(spark, stateDir, q, k, beam, hops, belowBatch, entries)

@@ -164,8 +164,13 @@ object IncrementalManifest {
     else {
       // the fold must not bake in a verdicts/meta crash window — after
       // renumbering the subset check could never catch it (manifest()'s
-      // contract note)
-      if (committed(fs, new Path(root, "meta")).nonEmpty)
+      // contract note). Gate on VERDICTS having segments, not meta: if
+      // the FIRST batch crashed between the verdict and meta commits,
+      // meta is entirely empty and an aggressive maintain would
+      // otherwise compact the orphan verdicts to batch 0, destroying
+      // the re-delivery repair path (ADVICE r17). With an empty metaIds
+      // set the guard already fails loudly with the full missing list.
+      if (committed(fs, new Path(root, "verdicts")).nonEmpty)
         requireMetaCoversVerdicts(fs, root, stateDir)
       present.foreach { p =>
         SegmentCompaction.compactedCopy(spark, p.toString,

@@ -206,4 +206,24 @@ class IncrementalGraphAnnSpec extends SparkSpec {
     assert(!victims.exists(v => drv.exists(_.contains(s",$v,"))),
       "a tombstoned id survived in search results")
   }
+
+  test("decontaminateBatch fails loudly on non-numeric AND on NULL ids " +
+    "instead of collapsing them into one q_id group") {
+    val dir = freshDir()
+    IncrementalGraphAnn.createIndex(
+      emb.filter(col("vec_id") < 64), dir, K, rounds = 1)
+    val v = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    def run(id: String): Unit = IncrementalGraphAnn.decontaminateBatch(
+      Seq((id, v)).toDF("doc_id", "embedding"),
+      dir, "doc_id", "embedding", K, Beam, Hops, tauMicro = 0L).collect()
+    run("7") // numeric-string id: the happy path still works
+    for (bad <- Seq("seven", null: String)) {
+      val e = intercept[Exception](run(bad))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("requires a non-null numeric"),
+        s"id=$bad: wrong failure: $msgs")
+    }
+  }
 }

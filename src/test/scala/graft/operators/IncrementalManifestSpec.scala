@@ -161,4 +161,32 @@ class IncrementalManifestSpec extends SparkSpec {
     assert(live.isDirectory && !old.exists())
     assert(man(dir) == mid)
   }
+
+  test("first-batch crash window: maintain refuses to compact orphan verdicts " +
+    "even when meta is entirely empty") {
+    val dir = freshDir()
+    ingest(dir, b0, 0L)
+    ingest(dir, b1, 1L)
+    val mid = man(dir)
+    // crash window at the very start of the store's life: EVERY meta
+    // commit is lost, so meta has no committed segment at all. The
+    // guard must still fire (gate on verdicts having segments, not
+    // meta — ADVICE r17): an aggressive maintain that skipped it would
+    // renumber the orphan verdicts to batch 0, destroying the
+    // re-delivery repair path (re-delivered docs screen as exact dups
+    // under the fresh-id contract) and leaving manifest()'s subset
+    // check permanently failing with an unrepairable batch 0.
+    for (b <- Seq(0, 1))
+      assert(new java.io.File(s"$dir/meta/batch=$b/_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException](
+      IncrementalManifest.maintain(spark, dir, StorePolicy.Config(maxSegments = 1)))
+    assert(e.getMessage.contains("[0, 1]") &&
+      e.getMessage.contains("no committed meta segment"))
+    // no swap started (the guard fires before any copy) and the
+    // documented repair — re-deliver the batches — still works
+    assert(!new java.io.File(dir + ".maint").exists())
+    ingest(dir, b0, 0L)
+    ingest(dir, b1, 1L)
+    assert(man(dir) == mid)
+  }
 }
