@@ -40,12 +40,16 @@ con = duckdb.connect()
 # big-SF oracles must SPILL, not OOM: with no temp_directory an
 # in-memory DuckDB cannot spill at all, and the default memory_limit
 # (80% of RAM) lets one sf10 oracle grow past the host's memory and
-# get OOM-killed mid-comparison (r18: s12's 130 GB RSS kill). 60GB
-# leaves headroom for a concurrent Spark JVM; order is irrelevant to
-# the hash compare (rows are sorted).
+# get OOM-killed mid-comparison (r18: s12's 130 GB RSS kill). The
+# default 60GB leaves headroom for a concurrent Spark JVM; a SOLO
+# big one-shot (pipe01 at sf10 needs ~100GB workspace, more than the
+# host's free disk can absorb as spill under a low cap) can raise it
+# via DUCKDB_MEMORY_LIMIT. Order is irrelevant to the hash compare
+# (rows are sorted).
+import os
 con.execute("SET preserve_insertion_order=false")
 con.execute("SET temp_directory='/tmp/duck_spill'")
-con.execute("SET memory_limit='60GB'")
+con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEMORY_LIMIT', '60GB')}'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")

@@ -4,27 +4,45 @@
 The one-shot pipe02 oracle replays TWO full LSH chains (the ladder's
 near-dedup over s1 plus the cluster stage over s6) in a single DuckDB
 query; at sf10 the cumulative MATERIALIZED spill exceeds the disk.
-This decomposes the verification into two DuckDB passes, each within
+This decomposes the verification into DuckDB passes, each within
 budget, with NO loss of coverage:
 
-  stage A: pipe02's ladder interface == the hash-verified pipe01 dump
-           (dropped_at equality per doc, exact set match), pure
-           dump-vs-dump SQL;
-  stage B: the downstream chain (kept census -> LSH clusters -> split
-           -> gate -> shard -> pack) recomputed in DuckDB FROM the
-           verified kept set, compared against pipe02's downstream
-           columns. One LSH chain instead of two.
+  stage A:  pipe02's ladder interface == the hash-verified pipe01 dump
+            (dropped_at equality per doc, exact set match), pure
+            dump-vs-dump SQL;
+  stage B0: the per-doc MinHash census (lsh_sh2 -> hashed2 -> mh2) of
+            the verified kept set, materialized into a real table in
+            doc-id chunks. This is the memory monster: on the
+            quality-neutral corpus the kept set is ~374k docs at sf10
+            (it scales with SF since r17 — the whole point of the
+            tagging fix), so the shingle x 12-hash explosion is ~880M
+            intermediate rows; as ONE query it exhausted 100 GB of
+            memory plus the host's 78 GB of spill disk (measured r18).
+            Chunking is lossless: every census row is a function of
+            one doc.
+  stage B1: the remaining downstream chain (bands -> candidates ->
+            components ladder -> split -> gate -> shard -> pack),
+            reading mh2 FROM the materialized table — band-count-sized
+            frames, light — compared against pipe02's downstream
+            columns.
+
+All oracle SQL is extracted from the registry's own pipe02 oracle with
+word-boundary rewrites and ASSERTED counts: stage B must fail LOUDLY
+on oracle drift, not verify a corrupted query (ADVICE r16).
+
+Usage: python3 tools/check_pipe02_staged.py [sfDir] [outDir] [nchunks]
 """
 import json, math, re, sys
 import duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf10"
+nchunks = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
 con = duckdb.connect()
 con.execute("SET preserve_insertion_order=false")
 con.execute("SET temp_directory='/tmp/duck_spill'")
-con.execute("SET memory_limit='100GB'")
+con.execute("SET memory_limit='60GB'")
 con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
 con.execute(f"CREATE VIEW p1 AS SELECT * FROM '{out}/pipe01_hygiene_ladder/*.parquet'")
 con.execute(f"CREATE VIEW p2 AS SELECT * FROM '{out}/pipe02_manifest/*.parquet'")
@@ -38,48 +56,64 @@ if bad:
     sys.exit(1)
 print("OK stage A: pipe02.dropped_at == verified pipe01 dump, all docs")
 
-# -- stage B: downstream chain from the verified kept set -----------
-# constants mirror PipelineQueries: NumHashes=60 P=2147483647 BandRows=?
-# read them from the oracle SQL itself to avoid drift
-osql = json.loads(open(f"{out}/oracle_sql.json").read())["pipe02_manifest"]
-# extract everything from 'ksrc AS MATERIALIZED' onwards, swapping the
-# s6 source for the verified kept set. Word-boundary rewrites with
-# asserted counts: an unanchored replace("FROM s6", ...) would slice a
-# future 's6x' CTE or silently rewrite nothing if the oracle drifts —
-# stage B must fail LOUDLY on drift, not verify a corrupted query
-# (ADVICE r16).
-assert osql.count("ksrc AS MATERIALIZED") == 1, \
-    "oracle drift: expected exactly one 'ksrc AS MATERIALIZED' anchor"
-i = osql.index("ksrc AS MATERIALIZED")
-tail = osql[i:]
-# exactly two reads of s6 in the tail: ksrc's token census and the
-# cluster chain's shingle scan (lshCandSql("s6","2"))
-tail, n_sub = re.subn(r"\bFROM s6\b", "FROM s6v", tail)
-assert n_sub == 2, f"oracle drift: expected exactly 2 'FROM s6' in the tail, rewrote {n_sub}"
-prefix = """WITH s6v AS MATERIALIZED (
+# -- the verified kept set, normalized like the oracle's corp --------
+con.execute("""
+  CREATE TABLE s6v_t AS
     SELECT d.doc_id,
       trim(regexp_replace(regexp_replace(nfc_normalize(d.text),
         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f\\x{200b}-\\x{200f}\\x{2060}\\x{feff}]', '', 'g'),
         '[\\t\\n\\r \\p{Zs}]+', ' ', 'g'), ' ') AS text
     FROM documents d JOIN p1 ON p1.doc_id = d.doc_id
-    WHERE p1.dropped_at = 'kept'),
-  """
-# the final SELECT in `tail` joins the disposition CTE chain (corp,
-# s1..s6) which we did not build -- replace it with a downstream-only
-# projection over the verified kept set
+    WHERE p1.dropped_at = 'kept'""")
+kept_n = con.sql("SELECT count(*) FROM s6v_t").fetchone()[0]
+print(f"kept set: {kept_n} docs")
+
+# -- carve the oracle's own SQL at asserted anchors ------------------
+osql = json.loads(open(f"{out}/oracle_sql.json").read())["pipe02_manifest"]
+assert osql.count("ksrc AS MATERIALIZED") == 1, \
+    "oracle drift: expected exactly one 'ksrc AS MATERIALIZED' anchor"
+tail = osql[osql.index("ksrc AS MATERIALIZED"):]
+assert len(re.findall(r"\bFROM s6\b", tail)) == 2, \
+    "oracle drift: expected exactly 2 'FROM s6' reads in the tail"
+assert tail.count("lsh_sh2 AS (") == 1 and tail.count("bands2 AS (") == 1, \
+    "oracle drift: lsh_sh2/bands2 anchors not found exactly once"
+
+# census block = lsh_sh2 -> hashed2 -> mh2 (per-doc, chunkable)
+ci, cj = tail.index("lsh_sh2 AS ("), tail.index("bands2 AS (")
+census = tail[ci:cj].rstrip().rstrip(",")
+assert len(re.findall(r"\bFROM s6\b", census)) == 1, \
+    "oracle drift: the census block must read s6 exactly once"
+
+# -- stage B0: materialize the census in doc-id chunks ---------------
+con.execute("CREATE TABLE mh2_t (doc_id BIGINT, i BIGINT, mv BIGINT)")
+for c in range(nchunks):
+    chunk = census.replace(
+        "FROM s6", f"FROM (SELECT * FROM s6v_t WHERE doc_id % {nchunks} = {c})")
+    con.execute(f"INSERT INTO mh2_t WITH {chunk} SELECT doc_id, i, mv FROM mh2")
+    print(f"OK stage B0 chunk {c + 1}/{nchunks}")
+rows = con.sql("SELECT count(*) FROM mh2_t").fetchone()[0]
+assert rows == kept_n * 12, f"census incomplete: {rows} != {kept_n} * 12"
+
+# -- stage B1: downstream chain off the materialized census ----------
+# splice: ksrc reads s6v_t; the census CTEs collapse to a read of
+# mh2_t; everything from bands2 on is the oracle's own text.
+head = tail[:ci].replace("FROM s6)", "FROM s6v_t)")
+assert "FROM s6v_t)" in head, "oracle drift: ksrc's FROM s6 not rewritten"
 assert tail.count("SELECT c.doc_id,") == 1, \
     "oracle drift: expected exactly one final 'SELECT c.doc_id,' projection"
 j = tail.index("SELECT c.doc_id,")
-stage_b = prefix + tail[:j] + """
+stage_b = ("WITH " + head +
+           "mh2 AS (SELECT doc_id, i, mv FROM mh2_t),\n      " +
+           tail[cj:j] + """
   SELECT k.doc_id,
     sp.cluster_id AS cluster_id, sp.split AS split,
     CASE WHEN sp.split = 'train' THEN g.sel ELSE true END AS selected,
     sp.tok AS tok, sh2.shard AS shard, sh2.pos AS pos, pk.bin_id AS bin_id
-  FROM s6v k
+  FROM s6v_t k
   LEFT JOIN splitd sp ON sp.doc_id = k.doc_id
   LEFT JOIN gate g ON g.doc_id = k.doc_id
   LEFT JOIN shd sh2 ON sh2.doc_id = k.doc_id
-  LEFT JOIN pack2 pk ON pk.doc_id = k.doc_id"""
+  LEFT JOIN pack2 pk ON pk.doc_id = k.doc_id""")
 
 
 def canon(rel):
@@ -114,4 +148,8 @@ if got != exp:
     for g, e in [(g, e) for g, e in zip(got, exp) if g != e][:3]:
         print("   spark: ", g, "\n   duckdb:", e)
     sys.exit(1)
-print(f"OK stage B: downstream chain matches over {len(got)} kept docs")
+n_clusters = con.sql(
+    "SELECT count(DISTINCT cluster_id) FROM p2 WHERE dropped_at = 'kept' "
+    "AND cluster_id IS NOT NULL").fetchone()[0]
+print(f"OK stage B: downstream chain matches over {len(got)} kept docs "
+      f"({n_clusters} distinct clusters)")
