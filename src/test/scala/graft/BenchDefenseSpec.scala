@@ -101,7 +101,7 @@ class BenchDefenseSpec extends AnyFunSuite {
     // worst-case formatting, so headliner growth can never regress it.
     val names = graft.queries.Registry.all.map(_.name)
     val results = names.map(n => n -> 9999.999)
-    val line = Bench.benchLine(results, "/root/testdata/sf0.1")
+    val line = Bench.benchLine(results, "/root/testdata/sf0.1", 12.34)
     assert(line.length < 300,
       s"bench line ${line.length} chars — the slim-line contract regressed")
     assert(line.startsWith("{\"metric\":\"total\""))
@@ -109,6 +109,12 @@ class BenchDefenseSpec extends AnyFunSuite {
     assert(node.path("n").asInt() == names.size)
     assert(node.path("n_failed").asInt() == 0)
     assert(node.path("sf").asText() == "sf0.1")
+    // load1 rides the line (r19): a noisy-host total must be
+    // self-describing in BENCH_r*.json, not only in BENCH_DETAIL
+    assert(node.path("load1").asDouble() == 12.34)
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.benchLine(results, "/tmp/sf0.1"))
+      .path("load1").asDouble() == -1.0)
     // a failed query is visible on the line
     val line2 = Bench.benchLine(Seq("ok" -> 1.0, "dead" -> -1.0), "/tmp/sf0.1")
     val node2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line2)

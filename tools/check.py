@@ -12,7 +12,7 @@ graft.Bench picks that file up and emits a per-query Spark/DuckDB ratio
 — the measurable stand-in for the "within 2x of baseline" gate, since
 the reference publishes no wall-times (BASELINE.md).
 """
-import json, math, subprocess, sys, time
+import json, math, os, subprocess, sys, time
 from pathlib import Path
 
 import duckdb
@@ -21,6 +21,9 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 flags = set(a for a in sys.argv[3:] if a.startswith("--"))
 only = [a for a in sys.argv[3:] if not a.startswith("--")]
+
+from receipts import tee_stdout  # noqa: E402 (needs sys.argv parsed)
+tee_stdout("check", sf, out)
 
 if "--skip-verify" not in flags:
     r = subprocess.run(
@@ -46,7 +49,6 @@ con = duckdb.connect()
 # host's free disk can absorb as spill under a low cap) can raise it
 # via DUCKDB_MEMORY_LIMIT. Order is irrelevant to the hash compare
 # (rows are sorted).
-import os
 con.execute("SET preserve_insertion_order=false")
 con.execute("SET temp_directory='/tmp/duck_spill'")
 con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEMORY_LIMIT', '60GB')}'")

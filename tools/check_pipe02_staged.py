@@ -39,6 +39,9 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf10"
 nchunks = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
+from receipts import tee_stdout  # noqa: E402
+tee_stdout("pipe02_staged", sf, out)
+
 con = duckdb.connect()
 con.execute("SET preserve_insertion_order=false")
 con.execute("SET temp_directory='/tmp/duck_spill'")
@@ -85,14 +88,29 @@ assert len(re.findall(r"\bFROM s6\b", census)) == 1, \
     "oracle drift: the census block must read s6 exactly once"
 
 # -- stage B0: materialize the census in doc-id chunks ---------------
+# the hash count is the oracle's own `range(<n>)` in the mh2 CTE, not a
+# hard-coded mirror of TextDedup.NumHashes (ADVICE r18)
+hash_ns = set(re.findall(r"\brange\((\d+)\)", census))
+assert len(hash_ns) == 1, \
+    f"oracle drift: expected one range(<n>) in the census block, got {hash_ns}"
+num_hashes = int(hash_ns.pop())
 con.execute("CREATE TABLE mh2_t (doc_id BIGINT, i BIGINT, mv BIGINT)")
 for c in range(nchunks):
-    chunk = census.replace(
-        "FROM s6", f"FROM (SELECT * FROM s6v_t WHERE doc_id % {nchunks} = {c})")
+    # word-boundary rewrite with an asserted substitution count, like
+    # stage A: an unanchored replace would silently rewrite a future
+    # 'FROM s6v'-style reference that the \b-anchored guard above
+    # never counted (ADVICE r18)
+    chunk, n_sub = re.subn(
+        r"\bFROM s6\b",
+        f"FROM (SELECT * FROM s6v_t WHERE doc_id % {nchunks} = {c})", census)
+    assert n_sub == 1, f"oracle drift: census rewrite hit {n_sub} sites, expected 1"
     con.execute(f"INSERT INTO mh2_t WITH {chunk} SELECT doc_id, i, mv FROM mh2")
     print(f"OK stage B0 chunk {c + 1}/{nchunks}")
 rows = con.sql("SELECT count(*) FROM mh2_t").fetchone()[0]
-assert rows == kept_n * 12, f"census incomplete: {rows} != {kept_n} * 12"
+docs_cov = con.sql("SELECT count(DISTINCT doc_id) FROM mh2_t").fetchone()[0]
+assert rows == kept_n * num_hashes, (
+    f"census incomplete: {rows} rows != {kept_n} kept x {num_hashes} hashes "
+    f"({docs_cov}/{kept_n} docs covered — a zero-shingle kept doc or a dropped chunk)")
 
 # -- stage B1: downstream chain off the materialized census ----------
 # splice: ksrc reads s6v_t; the census CTEs collapse to a read of

@@ -30,6 +30,9 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
 out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf10")
 nchunks = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+from receipts import tee_stdout  # noqa: E402
+tee_stdout("s12_chunked", sf, out)
+
 sql = json.loads((out / "oracle_sql.json").read_text())["s12_bm25_topk"]
 # anchor on the qt CTE's filter — fail LOUDLY if the oracle drifts
 # rather than verifying a corrupted rewrite (the check_pipe02_staged
