@@ -48,7 +48,13 @@ object Verify {
       // output (check.py then reports "no spark output") — leaving a
       // stale dir would greenlight the previous code's results
       deleteRecursively(new java.io.File(s"$outDir/$name"))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce propagates up to the
+      // last shuffle boundary, so a shuffle-free tail (broadcast join +
+      // per-pair compute) collapses into ONE task — d05's 2 B-pair dot
+      // stage ran single-core for 20+ min at sf10 before this (r19).
+      // repartition inserts an exchange: upstream keeps full
+      // parallelism, only the single-file write is serial.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -48,9 +48,11 @@ object VerifyOne {
       val sql = q.oracle.getOrElse(sys.error(
         s"$name has no oracle SQL — only spec coverage; nothing to dump"))
       // drop any PRIOR dump first: a failing query must leave NO
-      // output, or a --skip-verify re-check greenlights stale results
+      // output, or a --skip-verify re-check greenlights stale results.
+      // repartition(1), not coalesce(1) — see Verify's dump comment
+      // (coalesce collapses a shuffle-free tail into one task).
       Verify.deleteRecursively(new java.io.File(s"$outDir/$name"))
-      q.run(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      q.run(spark, sfDir).repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
       name -> sql
     }
     // Merge with any oracle_sql.json already in outDir: sequential

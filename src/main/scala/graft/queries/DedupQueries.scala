@@ -252,15 +252,28 @@ object DedupQueries {
       // quadratic pair stage does a single dot product per pair instead
       // of three. dot/(nrm_a*nrm_b) is arithmetically identical to the
       // oracle's inline form — same fold, same rounding.
-      // repartition the probe side: the source is one parquet file, and
-      // a broadcast join inherits its (single) partition — the O(pairs)
-      // dot-product stage must run on all cores
+      //
+      // Chunk-salt the equi-join: label alone has ~10 distinct values,
+      // so a join keyed on it caps parallelism at the LABEL COUNT no
+      // matter how many cores or rows there are — measured r19 at sf10
+      // (2.0 B same-label pairs), the pair stage ran 1–6 cores wide
+      // for 20+ min. Salting spreads it over label × C keys: side a is
+      // replicated once per chunk (key cb = the PARTNER's chunk), side
+      // b keeps its own chunk key, so every ordered (a, b) pair meets
+      // on exactly one (label, cb = ck) key — no dedup pass needed and
+      // the id-order filter applies unchanged. The a-side blow-up is
+      // C × n small rows through one shuffle; the quadratic stage —
+      // the actual cost — gains full-cluster parallelism.
+      val C = s.sparkContext.defaultParallelism
       val e = Tables.embeddings(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"label", $"embedding",
-          l2Norm($"embedding").as("nrm"))
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          l2Norm($"embedding").as("nrm"),
+          pmod(hash($"vec_id"), lit(C)).as("ck"))
+      val aExp = e.withColumn("cb", explode(array((0 until C).map(lit): _*)))
+      aExp.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.cb") === col("b.ck") &&
+            col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(try_divide(dot(col("a.embedding"), col("b.embedding")),
             col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
