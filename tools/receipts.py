@@ -41,7 +41,10 @@ def tee_stdout(tool, sf_dir, out_dir):
     try:
         rnd = os.environ.get("GRAFT_ROUND", time.strftime("%Y%m%d"))
         base = Path(sf_dir).name
-        p = Path(out_dir) / f"receipt_{tool}_{base}_{rnd}.txt"
+        # run-time stamp in the NAME: two runs of the same tool+SF+round
+        # must produce two receipts, not silently clobber each other
+        p = Path(out_dir) / (f"receipt_{tool}_{base}_{rnd}"
+                             f"_run{time.strftime('%H%M%S')}.txt")
         p.parent.mkdir(parents=True, exist_ok=True)
         f = open(p, "w", buffering=1)
         docs = Path(sf_dir) / "documents.parquet"
