@@ -62,6 +62,18 @@ assert n_asg == n_src, f"stage A: {n_asg} assigned != {n_src} vectors"
 print(f"OK stage A: assignments materialized ({n_asg} vectors, "
       f"{con.sql('SELECT count(DISTINCT cluster) FROM asg_t').fetchone()[0]} clusters)")
 
+# norms hoisted per VECTOR: the one-shot prs recomputes BOTH self-dots
+# per PAIR (sqrt(list_dot_product(e.embedding, e.embedding)) twice), so
+# a 5 B-pair chunk sweep does 15 B interpreted 64-dim dots (~14 min per
+# 1/20 chunk, measured r19). Materializing the VERBATIM norm expression
+# once per vector is bit-identical (same expression, same row, same
+# fold) and cuts the pair stage to one dot per pair.
+norm_expr = ("sqrt(list_dot_product({0}.embedding::DOUBLE[], "
+             "{0}.embedding::DOUBLE[]))")
+con.execute(
+    "CREATE TABLE emb_n AS SELECT e.*, "
+    + norm_expr.format("e") + " AS nrm FROM embeddings e")
+
 # stage B: the oracle's own prs text against asg_t, chunked by b.vec_id
 prs_body = sql[pi + len(prs_anchor):sql.index("      SELECT a.vec_id")].rstrip()
 assert prs_body.endswith(")"), "s07 oracle drifted: prs block shape changed"
@@ -69,6 +81,13 @@ prs_body = prs_body[:-1]
 prs_body, n1 = re.subn(r"\bFROM asg a JOIN asg b\b",
                        "FROM asg_t a JOIN asg_t b", prs_body)
 assert n1 == 1, f"prs rewrite hit {n1} 'FROM asg a JOIN asg b' sites, expected 1"
+prs_body, ne = re.subn(r"\bJOIN embeddings e([ab]) ON\b", r"JOIN emb_n e\1 ON",
+                       prs_body)
+assert ne == 2, f"emb_n rewrite hit {ne} embeddings-join sites, expected 2"
+for side in ("ea", "eb"):
+    prs_body, nn = re.subn(re.escape(norm_expr.format(side)), f"{side}.nrm",
+                           prs_body)
+    assert nn == 1, f"norm hoist hit {nn} {side}-norm sites, expected 1"
 con.execute("CREATE TABLE drops_t (vb BIGINT)")
 for c in range(nchunks):
     chunk, n2 = re.subn(
