@@ -31,7 +31,15 @@ import org.apache.spark.sql.functions._
   * `^\{`. Identity failures exit nonzero — this tool is also the
   * sf-scale identity gate the specs can't afford.
   *
-  * Usage: runMain graft.tools.IncrementalProbe [sfDir] [nBatches]
+  * Usage: runMain graft.tools.IncrementalProbe [sfDir] [nBatches] [face]
+  *
+  * `face` (all|manifest|graphann, default all) selects one probe so the
+  * two faces can be sized INDEPENDENTLY: appendBatch's intra-batch
+  * candidate pass is |B|² driver tuples BY CONTRACT (micro-batches), so
+  * the graph face needs many small batches, while the manifest face
+  * wants few large ones — one shared nBatches mis-sizes one of them at
+  * big SF (r19: 20k-vector appends stalled the driver in a 400 M-tuple
+  * groupBy for 35+ min; 2k appends run in seconds).
   */
 object IncrementalProbe {
   private def num(v: Double): String =
@@ -40,6 +48,9 @@ object IncrementalProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 10
+    val face = if (args.length > 2) args(2) else "all"
+    require(Set("all", "manifest", "graphann")(face),
+      s"face must be all|manifest|graphann, got '$face'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,7 +72,7 @@ object IncrementalProbe {
       println(s"""{"probe":"$probe","step":"$step","wall_s":${num(wall)}$extra}""")
 
     // ---- probe 1: hygiene ladder + manifest ----
-    locally {
+    if (face != "graphann") locally {
       import graft.core.Tables
       val dir = java.nio.file.Files.createTempDirectory("incprobe_man").toString
       val docs = Tables.documents(spark, sfDir)
@@ -93,7 +104,7 @@ object IncrementalProbe {
     }
 
     // ---- probe 2: graph-ANN append/maintain loop ----
-    locally {
+    if (face != "manifest") locally {
       import graft.core.Tables
       val dir = java.nio.file.Files.createTempDirectory("incprobe_ann").toString
       val emb = Tables.embeddings(spark, sfDir)
