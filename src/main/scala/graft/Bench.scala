@@ -48,6 +48,17 @@ object Bench {
         else Registry.headline
     }
 
+    // Ambient-load reading must come BEFORE the warmup query: Bench's
+    // own 32 threads drive load1 to ~6 within a couple of minutes, so
+    // any later reading (including load1_end) measures Bench itself,
+    // not the neighbors the number exists to expose (r19: five quiet
+    // runs all "ended" at load1 5-6.5 on an otherwise idle host).
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    val load1Ambient = load1()
+
     // Warm the JVM + parquet footers once so per-query times measure the
     // query, not first-touch JIT/IO (the cluster-realistic steady state).
     qs.headOption.foreach(q => q.run(spark, sfDir).count())
@@ -87,11 +98,6 @@ object Bench {
       val median = if (times.isEmpty) -1.0 else times(times.length / 2)
       (median, reps - times.length)
     }
-    def load1(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+").head.toDouble
-      catch { case _: Throwable => -1.0 }
-
     val load1Start = load1()
     val timed = qs.map { q =>
       val (median, failed) = medianOf(q)
@@ -208,7 +214,8 @@ object Bench {
       if (failed.nonEmpty)
         parts += failed.map { case (k, _, n) => "\"" + k + "\":" + n }
           .mkString(""""failed_reps":{""", ",", "}")
-      parts += """"load1_start":""" + num(load1Start, 2) + ""","load1_end":""" + num(load1End, 2)
+      parts += """"load1_ambient":""" + num(load1Ambient, 2) +
+        ""","load1_start":""" + num(load1Start, 2) + ""","load1_end":""" + num(load1End, 2)
       parts.result().mkString("{", ",", "}")
     }
     try {
@@ -232,7 +239,7 @@ object Bench {
         s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qj,"sf":"${new java.io.File(sfDir).getName}"}""" + "\n")
       finally hist.close()
     } catch { case _: Throwable => () }
-    println(benchLine(results, sfDir, math.max(load1Start, load1End)))
+    println(benchLine(results, sfDir, load1Ambient))
     spark.stop()
   }
 
@@ -255,12 +262,15 @@ object Bench {
     * full-precision readings also append to BENCH_HISTORY.jsonl for
     * the drift trigger.
     *
-    * `load1` (max of the host's 1-min loadavg at run start/end, -1 when
-    * unreadable) rides the line since r19 so a cross-round total diff
-    * is self-describing: BENCH_r18's 70.4 s ran at load1 4–6.5 and read
-    * as a 35% regression vs r17's quiet 52.0 s until the judge dug out
-    * BENCH_DETAIL — ambient load is the first thing to check before
-    * believing any total (CLAUDE.md: ±3× run-to-run on this host).
+    * `load1` (the host's 1-min loadavg SAMPLED BEFORE the warmup
+    * query, -1 when unreadable) rides the line since r19 so a
+    * cross-round total diff is self-describing: BENCH_r18's 70.4 s ran
+    * at load1 4–6.5 and read as a 35% regression vs r17's quiet 52.0 s
+    * until the judge dug out BENCH_DETAIL — ambient load is the first
+    * thing to check before believing any total (CLAUDE.md: ±3×
+    * run-to-run on this host). Pre-warmup is the only honest sample:
+    * Bench's own 32 threads drive load1 to ~6 within minutes, so a
+    * later reading measures Bench, not the neighbors.
     */
   def benchLine(
       results: Seq[(String, Double)],
