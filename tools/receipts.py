@@ -19,6 +19,11 @@ from pathlib import Path
 
 
 class _Tee:
+    """Tee that also satisfies libraries probing sys.stdout for
+    terminal-ness (isatty/fileno/encoding — progress bars, warnings
+    formatting): those delegate to the FIRST stream (the original
+    stdout), so installing the tee never changes their answers."""
+
     def __init__(self, *streams):
         self.streams = streams
 
@@ -31,6 +36,26 @@ class _Tee:
         for st in self.streams:
             st.flush()
 
+    def isatty(self):
+        try:
+            return self.streams[0].isatty()
+        except Exception:
+            return False
+
+    def fileno(self):
+        return self.streams[0].fileno()
+
+    @property
+    def encoding(self):
+        return getattr(self.streams[0], "encoding", "utf-8")
+
+    @property
+    def errors(self):
+        return getattr(self.streams[0], "errors", "strict")
+
+    def writable(self):
+        return True
+
 
 def tee_stdout(tool, sf_dir, out_dir):
     """Duplicate stdout (and a metadata header) into
@@ -42,9 +67,11 @@ def tee_stdout(tool, sf_dir, out_dir):
         rnd = os.environ.get("GRAFT_ROUND", time.strftime("%Y%m%d"))
         base = Path(sf_dir).name
         # run-time stamp in the NAME: two runs of the same tool+SF+round
-        # must produce two receipts, not silently clobber each other
+        # must produce two receipts, not silently clobber each other.
+        # Full date + PID (ADVICE r19): %H%M%S alone still collides for
+        # same-time-of-day runs on different days or within one second.
         p = Path(out_dir) / (f"receipt_{tool}_{base}_{rnd}"
-                             f"_run{time.strftime('%H%M%S')}.txt")
+                             f"_run{time.strftime('%Y%m%dT%H%M%S')}p{os.getpid()}.txt")
         p.parent.mkdir(parents=True, exist_ok=True)
         f = open(p, "w", buffering=1)
         docs = Path(sf_dir) / "documents.parquet"

@@ -33,9 +33,17 @@ for p in Path("/tmp").glob("**/receipt_*.txt"):
         pass
 print(f"archived {n_arch} receipt(s) into {archive}")
 
+def _size(f):
+    # live DuckDB spill churn can delete a file between glob and stat
+    try:
+        return f.stat().st_size if f.is_file() else 0
+    except OSError:
+        return 0
+
+
 for spill in (Path("/tmp/duck_spill"), repo / ".tmp"):
     if spill.exists():
-        sz = sum(f.stat().st_size for f in spill.glob("**/*") if f.is_file())
+        sz = sum(_size(f) for f in spill.glob("**/*"))
         shutil.rmtree(spill, ignore_errors=True)
         print(f"cleared {spill} ({sz / 1e9:.1f} GB)")
 
@@ -43,8 +51,18 @@ strays = [p for pat in ("*.txt", "*.log") for p in Path("/tmp").glob(pat)]
 if strays:
     act = "--delete-strays" in sys.argv
     for p in strays:
-        print(f"{'deleted' if act else 'STRAY (unstamped)'}: {p}")
         if act:
-            p.unlink(missing_ok=True)
+            # archive-then-remove (ADVICE r19): strays may be evidence
+            # from other tooling — never destroy the only copy
+            try:
+                dst = archive / f"stray_{p.name}"
+                if not dst.exists():
+                    shutil.copy2(p, dst)
+                p.unlink(missing_ok=True)
+                print(f"archived+removed stray: {p} -> {dst}")
+            except OSError as e:
+                print(f"stray NOT removed ({e}): {p}")
+        else:
+            print(f"STRAY (unstamped): {p}")
     if not act:
-        print("re-run with --delete-strays, or re-emit these stamped")
+        print("re-run with --delete-strays (archives into receipts/archive first)")
