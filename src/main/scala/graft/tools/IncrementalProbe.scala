@@ -31,9 +31,17 @@ import org.apache.spark.sql.functions._
   * `^\{`. Identity failures exit nonzero — this tool is also the
   * sf-scale identity gate the specs can't afford.
   *
+  * Probes 3-5 (`index`, `ann`, `spancensus`, added r20): the remaining
+  * incremental faces with real read traffic. All three read paths are
+  * pure segment unions (no read-time recompute), so each probe times
+  * the per-batch ingest curve, a mid-stream and final read/search, and
+  * asserts sf-scale identity against a one-shot pass over the same
+  * corpus (postings, PQ codes, census counts respectively).
+  *
   * Usage: runMain graft.tools.IncrementalProbe [sfDir] [nBatches] [face]
   *
-  * `face` (all|manifest|graphann, default all) selects one probe so the
+  * `face` (all|manifest|graphann|index|ann|spancensus, default all)
+  * selects one probe so the
   * two faces can be sized INDEPENDENTLY: appendBatch's intra-batch
   * candidate pass is |B|² driver tuples BY CONTRACT (micro-batches), so
   * the graph face needs many small batches, while the manifest face
@@ -49,8 +57,9 @@ object IncrementalProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 10
     val face = if (args.length > 2) args(2) else "all"
-    require(Set("all", "manifest", "graphann")(face),
-      s"face must be all|manifest|graphann, got '$face'")
+    require(Set("all", "manifest", "graphann", "index", "ann", "spancensus")(face),
+      s"face must be all|manifest|graphann|index|ann|spancensus, got '$face'")
+    def runs(f: String): Boolean = face == "all" || face == f
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,7 +81,7 @@ object IncrementalProbe {
       println(s"""{"probe":"$probe","step":"$step","wall_s":${num(wall)}$extra}""")
 
     // ---- probe 1: hygiene ladder + manifest ----
-    if (face != "graphann") locally {
+    if (runs("manifest")) locally {
       import graft.core.Tables
       val dir = java.nio.file.Files.createTempDirectory("incprobe_man").toString
       val docs = Tables.documents(spark, sfDir)
@@ -104,7 +113,7 @@ object IncrementalProbe {
     }
 
     // ---- probe 2: graph-ANN append/maintain loop ----
-    if (face != "manifest") locally {
+    if (runs("graphann")) locally {
       import graft.core.Tables
       val dir = java.nio.file.Files.createTempDirectory("incprobe_ann").toString
       val emb = Tables.embeddings(spark, sfDir)
@@ -132,6 +141,150 @@ object IncrementalProbe {
         .searchTopKDistributed(spark, dir, probes, 10, 16, 3).count())
       line("graphann", "search", wS, s""","rows":$hits,"maintained":$maintained""")
       require(hits > 0, "post-loop distributed search returned nothing")
+    }
+
+    // ---- probe 3: inverted index / BM25 segment store ----
+    // Risk profile: the read path is a pure segment union (no read-time
+    // recompute like manifest's cluster re-derivation), so the curve to
+    // watch is searchTopK vs accumulated postings volume, plus whether
+    // per-batch appendBatch cost stays flat.
+    if (runs("index")) locally {
+      import graft.core.Tables
+      val dir = java.nio.file.Files.createTempDirectory("incprobe_idx").toString
+      val docs = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text").localCheckpoint()
+      val ids = docs.select($"doc_id").orderBy($"doc_id").as[Long].collect()
+      val cuts = (1 until nBatches).map(i => ids(i * ids.length / nBatches))
+      val ranges = (Long.MinValue +: cuts) :+ Long.MaxValue
+      // model-sized query set at any SF: ~50 query docs' terms
+      val qMod = math.max(97L, ids.length / 50L)
+      val qt = docs.filter($"doc_id" % qMod === 0)
+        .select($"doc_id".as("query_id"),
+          explode(graft.functions.exprs.term_freqs($"text").getField("freqs")).as("f"))
+        .select($"query_id", $"f.term".as("term")).localCheckpoint()
+      for (i <- 0 until nBatches) {
+        val batch = docs.filter($"doc_id" >= ranges(i) && $"doc_id" < ranges(i + 1))
+        val (_, w) = timed(graft.operators.IncrementalIndex.appendBatch(
+          batch, "doc_id", "text", dir, i.toLong))
+        line("index", s"ingest_$i", w, s""","rows":${batch.count()}""")
+        if (i == nBatches / 2 - 1 || i == nBatches - 1) {
+          // aggregate THROUGH the data columns (CLAUDE.md r14: a bare
+          // count lets pruning skip the postings payload)
+          val (_, wr) = timed {
+            val (d, p) = graft.operators.IncrementalIndex.load(spark, dir)
+            d.agg(sum($"dl")).collect()
+            p.agg(sum($"tf"), count($"term")).collect()
+          }
+          line("index", s"read_after_$i", wr)
+          val (hits, ws) = timed(graft.operators.IncrementalIndex
+            .searchTopK(spark, dir, qt).count())
+          line("index", s"search_after_$i", ws, s""","rows":$hits""")
+        }
+      }
+      // identity: accumulated segments vs a one-shot kernel pass over
+      // the same corpus — postings equality implies search equality
+      // (searchTopK scores through the same Bm25.scoreTopK stage)
+      val (iDocs, iPost) = graft.operators.IncrementalIndex.load(spark, dir)
+      val one = docs.select($"doc_id",
+        graft.functions.exprs.term_freqs($"text").as("p"))
+      val oneDocs = one.select($"doc_id", $"p.dl".as("dl"))
+      val onePost = one.select($"doc_id", explode($"p.freqs").as("f"))
+        .select($"doc_id", $"f.term".as("term"), $"f.tf".as("tf"))
+      val dDiff = iDocs.exceptAll(oneDocs).count() + oneDocs.exceptAll(iDocs).count()
+      val pDiff = iPost.exceptAll(onePost).count() + onePost.exceptAll(iPost).count()
+      line("index", "identity_diff_rows", 0.0, s""","rows":${dDiff + pDiff}""")
+      require(dDiff + pDiff == 0,
+        s"incremental index diverges from one-shot: docs $dDiff postings $pDiff")
+    }
+
+    // ---- probe 4: IVF x PQ code store ----
+    if (runs("ann")) locally {
+      import graft.core.Tables
+      val dir = java.nio.file.Files.createTempDirectory("incprobe_ivfpq").toString
+      val emb = Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"embedding").localCheckpoint()
+      val n = emb.count()
+      // frozen geometry from the first half (the dense-prefix reference
+      // frame), codes appended over the FULL id range in nBatches
+      val (model, wFit) = timed(graft.operators.IncrementalAnn.createIndex(
+        emb.filter($"vec_id" < n / 2), "embedding", "vec_id", dir,
+        nCentroids = 16, m = 4, k = 16, dim = 64))
+      line("ann", "fit_model", wFit, s""","rows":${n / 2}""")
+      val queries = emb.filter($"vec_id" % math.max(97L, n / 100L) === 0)
+        .select($"vec_id", $"embedding").localCheckpoint()
+      for (i <- 0 until nBatches) {
+        val lo = i * n / nBatches
+        val hi = (i + 1) * n / nBatches
+        val batch = emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+        val (_, w) = timed(graft.operators.IncrementalAnn.appendBatch(
+          batch, "embedding", "vec_id", dir, i.toLong))
+        line("ann", s"ingest_$i", w, s""","rows":${hi - lo}""")
+        if (i == nBatches / 2 - 1 || i == nBatches - 1) {
+          val (hits, ws) = timed(graft.operators.IncrementalAnn.searchTopK(
+            spark, dir, queries, "vec_id", "embedding",
+            nprobe = 4, topK = 10).count())
+          line("ann", s"search_after_$i", ws, s""","rows":$hits""")
+        }
+      }
+      // identity: accumulated code segments vs one-shot encode of the
+      // full corpus against the SAME frozen model
+      // exceptAll compares POSITIONALLY, and a partitionBy("c_id")
+      // read-back appends the partition column last — pin one explicit
+      // column order (and c_id width) on both sides
+      val codeCols = $"vec_id" +: $"c_id".cast("long").as("c_id") +:
+        (0 until model.cb.m).map(j => col(s"code_$j"))
+      val committedCodes = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("batch="))
+          .map(b => spark.read.option("basePath", s"$dir/$b/codes")
+            .parquet(s"$dir/$b/codes").select(codeCols: _*))
+          .reduce(_.unionByName(_))
+      }
+      val oneCodes = graft.operators.ProductQuantizer.encode(
+        emb.select($"vec_id", $"embedding",
+          graft.functions.exprs.coarse_assign_cell($"embedding", model.centroids).as("c_id")),
+        "embedding", model.cb)
+        .select(codeCols: _*)
+      val cDiff = committedCodes.exceptAll(oneCodes).count() +
+        oneCodes.exceptAll(committedCodes).count()
+      line("ann", "identity_diff_rows", 0.0, s""","rows":$cDiff""")
+      require(cDiff == 0, s"incremental IVFxPQ codes diverge from one-shot by $cDiff rows")
+    }
+
+    // ---- probe 5: span census store ----
+    if (runs("spancensus")) locally {
+      import graft.core.Tables
+      val dir = java.nio.file.Files.createTempDirectory("incprobe_span").toString
+      val docs = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text").localCheckpoint()
+      val ids = docs.select($"doc_id").orderBy($"doc_id").as[Long].collect()
+      val cuts = (1 until nBatches).map(i => ids(i * ids.length / nBatches))
+      val ranges = (Long.MinValue +: cuts) :+ Long.MaxValue
+      for (i <- 0 until nBatches) {
+        val batch = docs.filter($"doc_id" >= ranges(i) && $"doc_id" < ranges(i + 1))
+        val (_, w) = timed(graft.operators.IncrementalSpanCensus.appendBatch(
+          batch, "doc_id", "text", dir, i.toLong))
+        line("spancensus", s"ingest_$i", w, s""","rows":${batch.count()}""")
+        if (i == nBatches / 2 - 1 || i == nBatches - 1) {
+          val (_, wr) = timed(graft.operators.IncrementalSpanCensus
+            .load(spark, dir).agg(sum($"nd"), count($"h")).collect())
+          line("spancensus", s"read_after_$i", wr)
+        }
+      }
+      // the census's real consumer: d09's budget filter over the corpus
+      val (kept, wk) = timed(graft.operators.IncrementalSpanCensus
+        .dropSpanDuplicatedAgainst(docs, "doc_id", "text", dir).count())
+      line("spancensus", "drop_dup_filter", wk, s""","rows":$kept""")
+      // identity: summed per-batch censuses vs one census over the
+      // union (batches partition docs, so distinct-doc counts add)
+      val inc = graft.operators.IncrementalSpanCensus.load(spark, dir)
+      val one = graft.operators.SpanDedup.docSpanHashes(docs, "doc_id", "text", 5)
+        .groupBy($"h").agg(count(lit(1)).as("nd"))
+      val sDiff = inc.exceptAll(one).count() + one.exceptAll(inc).count()
+      line("spancensus", "identity_diff_rows", 0.0, s""","rows":$sDiff""")
+      require(sDiff == 0, s"incremental span census diverges from one-shot by $sDiff rows")
     }
     spark.stop()
   }
