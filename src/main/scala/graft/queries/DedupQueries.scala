@@ -141,7 +141,7 @@ object DedupQueries {
         .filter($"jaccard" >= 0.5)
     },
     Some(s"""WITH ${lshCandSql()},
-      sh60 AS (
+      sh60 AS MATERIALIZED (
         SELECT DISTINCT doc_id,
           CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
         FROM (SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
@@ -152,6 +152,10 @@ object DedupQueries {
         JOIN sh60 a ON a.doc_id = c.doc_a
         JOIN sh60 b ON b.doc_id = c.doc_b AND b.h = a.h
         GROUP BY 1, 2)
+      -- sh60 is AS MATERIALIZED above: referenced 3x (both inter
+      -- branches + sizes), and DuckDB 1.0 inlines a plain CTE once PER
+      -- REFERENCE — at sf10 that is three concurrent ~250M-row DISTINCT
+      -- builds, ~70 GB of spill, out-of-disk (measured r20)
       SELECT i.doc_a, i.doc_b,
         round(i.inter / (sa.sz + sb.sz - i.inter), 4) AS jaccard
       FROM inter i
@@ -413,7 +417,7 @@ object DedupQueries {
           round($"n_caught" / greatest($"n_true", lit(1L)), 4).as("recall"))
     },
     Some(s"""WITH ${lshCandSql()},
-      sh60 AS (
+      sh60 AS MATERIALIZED (
         SELECT DISTINCT doc_id,
           CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
         FROM (SELECT doc_id, unnest(${shinglesSql()}) AS sh FROM documents)),
