@@ -93,6 +93,17 @@ object NnDescent {
     val hop2 = nbrs.as("a")
       .join(nbrs.as("b"), col("a.nbr") === col("b.id"))
       .select(col("a.id").as("id"), col("b.nbr").as("cand"))
+    // Dedup shape deliberated r20 (guide §2.4) and KEPT as distinct():
+    // repartition(id) + dropDuplicates(id, cand) would let the bottom-k
+    // groupBy(id) run exchange-free (the r15 subset-key lesson, one
+    // exchange instead of two) — but distinct()'s PARTIAL aggregate
+    // dedups map-side BEFORE its exchange, while repartition ships
+    // every raw candidate row. Measured A/B at sf0.1 (reps=5, quiet):
+    // the one-exchange shape is SLOWER at both 32 cores (2.73 vs
+    // 2.80 s — noise) and 8 cores (2.36 -> 2.76 s, +17% — real), so
+    // the map-side dedup wins over the saved exchange at every width
+    // tried. The (id, cand) exchange rows are 16 bytes; the candidate
+    // fan-in bound k(k+2) keeps both shapes skew-free.
     val cands = fwd.union(rev).union(hop2)
       .filter(col("id") =!= col("cand"))
       .distinct()

@@ -39,6 +39,28 @@ object PipelineQueries {
     * doc_id-keyed semi/anti joins between stages. The corpus
     * repartitions ONCE at the top (the s01/s12 single-row-group
     * spread); every stage inherits that width.
+    *
+    * EVERY STAGE IS PLANNED ONCE via LAZY localCheckpoint(false)
+    * (r20, guide §2.4): the disposition consumes each stage's id set
+    * while the next stage consumes its text — column pruning
+    * specializes the two branches, so on the fully lazy ladder
+    * canonical equality broke and exchange reuse never fired (the
+    * r12 s12 lesson at ladder scale): the FINAL adaptive plan at
+    * sf0.1 ran 157 parquet scans / 148 exchanges / 191 aggregates
+    * with only 32 ReusedExchange — the stage-k prefix re-planned in
+    * every disposition branch (~Σk = 21 stage executions for 6
+    * stages). A lazy checkpoint makes every consumer reference the
+    * SAME RDD, so the DAG scheduler dedups the stages natively while
+    * the whole query stays ONE job. The EAGER form was tried first
+    * and REJECTED by measurement: 7 barrier-separated jobs serialize
+    * the ladder and forfeit AQE's concurrent leaf stages (sf0.1/32c
+    * pipe01 ~6.0 s, but sf1/8c 15.6 s vs 11.5 s lazy — 35% WORSE
+    * compute-bound). Measured r20 (reps>=3 medians, quiet windows):
+    *
+    *   pipe01 sf0.1/32c: 7.8-8.3 s fully-lazy -> 5.27 s (this shape)
+    *   pipe02 sf0.1/32c: 13.3-14.6 s          -> 11.38 s
+    *   pipe01 sf1/8c:    11.5 s               -> 12.4 s (within the
+    *     host's documented variance; the eager form's 15.6 s is not)
     */
   private def hygieneLadder(s: SparkSession, dir: String): Ladder = {
     import s.implicits._
@@ -50,13 +72,20 @@ object PipelineQueries {
     val corp = docs.filter($"doc_id" % 37 =!= 0)
       .select($"doc_id", norm.as("text"))
       .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val s1 = TextDedup.exactDedup(corp, "doc_id", "text")
+      .localCheckpoint(false)
     val s2 = TextDedup.dropNearDuplicates(s1, "doc_id", "text", threshold = 0.8)
+      .localCheckpoint(false)
     val s3 = SpanDedup.dropSpanDuplicated(s2, "doc_id", "text", n = 5, maxDupFrac = 0.5)
+      .localCheckpoint(false)
     val s4 = Decontaminate.removeContaminatedBloom(s3, bench, "doc_id", "text")
+      .localCheckpoint(false)
     val s5 = RepetitionFilter.dropRepetitive(s4, "doc_id", "text")
+      .localCheckpoint(false)
     val s6 = s5.filter(
       graft.functions.TextFunctions.qualityScore($"text") >= 0.64)
+      .localCheckpoint(false)
     Ladder(corp, bench, Seq(s1, s2, s3, s4, s5, s6))
   }
 

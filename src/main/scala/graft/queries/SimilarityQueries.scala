@@ -912,6 +912,19 @@ object SimilarityQueries {
       // exchange anything. The kernel struct is aliased ONCE (`p`) so
       // CollapseProject cannot duplicate the non-cheap call into
       // per-field copies.
+      //
+      // DELIBERATED r20 (guide §2.4) and KEPT LAZY: the final adaptive
+      // plan does run FOUR specialized corpus scans (the %97 filter and
+      // column pruning split the "shared" spread exchange per branch —
+      // plans/r20/s12_bm25_topk_before.txt nodes 1/9/16/34), but a
+      // localCheckpoint of the one-kernel-pass per-doc census measured
+      // WORSE at every configuration tried: sf0.1/32c 1.12 -> 1.22 s,
+      // sf0.1/8c 0.97 -> 1.20 s, sf1/32c 4.70 -> 4.90 s, sf1/8c
+      // 6.80 -> 7.71 s (reps>=3 medians, quiet). Serializing the
+      // per-doc term-census maps through the checkpoint costs more
+      // than re-running the codegen'd kernel 3-4x — the Scaladoc's
+      // "materialization costs more than it saves" is measured, not
+      // assumed.
       val tf = spread
         .select($"doc_id", exprs.term_freqs($"text").as("p"))
         .select($"doc_id", $"p.dl".as("dl"), explode($"p.freqs").as("f"))

@@ -505,14 +505,21 @@ class PlanShapeSpec extends SparkSpec {
       s"q52's per-n top-10 should push the rank limit below the window:\n$p")
   }
 
-  test("pipe01 spreads the corpus once and stays equi-join end-to-end") {
+  test("pipe01 plans each ladder stage once (lazy checkpoints) and stays " +
+    "equi-join end-to-end") {
     val p = plan("pipe01_hygiene_ladder")
-    // the ladder's stages inherit ONE RoundRobin spread of the
-    // normalized corpus; the stage gates and the disposition frame
-    // are doc_id/term-keyed joins — no nested-loop pair expansion
-    // anywhere in the composed plan
-    assert(p.contains("RoundRobinPartitioning"),
-      s"pipe01 lost its corpus spread (scan-width trap):\n${p.take(800)}")
+    // r20: every ladder frame (corp + s1..s6) is localCheckpointed, so
+    // the disposition's seven consumers reference the SAME RDDs and the
+    // DAG scheduler dedups stage work natively — the fully lazy shape
+    // re-planned the stage-k prefix in every disposition branch (157
+    // parquet scans / 148 exchanges in the final adaptive plan at
+    // sf0.1; plans/r20/pipe01_hygiene_ladder_before.txt). The corpus
+    // RoundRobin spread (scan-width trap) now lives inside corp's
+    // checkpoint lineage, executed once.
+    assert(count(p, "Scan ExistingRDD") == 7,
+      s"pipe01's disposition should read exactly corp + 6 checkpointed stages:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"pipe01's disposition re-derives a stage from the raw table:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pipe01 plans a pair-expanding join:\n$p")
   }
