@@ -59,9 +59,24 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val load1Ambient = load1()
 
+    // The timed action is the NOOP SINK (guide §1.4), not count():
+    // count() lets Catalyst prune every column the count doesn't need —
+    // including aggregate expressions, windows and whole join subtrees.
+    // Audited r20 (graft.tools.CountPruneAudit): 17 of 72 headliners
+    // were under-timed, worst the as-of family (q56/q58/q59/q61 count
+    // plans dropped the as-of join + BOTH windows — 4 scans -> 1,
+    // timing a plan that never ran the operator; the r14 SkewProbe
+    // lesson at bench scale), s16 (20 exchanges -> 4), t14b (22
+    // aggregates -> 10). The noop write computes every column of every
+    // row and discards it. Old count-timed vs new noop-timed numbers
+    // for the 17 affected queries are recorded in OPTIMIZATION_r20.md;
+    // QUIET_ANCHORS/ORACLE_BENCH were re-anchored under the new action.
+    def timedAction(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // Warm the JVM + parquet footers once so per-query times measure the
     // query, not first-touch JIT/IO (the cluster-realistic steady state).
-    qs.headOption.foreach(q => q.run(spark, sfDir).count())
+    qs.headOption.foreach(q => timedAction(q.run(spark, sfDir)))
 
     // Ambient load on this host swings single runs by up to ±3×
     // (CLAUDE.md); report the MEDIAN of `reps` timed runs per query so
@@ -90,7 +105,7 @@ object Bench {
         // A failed rep is EXCLUDED from the median rather than recorded
         // as a sentinel — a -1.0 inside the sort would make a 2/3-pass
         // query report its min as "median" and quietly shrink `total`.
-        try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { timedAction(q.run(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }.sorted
       // -1.0 only when EVERY rep failed: a consistently-failing query

@@ -1360,28 +1360,56 @@ object SimilarityQueries {
       import s.implicits._
       val exact = bruteForceRanked(s, dir)
         .select($"q_id", $"neighbor_id")
-        .localCheckpoint(true) // one sweep point per probe count consumes it
+        .localCheckpoint(true) // the overlap join consumes it per sweep point
       val assigned = coarseAssign(s, dir)
       val probes = coarseProbesRanked(s, dir, SweepProbes.max)
+      // integer-micro scores (floor(round6 · 1e6 + 0.5), the s19/s20
+      // ordering convention — strictly monotone on 6-dp-rounded
+      // doubles, so the (cos desc, vec_id asc) rank order is EXACTLY
+      // the (-micro, vec_id) heap order; NULL cosines drop, identical
+      // to never ranking top-K on both engines)
       val pairs = assigned.join(broadcast(probes), Seq("c_id"))
         .filter($"vec_id" =!= $"q_id")
         .select($"q_id", $"prn", $"vec_id",
-          round(cosineSimilarity($"embedding", $"q_emb"), 6).as("cos_sim"))
-        .localCheckpoint(true) // every sweep point filters this one scan
-      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id".asc)
-      SweepProbes.map { n =>
-        val ivf = pairs.filter($"prn" <= n)
-          .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= K)
-          .select($"q_id", $"vec_id".as("neighbor_id"), lit(1).as("hit"))
-        exact.join(ivf, Seq("q_id", "neighbor_id"), "left")
-          .groupBy($"q_id")
-          .agg(sum(coalesce($"hit", lit(0))).as("ov"))
-          .agg(
-            round(sum($"ov") / lit(NQ * K), 4).as("mean_recall"),
-            round(min($"ov") / lit(K), 4).as("min_recall"))
-          .select(lit(n).as("nprobe"), $"mean_recall", $"min_recall")
-      }.reduce(_ unionByName _)
+          floor(round(cosineSimilarity($"embedding", $"q_emb"), 6)
+            * lit(1000000.0) + lit(0.5)).cast("long").as("cos_micro"))
+        .filter($"cos_micro".isNotNull)
+        .localCheckpoint(true) // every sweep point reads this one scan
+      // r20 rework (guide §2.3/§2.4; the q54/s12 bottom-k pattern, then
+      // ONE pass over all sweep points): the old shape ran FOUR
+      // independent sweep branches — each a row_number window
+      // re-exchanging the whole pair frame on q_id plus a stats-less
+      // post-checkpoint join the planner turned into a SortMergeJoin
+      // against the 80-row exact set (20 exchanges / 8 windows / 4 SMJ
+      // at sf0.1, plans/r20/s16_ivf_recall_sweep_before.txt), and the
+      // old count() bench action never executed any of it (the
+      // noop-sink fix surfaced the real 1.36 s / 3.7× cost). Now: the
+      // sweep-point list rides a broadcast cross join (a pair with
+      // probe rank p belongs to every point n >= p — at most 4 map-side
+      // copies, no extra exchange), ONE partial-aggregating bottom-k
+      // heap per (nprobe, q_id) truncates map-side, the hit set (4 ×
+      // NQ × K rows) broadcasts into ONE overlap join, and one
+      // two-level aggregate emits all four (mean, min) rows — a single
+      // linear pipeline instead of four window+SMJ branches.
+      val pts = SweepProbes.toDF("nprobe")
+      val hits = pairs
+        .crossJoin(broadcast(pts))
+        .filter($"prn" <= $"nprobe")
+        .groupBy($"nprobe", $"q_id")
+        .agg(graft.functions.BottomKPairsAgg.bottomKIdPairs(
+          -$"cos_micro", $"vec_id", K).as("top"))
+        .select($"nprobe", $"q_id", explode($"top").as("p"))
+        .select($"nprobe", $"q_id", $"p.v".cast("long").as("neighbor_id"),
+          lit(1).as("hit"))
+      exact.crossJoin(broadcast(pts))
+        .join(broadcast(hits), Seq("nprobe", "q_id", "neighbor_id"), "left")
+        .groupBy($"nprobe", $"q_id")
+        .agg(sum(coalesce($"hit", lit(0))).as("ov"))
+        .groupBy($"nprobe")
+        .agg(
+          round(sum($"ov") / lit(NQ * K), 4).as("mean_recall"),
+          round(min($"ov") / lit(K), 4).as("min_recall"))
+        .select($"nprobe", $"mean_recall", $"min_recall")
     },
     Some {
       val points = SweepProbes.map { n =>

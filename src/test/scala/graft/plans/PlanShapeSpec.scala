@@ -305,7 +305,11 @@ class PlanShapeSpec extends SparkSpec {
       "t25_vocab_growth", "t14b_kn_perplexity", "s17_binary_rerank",
       // q55: the vocab census × the 1-row CMS grid aggregate —
       // q41's X10 broadcast-scalar attach, ranked by estimate
-      "t27_freq_spectrum", "d15_semantic_decontaminate", "q55_cms_topk")
+      // s16 (r20): the pair frame × the 4-row sweep-point list and the
+      // 80-row exact set × the same list — the one-pass sweep's
+      // broadcast point fan-out (at most |SweepProbes| map-side copies)
+      "t27_freq_spectrum", "d15_semantic_decontaminate", "q55_cms_topk",
+      "s16_ivf_recall_sweep")
     Registry.all.foreach { q =>
       val p = plan(q.name)
       assert(!p.contains("CartesianProduct"),
@@ -484,6 +488,22 @@ class PlanShapeSpec extends SparkSpec {
     // keyed on coalesced/isnull-wrapped stitch keys anywhere
     assert(!pNb.contains("hashpartitioning(coalesce"),
       s"the stitch re-shuffles on wrapped keys:\n$pNb")
+  }
+
+  test("s16 sweeps all nprobe points in one bottom-k pass — no windows, no " +
+    "sort-merge joins") {
+    // r20: the four per-point row_number windows (each re-exchanging
+    // the whole pair frame) and the four stats-less SMJs against the
+    // 80-row exact set collapsed into one broadcast-point cross join +
+    // one partial-aggregating bottom-k per (nprobe, q_id) + one
+    // broadcast overlap join. The old count() bench action never
+    // executed the windows (CountPruneAudit), which is how the shape
+    // survived 19 rounds unmeasured.
+    val p = plan("s16_ivf_recall_sweep")
+    assert(p.contains("bottom_k_id_pairs"),
+      s"s16 lost the native bottom-k sweep aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"s16 reintroduced a per-point window or sort-merge join:\n$p")
   }
 
   test("s12 folds its per-query top-k into the native bottom-k aggregate — no window stage") {
