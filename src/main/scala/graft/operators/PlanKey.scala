@@ -27,6 +27,19 @@ private[operators] object PlanKey {
             f.location.rootPaths.mkString(",")
           case r => r.toString
         }
+      // An RDD-backed leaf (a localCheckpoint'ed frame) has NO path and
+      // NO inputFiles, and its canonicalized plan prints schema-only —
+      // two DIFFERENT checkpointed corpora with the same schema would
+      // otherwise collide on one memo key and silently serve each
+      // other's signatures/models (found r20: the ladder's checkpointed
+      // s1 collided with another suite's planted corpus in the shared
+      // test session, flipping pipe02's cluster stage). The RDD id is
+      // unique per materialized checkpoint in a session, so it IS the
+      // content identity here; the cost is that two checkpoints of
+      // identical content no longer share a memo entry — a recompute,
+      // never a wrong answer.
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        s"rdd:${r.rdd.id}"
       case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         // full-content digest, not Seq.hashCode: a 32-bit hash collision
         // between two same-schema in-memory inputs would silently serve

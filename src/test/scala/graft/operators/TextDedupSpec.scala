@@ -92,6 +92,21 @@ class TextDedupSpec extends SparkSpec {
     assert(a2 eq a, "identical local content must reuse the memoized frame")
   }
 
+  test("sharedSignatures never collapses two checkpointed corpora (LogicalRDD leaves)") {
+    // r20 regression: an RDD-backed leaf (localCheckpoint) has no path,
+    // no inputFiles, and a schema-only canonicalized plan — before
+    // PlanKey carried the RDD id, two different checkpointed corpora
+    // with the same schema collided on one memo key and served each
+    // other's signatures (a planted suite corpus flipped pipe02's
+    // cluster stage in the shared test session)
+    val a = TextDedup.sharedSignatures(
+      docs(1L -> "aa bb cc dd ee ff").localCheckpoint(), "doc_id", "text")
+    val b = TextDedup.sharedSignatures(
+      docs(1L -> "gg hh ii jj kk ll").localCheckpoint(), "doc_id", "text")
+    assert(a.collect().map(_.toSeq).toSeq != b.collect().map(_.toSeq).toSeq,
+      "distinct checkpointed corpora must not share a signature memo entry")
+  }
+
   test("containmentPairs surfaces a low-Jaccard containment pair Jaccard dedup misses") {
     // doc 2 (24 tokens) is verbatim inside doc 1 (120 tokens):
     // Jaccard ~= 20/116 ~= 0.17, containment = 1.0
