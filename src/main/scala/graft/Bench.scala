@@ -69,8 +69,10 @@ object Bench {
     // lesson at bench scale), s16 (20 exchanges -> 4), t14b (22
     // aggregates -> 10). The noop write computes every column of every
     // row and discards it. Old count-timed vs new noop-timed numbers
-    // for the 17 affected queries are recorded in OPTIMIZATION_r20.md;
-    // QUIET_ANCHORS/ORACLE_BENCH were re-anchored under the new action.
+    // for the 17 affected queries are recorded in OPTIMIZATION_r20.md.
+    // QUIET_ANCHORS/ORACLE_BENCH re-anchoring under the new action was
+    // CLAIMED in r20 but not done (VERDICT r20 item 1 — 13 spurious
+    // quiet-regression flags per driver run); done for real in r21.
     def timedAction(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -101,6 +103,16 @@ object Bench {
         spark.catalog.clearCache()
         graft.operators.TextDedup.clearSharedSignatures(spark)
         graft.operators.AnnIndex.clear(spark)
+        // clearCache() does not unpersist RDD-level localCheckpoint
+        // blocks (pipe01/pipe02/s16 create ~7 per rep), so blocks from
+        // prior reps accumulate until ContextCleaner GC — at sf1+ that
+        // is real memory/disk pressure mid-bench (ADVICE r20). A GC
+        // nudge lets ContextCleaner release the now-unreferenced prior
+        // rep's RDDs; a blanket getPersistentRDDs.unpersist would also
+        // destroy the sanctioned cross-rep memo frames
+        // (Bm25.sharedRanked / NnDescent.sharedGraph), whose checkpoint
+        // blocks are NOT recomputable — s14/s20 reps would then fail.
+        System.gc()
         val t0 = System.nanoTime()
         // A failed rep is EXCLUDED from the median rather than recorded
         // as a sentinel — a -1.0 inside the sort would make a 2/3-pass
