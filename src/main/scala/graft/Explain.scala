@@ -10,6 +10,14 @@ import graft.queries.Registry
   * Usage: runMain graft.Explain <query|all> [sfDir]
   */
 object Explain {
+  /** Pre-collect frames of driver-built queries (whose registry df is
+    * a LocalTableScan and shows nothing): plan-audit surrogates,
+    * addressable by name like any registry entry.
+    */
+  private val surrogates: Map[String, (org.apache.spark.sql.SparkSession,
+      String) => org.apache.spark.sql.DataFrame] = Map(
+    "t25_base" -> ((s, d) => graft.queries.TextQueries.t25Base(s, d)))
+
   def main(args: Array[String]): Unit = {
     val names =
       if (args.isEmpty || args(0) == "all") Registry.all.map(_.name)
@@ -19,9 +27,11 @@ object Explain {
     val spark = GraftSession.local(appName = "graft-explain")
     graft.plans.GraftExtensions.install(spark) // audit the plans the gate actually runs
     names.foreach { name =>
-      val q = Registry.byName(name)
       println(s"========== $name ==========")
-      val df = q.run(spark, sfDir)
+      val df = surrogates.get(name) match {
+        case Some(build) => build(spark, sfDir)
+        case None => Registry.byName(name).run(spark, sfDir)
+      }
       df.explain("formatted")
       val t0 = System.nanoTime()
       val n = df.count()

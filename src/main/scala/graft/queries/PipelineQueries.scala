@@ -18,7 +18,7 @@ object PipelineQueries {
   /** The hygiene ladder's data: the normalized working corpus, the
     * held-out benchmark split, and the six surviving sets s1..s6.
     */
-  private final case class Ladder(
+  private[graft] final case class Ladder(
       corp: DataFrame, bench: DataFrame, stages: Seq[DataFrame])
 
   /** The full data-hygiene ladder HygieneLadderSpec proves correct on
@@ -62,7 +62,10 @@ object PipelineQueries {
     *   pipe01 sf1/8c:    11.5 s               -> 12.4 s (within the
     *     host's documented variance; the eager form's 15.6 s is not)
     */
-  private def hygieneLadder(s: SparkSession, dir: String): Ladder = {
+  // private[graft]: PlanShapeSpec pins the corp spread width (the
+  // scan-width trap — corp's RoundRobin repartition hides inside its
+  // checkpoint lineage, so no disposition-plan assertion can see it)
+  private[graft] def hygieneLadder(s: SparkSession, dir: String): Ladder = {
     import s.implicits._
     import graft.operators._
     val docs = Tables.documents(s, dir)

@@ -1366,8 +1366,9 @@ object SimilarityQueries {
       // integer-micro scores (floor(round6 · 1e6 + 0.5), the s19/s20
       // ordering convention — strictly monotone on 6-dp-rounded
       // doubles, so the (cos desc, vec_id asc) rank order is EXACTLY
-      // the (-micro, vec_id) heap order; NULL cosines drop, identical
-      // to never ranking top-K on both engines)
+      // the (-micro, vec_id) heap order; NULL cosines drop on BOTH
+      // sides — the oracle's rank CTEs filter cos_sim IS NOT NULL, so
+      // the equivalence is structural, not data-dependent (ADVICE r20))
       val pairs = assigned.join(broadcast(probes), Seq("c_id"))
         .filter($"vec_id" =!= $"q_id")
         .select($"q_id", $"prn", $"vec_id",
@@ -1416,7 +1417,7 @@ object SimilarityQueries {
         s"""rank$n AS (
           SELECT q_id, vec_id, row_number() OVER (
             PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
-          FROM pairs WHERE prn <= $n),
+          FROM pairs WHERE prn <= $n AND cos_sim IS NOT NULL),
         ov$n AS (
           SELECT e.q_id,
             sum(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END) AS ov

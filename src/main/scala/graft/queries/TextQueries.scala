@@ -1034,8 +1034,10 @@ object TextQueries {
     * token counts + chars-per-token compression ratios come out.
     *
     * Scale shape: two map-side corpus passes — a vocab-partial word
-    * census for training, then one explode + broadcast (w → nt) join
-    * + doc_id aggregate. Training's driver fast path returns each
+    * census for training, then one explode_outer + broadcast LEFT
+    * (w → nt) join + doc_id aggregate that emits every document's row
+    * directly (no third scan / join-back for token-less docs; r21).
+    * Training's driver fast path returns each
     * census word's final token count for free, so no occurrence is
     * ever segmented; past the driver-census budget the fallback
     * trains distributed and runs the codegen'd `bpe_segment_word`
@@ -1086,16 +1088,31 @@ object TextQueries {
               merges.map(m => Array(m.left_sym, m.right_sym)).toArray))
               .as("nt")))
       }
-      val agg = words.join(perWord, Seq("w"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).cast("long").as("n_words"),
-          sum($"nt").cast("long").as("n_bpe_tokens"))
-      docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      // r21 (guide §2.4/§3): the old output pass filtered to
+      // alphanumeric tokens, inner-joined the vocab, aggregated by
+      // doc_id, then LEFT-joined back to a THIRD doc_id scan to
+      // resurrect token-less documents — 2 scans, 3 exchanges,
+      // 2 joins. explode_outer keeps one row per document even when
+      // it has no tokens, the broadcast LEFT join tags each token
+      // with its trained count (the vocab holds EVERY alphanumeric
+      // census word of this same corpus, so a miss is exactly a
+      // non-alphanumeric token), and ONE doc aggregate emits every
+      // output row directly: 1 scan, 2 exchanges, 1 join.
+      val toks = docs
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id",
-          coalesce($"n_words", lit(0L)).as("n_words"),
+          explode_outer(graft.functions.TextFunctions.wsTokens($"text")).as("w"))
+      toks.join(perWord, Seq("w"), "left")
+        .groupBy($"doc_id")
+        .agg(
+          count(when($"w".rlike("^[A-Za-z0-9]+$"), lit(1))).cast("long")
+            .as("n_words"),
+          sum($"nt").cast("long").as("n_bpe_tokens"))
+        .select($"doc_id",
+          $"n_words",
           coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
           round(try_divide(
-            coalesce($"n_bpe_tokens", lit(0L)), coalesce($"n_words", lit(0L))), 4)
+            coalesce($"n_bpe_tokens", lit(0L)), $"n_words"), 4)
             .as("tokens_per_word"))
     },
     Some {
@@ -1153,18 +1170,35 @@ object TextQueries {
     * = decile of the FIRST document containing it, so the curve is
     * exactly "read the corpus in doc_id order, count first sightings".
     *
-    * Scale shape: ONE census over the token stream — (type, decile)
-    * with map-side partials, the plan's only corpus-scale shuffle —
-    * localCheckpointed (vocab×10 rows) and consumed twice: min(decile)
-    * per type gives first sightings, a per-decile sum gives token
-    * totals. The corpus count rides as a 1-row broadcast (X10
-    * pattern); cumulative sums run over the 10-row frame. All
-    * integers end-to-end: decile = (doc_id·10) div n_docs, exact on
-    * both engines.
+    * Scale shape (r21): ONE per-type aggregate over the token stream —
+    * 10 per-decile occurrence counters + the first-sighting decile,
+    * all map-side partials, the plan's only corpus-scale shuffle
+    * carries vocab-sized partial rows — then ONE 1-row global roll-up
+    * (per-decile token totals + first-sighting type counts). The
+    * corpus count rides as a 1-row broadcast (X10 pattern); unpivot
+    * and cumulative sums are driver arithmetic over the single row.
+    * All integers end-to-end: decile = (doc_id·10) div n_docs, exact
+    * on both engines.
     */
-  /** t25's pre-collect decile frame, exposed for plan audits (the
+  /** t25's pre-collect one-row roll-up, exposed for plan audits (the
     * registry df itself is driver-built post-collect, so Explain and
     * PlanShapeSpec would only ever see a LocalTableScan).
+    *
+    * r21 rework (guide §2.3/§2.4): the old shape computed a
+    * (type, decile) census consumed by TWO branches (min-decile per
+    * type, per-decile totals) whose shared exchange depended on AQE
+    * runtime stage reuse plus a tautological `cnt > 0` filter to keep
+    * the branches canonically equal, then joined and sorted them —
+    * 4 exchanges, a join, a sort, and a reuse-pin that only held under
+    * collect(). Deciles are a FIXED 10-value domain, so the whole
+    * curve pivots into ONE per-type aggregate (10 per-decile
+    * occurrence counters + the first-sighting decile, all map-side
+    * partials; first sighting is min(decile) per type — decile is
+    * monotone in doc_id, so decile(min(doc_id)) = min(decile)) and ONE
+    * 1-row global roll-up (per-decile token totals + first-sighting
+    * type counts): 3 exchanges total (corpus spread, type hash, final
+    * single row), zero joins, no runtime-reuse dependency. All
+    * integers end-to-end, so cross-engine equality is exact.
     */
   private[graft] def t25Base(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
@@ -1175,45 +1209,41 @@ object TextQueries {
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id",
           explode(graft.functions.TextFunctions.wsTokens($"text")).as("tok"))
-      // ONE corpus pass: a (type, decile) census feeds BOTH frames —
-      // first sighting is min(decile) per type (decile is monotone in
-      // doc_id, so decile(min(doc_id)) = min(decile)), totals are a
-      // per-decile sum — r12's shape re-scanned and re-tokenized the
-      // corpus once per consumer. The census subtree is shared via
-      // AQE runtime stage reuse (ReusedExchange), which requires the
-      // two consumers' census aggregates to stay CANONICALLY EQUAL:
-      // the filter below references cnt (a tautology — counts are
-      // ≥ 1) so column pruning cannot drop the count from the
-      // first-sighting branch's census and specialize the subtrees
-      // (the s12 s_tok lesson).
-      val census = toks.crossJoin(broadcast(nd))
-        .groupBy($"tok", expr("doc_id * 10 div n_docs").as("decile"))
-        .agg(count(lit(1)).as("cnt"))
-      val newTypes = census.filter($"cnt" > 0)
-        .groupBy($"tok").agg(min($"decile").as("decile"))
-        .groupBy($"decile")
-        .agg(count(lit(1)).as("new_types"))
-      val tokCounts = census
-        .groupBy($"decile")
-        .agg(sum($"cnt").as("n_tokens"))
-      tokCounts.join(newTypes, Seq("decile"), "left")
-        .select($"decile", coalesce($"new_types", lit(0L)).as("new_types"), $"n_tokens")
-        .orderBy($"decile")
+      // the corpus count rides as a 1-row broadcast (X10 pattern)
+      val perType = toks.crossJoin(broadcast(nd))
+        .withColumn("decile", expr("doc_id * 10 div n_docs"))
+        .groupBy($"tok")
+        .agg(min($"decile").as("first_decile"),
+          (0 until 10).map(d =>
+            sum(when($"decile" === d, 1L).otherwise(0L)).as(s"c$d")): _*)
+      val rollup = (0 until 10).flatMap(d => Seq(
+        sum(when($"first_decile" === d, 1L).otherwise(0L)).as(s"newt$d"),
+        sum(col(s"c$d")).as(s"ntok$d")))
+      perType.agg(rollup.head, rollup.tail: _*)
   }
 
   val t25VocabGrowth = Q(
     "t25_vocab_growth",
     (s, dir) => {
       import s.implicits._
-      // running totals over the ≤10-row decile frame are driver
-      // arithmetic (the q13/q54 pattern) — the old unpartitioned
+      // unpivot + running totals over the 1-row/20-col roll-up are
+      // driver arithmetic (the q13/q54 pattern) — the old unpartitioned
       // cumulative window was a needless single-partition barrier
-      // logging the WindowExec WARN on every run
-      val rows = t25Base(s, dir).collect()
+      // logging the WindowExec WARN on every run. A decile row is
+      // emitted only when it saw ≥1 token occurrence (the old tok_t
+      // frame's and the oracle's row condition); a type's first
+      // sighting is a decile it occurs in, so skipped deciles never
+      // carry new_types and the running totals are unaffected.
+      val r = t25Base(s, dir).collect()(0)
       var (ct, ctk) = (0L, 0L)
-      val out = rows.map { r =>
-        ct += r.getLong(1); ctk += r.getLong(2)
-        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2), ct, ctk)
+      val out = (0 until 10).flatMap { d =>
+        val (newt, ntok) =
+          if (r.isNullAt(2 * d)) (0L, 0L)
+          else (r.getLong(2 * d), r.getLong(2 * d + 1))
+        if (ntok > 0) {
+          ct += newt; ctk += ntok
+          Some(org.apache.spark.sql.Row(d.toLong, newt, ntok, ct, ctk))
+        } else None
       }
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       s.createDataFrame(

@@ -408,14 +408,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("t25's (type, decile) census is computed once and shared by both consumers") {
+  test("t25 is one per-type aggregate + one 1-row roll-up: 4 exchanges, no joins") {
     GraftExtensions.install(spark)
-    spark.catalog.clearCache() // see q41/q55 pin: cached scans defeat runtime reuse
+    spark.catalog.clearCache()
     val p = finalPlan(graft.queries.TextQueries.t25Base(spark, sfDir))
     assert(count(p, "Generate") == 1,
       s"t25 tokenizes the corpus more than once at runtime:\n$p")
-    assert(p.contains("ReusedExchange"),
-      s"t25's census exchange is not shared between branches:\n$p")
+    // r21 rework: the (type, decile) census + two-consumer +
+    // ReusedExchange + join + sort shape (7 executed exchanges at
+    // sf0.1) collapsed into a fixed-domain pivot — corpus spread, the
+    // 1-row corpus-count broadcast's own aggregate, per-type hash
+    // aggregate, single-row roll-up. Executed-node prefix counting per
+    // the r14 lesson (ReusedExchange's toString inlines its target).
+    assert(count(p, "+- Exchange ") == 4,
+      s"t25's exchange count moved from the pinned 4:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"t25 reintroduced a join or window barrier:\n$p")
   }
 
   test("q59 plans two corpus shuffles + two tiny census shuffles, and the " +
@@ -542,5 +550,19 @@ class PlanShapeSpec extends SparkSpec {
       s"pipe01's disposition re-derives a stage from the raw table:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pipe01 plans a pair-expanding join:\n$p")
+  }
+
+  test("pipe ladder's corpus spread survives its checkpoint: corp is " +
+    "defaultParallelism wide") {
+    // the scan-width trap (ADVICE r20): the corp RoundRobin repartition
+    // executes inside the eager checkpoint, so no disposition-plan
+    // assertion can see it — silently dropping the
+    // repartition(defaultParallelism) in hygieneLadder would pass every
+    // plan test while the whole ladder runs 1-2 tasks wide at sf1+.
+    // Pin the materialized width itself.
+    val l = graft.queries.PipelineQueries.hygieneLadder(spark, sfDir)
+    assert(l.corp.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      s"corp checkpoint is ${l.corp.rdd.getNumPartitions} partitions wide, " +
+        s"expected defaultParallelism=${spark.sparkContext.defaultParallelism}")
   }
 }

@@ -180,6 +180,36 @@ class QueriesSpec extends SparkSpec {
     assert(cumT > 0 && cumK > 0)
   }
 
+  test("t24/t25 planted corpus: token-less docs keep their rows, decile gaps skip") {
+    import spark.implicits._
+    // r21 reworks: t24's explode_outer + broadcast LEFT join replaced
+    // the explicit doc_id join-back (a token-less document's zero row
+    // now comes from the outer explode), and t25's fixed-domain pivot
+    // must omit deciles with no token occurrences (the old tok_t frame
+    // semantics). testdata has no token-less docs or empty deciles, so
+    // the oracle gate can't see either edge — plant them.
+    val dir = java.nio.file.Files.createTempDirectory("t24t25").toString
+    Seq((0L, "a b"), (1L, ""), (2L, "b ! c"), (3L, "   "))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t24 = Registry.byName("t24_bpe_tokenize").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.get(3)))
+      .toMap
+    assert(t24.keySet == Set(0L, 1L, 2L, 3L), s"t24 lost a document: $t24")
+    assert(t24(1L) == ((0L, 0L, null)), s"empty doc row: ${t24(1L)}")
+    assert(t24(3L) == ((0L, 0L, null)), s"whitespace doc row: ${t24(3L)}")
+    assert(t24(0L)._1 == 2L, s"doc 0 has 2 alphanumeric words: ${t24(0L)}")
+    assert(t24(2L)._1 == 2L, s"'!' is not a word: ${t24(2L)}")
+    // deciles (n_docs=4): doc0->0, doc1->2, doc2->5, doc3->7; docs 1/3
+    // are token-less so deciles 2 and 7 must be ABSENT; types a,b
+    // first-sighted at 0, !,c at 5; decile 5 has 3 occurrences (b,!,c)
+    val t25 = Registry.byName("t25_vocab_growth").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(t25.toSeq == Seq((0L, 2L, 2L, 2L, 2L), (5L, 2L, 3L, 4L, 5L)),
+      s"planted t25 curve mismatch: ${t25.toSeq}")
+  }
+
   test("q50 heatmap: shares sum to ~1 over at most 168 cells") {
     val rows = Registry.byName("q50_activity_heatmap").run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
