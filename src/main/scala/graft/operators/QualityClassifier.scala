@@ -117,14 +117,69 @@ object QualityClassifier {
 
   /** [[train]] + [[score]] over the same weakly-labeled corpus — the
     * t17 query surface: → (idCol, weak_label, logit, prob_pos).
+    *
+    * r21 (guide §2.4 + the r12 duplicate-subtree lesson, measured):
+    * composing [[train]] and [[score]] lazily planned the weak-label
+    * expression (token folds + a full-text regexp_replace per doc)
+    * THREE times (train census, bias, output join) and the token
+    * census TWICE — 1.3 s honest at sf0.1 where count() had shown
+    * 0.33 s. This path computes each ONCE into narrow doc-scale lazy
+    * checkpoints (labels: 2 columns; per-doc bucket counts: ≤ buckets
+    * rows per doc — bounded, never the corpus text), both
+    * id-partitioned up front so the label join, the per-doc dot, and
+    * the output join all ride one exchange each side. Identical
+    * arithmetic to train-then-score (same censuses, same smoothing,
+    * same rounding order); [[train]]/[[score]] stay the deployment
+    * faces for a labeled reference distinct from the scored corpus.
     */
   def trainAndScore(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       labelCol: String,
-      buckets: Int = DefaultBuckets): DataFrame =
-    docs.select(col(idCol), col(labelCol).cast("long").as("weak_label"))
-      .join(score(docs, idCol, textCol, train(docs, idCol, textCol, labelCol, buckets)),
-        Seq(idCol))
+      buckets: Int = DefaultBuckets): DataFrame = {
+    val b = buckets
+    val labels = docs
+      .select(col(idCol), col(labelCol).cast("long").as("weak_label"))
+      .repartition(col(idCol))
+      .localCheckpoint(false)
+    val perdoc = bucketCensus(docs, idCol, textCol, None, b)
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(false)
+    // per-class-per-bucket token counts off the SAME census (≤ B × 2
+    // rows): label attaches by the co-partitioned doc-scale equi-join
+    val cls = perdoc.join(labels, Seq(idCol))
+      .groupBy(col("weak_label"), col("__b"))
+      .agg(sum(col("__cnt")).as("__cc"))
+    val tot = cls.agg(
+      sum(when(col("weak_label") === 1, col("__cc")).otherwise(0L)).as("__pos_tot"),
+      sum(when(col("weak_label") === 0, col("__cc")).otherwise(0L)).as("__neg_tot"))
+    val spine = docs.sparkSession.range(0, b).select(col("id").as("__b"))
+    val weights = spine
+      .join(cls.filter(col("weak_label") === 1)
+        .select(col("__b"), col("__cc").as("__pc")), Seq("__b"), "left")
+      .join(cls.filter(col("weak_label") === 0)
+        .select(col("__b"), col("__cc").as("__nc")), Seq("__b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__b"),
+        round(
+          log((coalesce(col("__pc"), lit(0L)) + lit(1.0)) / (col("__pos_tot") + lit(b.toDouble))) -
+            log((coalesce(col("__nc"), lit(0L)) + lit(1.0)) / (col("__neg_tot") + lit(b.toDouble))),
+          6).as("__w"))
+    val bias = labels.agg(
+      round(log(
+        (sum(when(col("weak_label") === 1, 1L).otherwise(0L)) + lit(1.0)) /
+          (sum(when(col("weak_label") === 0, 1L).otherwise(0L)) + lit(1.0))), 6).as("__bias"))
+    val dots = perdoc
+      .join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt") * col("__w")).as("__dot"))
+    labels
+      .join(dots, Seq(idCol), "left")
+      .crossJoin(broadcast(bias))
+      .withColumn("logit", round(col("__bias") + coalesce(col("__dot"), lit(0.0)), 6))
+      .select(col(idCol), col("weak_label"), col("logit"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 4).as("prob_pos"))
+  }
 }

@@ -143,13 +143,24 @@ object ExtendedQueries {
     "q24_sketches",
     (s, dir) => {
       import s.implicits._
-      Tables.lineitem(s, dir)
-        .groupBy($"l_returnflag")
-        .agg(
-          approx_count_distinct($"l_partkey").as("approx_parts"),
-          expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("hll_orders"),
-          countDistinct($"l_partkey").as("exact_parts"),
-          countDistinct($"l_orderkey").as("exact_orders"))
+      // r21 (guide §2.3 "aggregate before you shuffle" + §1 measured):
+      // one agg mixing TWO countDistincts (Expand ×3) with the
+      // imperative sketch aggregates planned the WHOLE expanded
+      // 3×row stream through ObjectHashAggregate (sort-based fallback
+      // past 128 keys) + a Sort + SortAggregate pass — 6.3 s honest at
+      // sf0.1, hidden for 20 rounds because count() pruned every
+      // aggregate expression (0.15 s). Split: sketches partial-agg
+      // map-side over 3 groups (no Expand, never falls back), exact
+      // distincts stay a pure codegen HashAggregate chain, and the two
+      // 3-row frames broadcast-join on the group key.
+      val li = Tables.lineitem(s, dir)
+      val exact = li.groupBy($"l_returnflag").agg(
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      val approx = li.groupBy($"l_returnflag").agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("hll_orders"))
+      exact.join(broadcast(approx), Seq("l_returnflag"))
         .select(
           $"l_returnflag",
           $"exact_parts",

@@ -250,23 +250,39 @@ object SimilarityQueries {
     "s03_quantize_int8",
     (s, dir) => {
       import s.implicits._
-      val x = transform($"embedding", v => v.cast("double"))
-      val scale = aggregate(x, lit(0.0), (acc, v) => greatest(acc, abs(v))) / lit(127.0)
-      val quant = transform(x, v => round(try_divide(v, scale)))
-      val absErr = zip_with(x, quant, (xv, qv) => abs(qv * scale - xv))
-      Tables.embeddings(s, dir).select(
+      // r21 (guide §1.2 per-task work; the CLAUDE.md interpreted-HOF
+      // lesson, measured): inlining `scale` (itself an O(d) fold)
+      // inside the quant/absErr lambdas re-ran the fold PER ELEMENT —
+      // O(d²) interpreted lambda evaluations per row, ~2.5 s honest at
+      // sf0.1 (count() had pruned it all to 0.09 s for 20 rounds).
+      // Stage the intermediates through projections: each named column
+      // is computed once per row and the lambdas reference attributes,
+      // O(d) per row. CollapseProject leaves the stages alone — since
+      // SPARK-36718 it refuses to duplicate non-cheap expressions into
+      // multiple consumers. Arithmetic is expression-identical to the
+      // inline form (pure functions, same evaluation per element).
+      val withScale = Tables.embeddings(s, dir).select(
         $"vec_id",
-        round(scale, 8).as("scale"),
-        // zero vector: every absErr element is NULL; Spark's greatest
+        transform($"embedding", v => v.cast("double")).as("x"),
+        size($"embedding").cast("double").as("d"))
+        .select($"vec_id", $"x", $"d",
+          (aggregate($"x", lit(0.0), (acc, v) => greatest(acc, abs(v)))
+            / lit(127.0)).as("sc"))
+      val withErr = withScale.select($"vec_id", $"sc", $"d",
+        zip_with($"x", transform($"x", v => round(try_divide(v, $"sc"))),
+          (xv, qv) => abs(qv * $"sc" - xv)).as("abs_err"))
+      withErr.select(
+        $"vec_id",
+        round($"sc", 8).as("scale"),
+        // zero vector: every abs_err element is NULL; Spark's greatest
         // skips NULLs but the oracle's max over all-NULLs is NULL —
         // make the degenerate case explicit
-        round(when(scale === 0.0, lit(null).cast("double"))
-          .otherwise(aggregate(absErr, lit(0.0), (acc, e) => greatest(acc, e))), 8)
+        round(when($"sc" === 0.0, lit(null).cast("double"))
+          .otherwise(aggregate($"abs_err", lit(0.0), (acc, e) => greatest(acc, e))), 8)
           .as("max_abs_err"),
         round(
           try_divide(
-            aggregate(absErr, lit(0.0), (acc, e) => acc + e * e),
-            size($"embedding").cast("double")),
+            aggregate($"abs_err", lit(0.0), (acc, e) => acc + e * e), $"d"),
           8).as("mse"))
     },
     Some("""SELECT vec_id,
