@@ -106,13 +106,22 @@ object Bench {
         // clearCache() does not unpersist RDD-level localCheckpoint
         // blocks (pipe01/pipe02/s16 create ~7 per rep), so blocks from
         // prior reps accumulate until ContextCleaner GC — at sf1+ that
-        // is real memory/disk pressure mid-bench (ADVICE r20). A GC
-        // nudge lets ContextCleaner release the now-unreferenced prior
-        // rep's RDDs; a blanket getPersistentRDDs.unpersist would also
+        // is real memory/disk pressure mid-bench (ADVICE r20). A
+        // System.gc() nudge here was TRIED in r21 and REJECTED on
+        // measurement: same quiet window, identical queries, the
+        // full-GC-per-rep suite read 69.203 s vs 58.618 s without it —
+        // +10.6 s spread as +0.2-0.6 s on every checkpoint-heavy query
+        // (s07/s12/s19/t21/t26/pipe02...), i.e. an 18% fidelity tax on
+        // the exact totals the driver compares round-over-round. A
+        // blanket getPersistentRDDs.unpersist is also wrong: it would
         // destroy the sanctioned cross-rep memo frames
         // (Bm25.sharedRanked / NnDescent.sharedGraph), whose checkpoint
         // blocks are NOT recomputable — s14/s20 reps would then fail.
-        System.gc()
+        // Resolution: at the driver's sf0.1 shape the accumulation is
+        // harmless (blocks ≈ tens of MB/rep in a 4.6 GiB store);
+        // full-registry benches at sf1+ must set SPARK_DRIVER_MEM=48g
+        // (the documented r15 requirement) so ContextCleaner's own lazy
+        // collection keeps up without a forced pause.
         val t0 = System.nanoTime()
         // A failed rep is EXCLUDED from the median rather than recorded
         // as a sentinel — a -1.0 inside the sort would make a 2/3-pass
